@@ -152,6 +152,97 @@ def q14_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _as_date(df: DataFrame, col: str):
+    """DATE from a column that may be a timestamp or nanos-since-epoch
+    bigint (driver parquet under nanosAsLong)."""
+    if dict(df.dtypes).get(col) == "bigint":
+        return F.to_date(F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return F.to_date(col)
+
+
+@query(
+    "q01_scan_cast_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS BIGINT) AS quantity,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+       l_returnflag,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+WHERE l_quantity > 10
+""",
+)
+def q01_scan_cast_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan + explicit casts + projection + pushed filter
+    (S3/P1/P4/P5 — the '$1:field::TYPE' idiom collapses to typed reads
+    + .cast, SURVEY §1.2). Filter and pruned columns reach the scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.filter(F.col("l_quantity") > 10).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("quantity"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        "l_returnflag",
+        _as_date(li, "l_shipdate").alias("ship_date"),
+    )
+
+
+@query(
+    "q02_path_partition_extraction",
+    oracle=r"""
+WITH paths AS (
+  SELECT event_id,
+         CASE WHEN event_id % 13 = 0
+              THEN 'EVENTS/yyyy=__HIVE_DEFAULT_PARTITION__/mm=__HIVE_DEFAULT_PARTITION__/dd=__HIVE_DEFAULT_PARTITION__/part-0.parquet'
+              ELSE concat('EVENTS/yyyy=', strftime(ts, '%Y'),
+                          '/mm=', strftime(ts, '%m'),
+                          '/dd=', strftime(ts, '%d'), '/part-0.parquet')
+         END AS file_path
+  FROM events
+),
+extracted AS (
+  SELECT event_id, file_path,
+         nullif(regexp_replace(file_path, '.*/yyyy=(\d{4})/.*', '\1'),
+                '__HIVE_DEFAULT_PARTITION__') AS yyyy,
+         nullif(regexp_replace(file_path, '.*/mm=(\d{2})/.*', '\1'),
+                '__HIVE_DEFAULT_PARTITION__') AS mm,
+         nullif(regexp_replace(file_path, '.*/dd=(\d{2})/.*', '\1'),
+                '__HIVE_DEFAULT_PARTITION__') AS dd
+  FROM paths
+)
+SELECT event_id, file_path, yyyy, mm, dd,
+       try_cast(yyyy || '-' || mm || '-' || dd AS DATE) AS metadata_date
+FROM extracted
+""",
+)
+def q02_path_partition_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metadata$filename partition extraction (F1-F4/S6, reference
+    ingest-dag.sql:7-28): regexp_replace backref + nullif hive-default
+    + NULL-propagating concat + try_to_date. Paths are synthesized from
+    event dates (1/13 of rows get a hive-default path)."""
+    from ..functions.paths import HIVE_DEFAULT, partition_columns
+
+    ev = _events(spark, sf_dir)
+    d = F.timestamp_seconds(_epoch_seconds(ev, "ts"))
+    default_path = (
+        f"EVENTS/yyyy={HIVE_DEFAULT}/mm={HIVE_DEFAULT}/dd={HIVE_DEFAULT}"
+        "/part-0.parquet"
+    )
+    path = F.when(F.col("event_id") % 13 == 0, F.lit(default_path)).otherwise(
+        F.concat(
+            F.lit("EVENTS/yyyy="), F.date_format(d, "yyyy"),
+            F.lit("/mm="), F.date_format(d, "MM"),
+            F.lit("/dd="), F.date_format(d, "dd"),
+            F.lit("/part-0.parquet"),
+        )
+    )
+    out = ev.select("event_id", path.alias("file_path"))
+    parts = partition_columns(F.col("file_path"))
+    for name, col in parts.items():
+        out = out.withColumn(name, col)
+    return out
+
+
 def sessionized_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: sessionize -> reach & frequency rollup per content key
     (the analysis v_audience_metrics exists for,

@@ -1,0 +1,63 @@
+"""Table writers: append + atomic overwrite on plain parquet.
+
+The mutation suite (insert-only MERGE, DELETE, UPDATE — SURVEY
+§4.2-2) runs on plain parquet with read-modify-write; the overwrite
+must never destroy the old data before the new data is fully
+committed. ``atomic_overwrite`` writes to a ``__tmp__`` sibling
+directory first (a full Spark job with its own file-commit protocol),
+then swaps directories with two metadata renames. A crash before the
+swap leaves the table untouched; a crash between the renames leaves
+the committed tmp dir recoverable on disk — the
+write-new-then-swap discipline of SURVEY §4.2-4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), jpath
+
+
+def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def atomic_overwrite(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Materialize ``df`` next to ``path``, then swap. Safe even when
+    ``df`` reads from ``path`` itself (the classic self-overwrite
+    footgun): the tmp write is a complete action before anything is
+    removed."""
+    spark = df.sparkSession
+    tmp = path.rstrip("/") + "__tmp__"
+    old = path.rstrip("/") + "__old__"
+    fs, jtmp = _fs(spark, tmp)
+    if fs.exists(jtmp):
+        fs.delete(jtmp, True)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    _, jpath = _fs(spark, path)
+    jold = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    if fs.exists(jpath):
+        fs.rename(jpath, jold)
+    fs.rename(jtmp, jpath)
+    if fs.exists(jold):
+        fs.delete(jold, True)
+
+
+def overwrite_small(spark: SparkSession, rows, schema, path: str) -> None:
+    """Overwrite a tiny control table (task_control is 2 rows —
+    reference etl-dag.sql:136-142) from driver-side rows."""
+    atomic_overwrite(spark.createDataFrame(rows, schema).coalesce(1), path)

@@ -36,7 +36,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
         if col.dtype.kind == "f":
             out[c] = col.round(6)
         else:
-            out[c] = col.astype(str)
+            # unify null spellings (None/NaT/NaN) before stringifying
+            out[c] = col.astype(str).mask(col.isna(), "NULL")
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
 
 
