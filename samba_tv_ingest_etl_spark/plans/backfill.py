@@ -1,0 +1,110 @@
+"""Full-rebuild backfill — reference entry point 2
+(``etl-ddl-backfill.sql`` run top-to-bottom, SURVEY §3).
+
+A linear chain of materializations; each step reads the previous
+step's table from storage (deliberate materialization boundaries —
+the watermark/incremental layer depends on them). Within a step the
+whole CTE chain is one lazy DataFrame -> one Catalyst plan.
+
+``Warehouse`` is the engine's catalog: a directory of named parquet
+tables (the Snowflake schema analog).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.metrics import audience_metrics
+from ..operators.panels import attribute_panels, panel_windows
+from ..operators.sessionize import sessionize
+from ..operators.union_events import raw_viewing_events
+from ..operators.weighting import weighted_events
+from ..sources.writer import atomic_overwrite
+
+# sessionization spec (etl-ddl-backfill.sql:144,190-192)
+SESSION_PARTITION = ["hh_id", "title", "content_id"]
+SESSION_GROUP = [
+    "dma", "hh_id", "source_table", "content_type", "application",
+    "title", "content_id", "episode_title", "season", "episode",
+    "network", "panel_monday", "panel_weight",
+]
+
+
+@dataclass
+class Warehouse:
+    spark: SparkSession
+    root: str
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def write(self, df: DataFrame, table: str,
+              partition_by: list[str] | None = None) -> None:
+        atomic_overwrite(df, self.path(table), partition_by)
+
+    def exists(self, table: str) -> bool:
+        sc = self.spark.sparkContext
+        p = sc._jvm.org.apache.hadoop.fs.Path(self.path(table))
+        return bool(p.getFileSystem(sc._jsc.hadoopConfiguration()).exists(p))
+
+
+def build_viewing_sessions(weighted: DataFrame) -> DataFrame:
+    """Sessionize weighted events with the reference's exact keys."""
+    return sessionize(
+        weighted,
+        partition_cols=SESSION_PARTITION,
+        order_col="exposure_start_ts",
+        end_col="exposure_end_ts",
+        duration_col="duration",
+        group_cols=SESSION_GROUP,
+    ).select(
+        "hh_id", "dma", "source_table", "content_type", "application",
+        "title", "content_id", "episode_title", "season", "episode",
+        "network", "panel_monday", "session_id",
+        "session_start_ts", "session_end_ts", "total_duration",
+        "panel_weight",
+    )
+
+
+def backfill(wh: Warehouse, acr: DataFrame, stb: DataFrame,
+             geo_weights: DataFrame) -> None:
+    """panel_windows -> raw_viewing_events -> weighted_events ->
+    viewing_sessions (+ task_control seed). Each step materializes
+    with created_at audit columns like the reference CTAS chain."""
+    spark = wh.spark
+    now = F.current_timestamp()
+
+    pw = panel_windows(geo_weights).withColumn("created_at", now)
+    wh.write(pw, "panel_windows")
+    pw = wh.read("panel_windows")
+
+    events = raw_viewing_events(acr, stb).withColumn("created_at", now)
+    wh.write(events, "raw_viewing_events")
+    events = wh.read("raw_viewing_events").drop("created_at")
+
+    with_panel = attribute_panels(events, pw)
+    weighted = weighted_events(with_panel, geo_weights).withColumn(
+        "created_at", now
+    )
+    wh.write(weighted, "weighted_events")
+    weighted = wh.read("weighted_events").drop("created_at")
+
+    sessions = build_viewing_sessions(weighted).withColumn("created_at", now)
+    wh.write(sessions, "viewing_sessions")
+
+    seed = spark.createDataFrame(
+        [("raw_events_update",), ("panel_windows_update",)], ["task_name"]
+    ).withColumn("last_successful_run_date", F.current_date())
+    wh.write(seed.coalesce(1), "task_control")
+
+
+def v_audience_metrics(wh: Warehouse) -> DataFrame:
+    """The non-materialized view (etl-ddl-backfill.sql:196-222)."""
+    return audience_metrics(wh.read("viewing_sessions"))

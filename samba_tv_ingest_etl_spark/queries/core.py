@@ -167,7 +167,7 @@ SELECT l_orderkey, l_linenumber,
        CAST(l_quantity AS BIGINT) AS quantity,
        CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
        l_returnflag,
-       CAST(l_shipdate AS DATE) AS ship_date
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date
 FROM lineitem
 WHERE l_quantity > 10
 """,
@@ -183,7 +183,11 @@ def q01_scan_cast_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("quantity"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
         "l_returnflag",
-        _as_date(li, "l_shipdate").alias("ship_date"),
+        # DATE columns in checked outputs go out as ISO strings: pandas
+        # renders Spark dates (datetime.date/None) and DuckDB dates
+        # (datetime64/NaT) differently, so a string projection is the
+        # only representation both sides agree on byte-for-byte.
+        _as_date(li, "l_shipdate").cast("string").alias("ship_date"),
     )
 
 
@@ -211,7 +215,8 @@ extracted AS (
   FROM paths
 )
 SELECT event_id, file_path, yyyy, mm, dd,
-       try_cast(yyyy || '-' || mm || '-' || dd AS DATE) AS metadata_date
+       CAST(try_cast(yyyy || '-' || mm || '-' || dd AS DATE) AS VARCHAR)
+           AS metadata_date
 FROM extracted
 """,
 )
@@ -240,7 +245,361 @@ def q02_path_partition_extraction(spark: SparkSession, sf_dir: str) -> DataFrame
     parts = partition_columns(F.col("file_path"))
     for name, col in parts.items():
         out = out.withColumn(name, col)
-    return out
+    # ISO-string projection of the nullable date (see q01 note)
+    return out.withColumn(
+        "metadata_date", F.col("metadata_date").cast("string")
+    )
+
+
+@query(
+    "q03_union_literal_null_padding",
+    oracle="""
+SELECT 'CUSTOMER' AS source_table, c_name AS name,
+       CAST(c_nationkey AS INT) AS nationkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       c_mktsegment AS segment
+FROM customer
+UNION ALL
+SELECT 'SUPPLIER', s_name, CAST(s_nationkey AS INT),
+       CAST(round(s_acctbal * 100) AS BIGINT), CAST(NULL AS VARCHAR)
+FROM supplier
+""",
+)
+def q03_union_literal_null_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with literal discriminator + NULL padding (U1/P2/P3,
+    reference etl-ddl-backfill.sql:16-63): suppliers lack a segment
+    column, padded with a typed NULL via unionByName."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.lit("CUSTOMER").alias("source_table"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.lit("SUPPLIER").alias("source_table"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        F.lit(None).cast("string").alias("segment"),
+    )
+    return cust.unionByName(supp)
+
+
+def _event_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.to_date(F.timestamp_seconds(_epoch_seconds(ev, "ts"))).alias(
+            "metadata_date"
+        ),
+    )
+
+
+_PW_CTE = """
+pw AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS panel_monday,
+         CAST(ts AS DATE) - 28 AS window_start,
+         CAST(ts AS DATE) - 1 AS window_end
+  FROM events
+  WHERE isodow(CAST(ts AS DATE)) = 1
+)
+"""
+
+
+@query(
+    "q04_panel_windows",
+    oracle=f"""WITH {_PW_CTE}
+SELECT CAST(panel_monday AS VARCHAR) AS panel_monday,
+       CAST(window_start AS VARCHAR) AS window_start,
+       CAST(window_end AS VARCHAR) AS window_end
+FROM pw""",
+)
+def q04_panel_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT + Monday filter + DATEADD windows (A1/F6/F7, reference
+    etl-ddl-backfill.sql:2-10) via the engine's panel_windows operator.
+    Snowflake DAYOFWEEK=1 == Spark weekday()=0 == DuckDB isodow()=1."""
+    from ..operators.panels import panel_windows
+
+    pw = panel_windows(_event_dates(spark, sf_dir))
+    return pw.select(*[F.col(c).cast("string").alias(c) for c in pw.columns])
+
+
+@query(
+    "q05_watermark_expr",
+    oracle="""
+SELECT CAST(least(
+         coalesce((SELECT max(CAST(o_orderdate AS DATE)) FROM orders),
+                  DATE '1900-01-01'),
+         coalesce((SELECT max(CAST(l_shipdate AS DATE)) FROM lineitem),
+                  DATE '1900-01-01')
+       ) AS VARCHAR) AS watermark,
+       CAST(coalesce((SELECT max(CAST(o_orderdate AS DATE))
+                 FROM orders WHERE o_orderkey < 0),
+                DATE '1900-01-01') AS VARCHAR) AS empty_default
+""",
+)
+def q05_watermark_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global MAX + LEAST + COALESCE — the watermark-advance rule
+    (A4/F12/F13, reference etl-dag.sql:132-141): trail the slower of
+    the two feeds, default empty to 1900-01-01."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    default = F.lit("1900-01-01").cast("date")
+    wm_o = orders.agg(F.max(_as_date(orders, "o_orderdate")).alias("wm_o"))
+    wm_l = li.agg(F.max(_as_date(li, "l_shipdate")).alias("wm_l"))
+    empty = orders.filter(F.col("o_orderkey") < 0).agg(
+        F.max(_as_date(orders, "o_orderdate")).alias("wm_e")
+    )
+    return (
+        wm_o.crossJoin(wm_l)
+        .crossJoin(empty)
+        .select(
+            F.least(
+                F.coalesce(F.col("wm_o"), default),
+                F.coalesce(F.col("wm_l"), default),
+            ).cast("string").alias("watermark"),
+            F.coalesce(F.col("wm_e"), default).cast("string").alias(
+                "empty_default"
+            ),
+        )
+    )
+
+
+@query(
+    "q10_union_viewing_events",
+    oracle="""
+SELECT 'ACR' AS source_table, event_id, user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS start_ts,
+       CAST(floor(value) AS BIGINT) AS duration_s,
+       props
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT 'STB', event_id, user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT),
+       CAST(floor(value) AS BIGINT),
+       CAST(NULL AS VARCHAR)
+FROM events WHERE event_id % 2 = 1
+""",
+)
+def q10_union_viewing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raw_viewing_events CTAS shape (S9/U1, reference
+    etl-ddl-backfill.sql:16-63): two feed projections, source tag,
+    NULL-padded feed-specific column (props plays 'application')."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        _epoch_seconds(ev, "ts").alias("start_ts"),
+        F.floor("value").cast("long").alias("duration_s"),
+        "props",
+    )
+    acr_like = base.filter(F.col("event_id") % 2 == 0).withColumn(
+        "source_table", F.lit("ACR")
+    )
+    stb_like = (
+        base.filter(F.col("event_id") % 2 == 1)
+        .withColumn("source_table", F.lit("STB"))
+        .withColumn("props", F.lit(None).cast("string"))
+    )
+    cols = ["source_table", "event_id", "user_id", "event_type",
+            "start_ts", "duration_s", "props"]
+    return acr_like.select(*cols).unionByName(stb_like.select(*cols))
+
+
+@query(
+    "q11_panel_attribution",
+    oracle=f"""
+WITH dates AS (
+  SELECT event_id, CAST(ts AS DATE) AS metadata_date FROM events
+),
+{_PW_CTE}
+SELECT d.event_id, CAST(d.metadata_date AS VARCHAR) AS metadata_date,
+       CAST((SELECT MAX(pw.panel_monday) FROM pw
+        WHERE d.metadata_date BETWEEN pw.window_start AND pw.window_end)
+           AS VARCHAR) AS panel_monday
+FROM dates d
+""",
+)
+def q11_panel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-scalar-subquery panel attribution (P12/J5/A5,
+    reference etl-ddl-backfill.sql:86-88), rewritten engine-side
+    (SURVEY §4.2-1). Oracle keeps the literal correlated form; the
+    engine evaluates max-covering-Monday without a join or shuffle."""
+    from ..operators.panels import attribute_panels, panel_windows
+
+    dates = _event_dates(spark, sf_dir)
+    pw = panel_windows(dates)
+    out = attribute_panels(dates, pw)
+    return out.select(
+        "event_id",
+        F.col("metadata_date").cast("string").alias("metadata_date"),
+        F.col("panel_monday").cast("string").alias("panel_monday"),
+    )
+
+
+@query(
+    "q12_weight_join_null_filters",
+    oracle="""
+WITH weights AS (
+  SELECT c_custkey AS hh_key,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS hh_id,
+         CASE WHEN c_custkey % 11 = 0 THEN NULL
+              ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS weight_cents
+  FROM customer WHERE c_custkey % 3 <> 0
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS start_ts,
+       w.hh_id, w.weight_cents
+FROM events e
+LEFT JOIN weights w ON w.hh_key = e.user_id
+WHERE w.hh_id IS NOT NULL AND w.weight_cents IS NOT NULL
+""",
+)
+def q12_weight_join_null_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN made effectively inner by IS NOT NULL filters (J1/P7,
+    reference etl-ddl-backfill.sql:115-120) — including the subtle
+    case of a matching row whose hh_id/weight is NULL (SURVEY §1.4-3):
+    the weights dim is made sparse (%3) with planted NULL hh (%7) and
+    NULL weight (%11) rows. Uses the engine's weighted-join shape."""
+    ev = _events(spark, sf_dir)
+    weights = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") % 3 != 0
+    ).select(
+        F.col("c_custkey").alias("hh_key"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("c_name")
+        ).alias("hh_id"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None)).otherwise(
+            F.round(F.col("c_acctbal") * 100).cast("long")
+        ).alias("weight_cents"),
+    )
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        _epoch_seconds(ev, "ts").alias("start_ts"),
+    )
+    joined = base.join(weights, weights.hh_key == base.user_id, "left").drop(
+        "hh_key"
+    )
+    return joined.filter(
+        F.col("hh_id").isNotNull() & F.col("weight_cents").isNotNull()
+    )
+
+
+_SESSIONS_WEIGHTED_CTE = (
+    _SESSION_IDS_SQL
+    + f""",
+sessions AS (
+  SELECT user_id, event_type, session_id,
+         MIN(start_ts) AS session_start_ts,
+         MAX(end_ts)   AS session_end_ts,
+         CAST(SUM(duration_s) AS BIGINT) AS total_duration
+  FROM ids
+  GROUP BY user_id, event_type, session_id
+  HAVING SUM(duration_s) >= {MIN_TOTAL_DURATION}
+),
+metrics AS (
+  SELECT s.*, c.c_name AS hh_id,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS weight_cents
+  FROM sessions s
+  JOIN customer c ON c.c_custkey = s.user_id
+)
+"""
+)
+
+
+@query(
+    "q15_audience_metrics",
+    oracle=_SESSIONS_WEIGHTED_CTE
+    + """
+SELECT user_id, event_type, session_id, hh_id,
+       weight_cents AS weighted_view_cents,
+       weight_cents AS weighted_hh_cents,
+       total_duration * weight_cents AS weighted_duration_cents,
+       session_start_ts, session_end_ts, total_duration,
+       CAST(CAST(to_timestamp(session_start_ts) AS DATE) AS VARCHAR)
+           AS metadata_date
+FROM metrics
+""",
+)
+def q15_audience_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v_audience_metrics projection (S10/F10/F11/F15, reference
+    etl-ddl-backfill.sql:196-222): per-session weighted columns and
+    epoch->date via to_date(timestamp_seconds(...))."""
+    sessions = q14_sessions.__wrapped__(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("hh_key"),
+        F.col("c_name").alias("hh_id"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("weight_cents"),
+    )
+    m = sessions.join(cust, cust.hh_key == sessions.user_id, "inner").drop(
+        "hh_key"
+    )
+    return m.select(
+        "user_id", "event_type", "session_id", "hh_id",
+        F.col("weight_cents").alias("weighted_view_cents"),
+        F.col("weight_cents").alias("weighted_hh_cents"),
+        (F.col("total_duration") * F.col("weight_cents")).alias(
+            "weighted_duration_cents"
+        ),
+        "session_start_ts", "session_end_ts", "total_duration",
+        F.to_date(F.timestamp_seconds("session_start_ts"))
+        .cast("string")
+        .alias("metadata_date"),
+    )
+
+
+@query(
+    "q18_reach_frequency",
+    oracle=_SESSIONS_WEIGHTED_CTE
+    + """
+, per_hh AS (
+  SELECT event_type, hh_id,
+         CAST(SUM(weight_cents) AS BIGINT) AS hh_views_cents,
+         MAX(weight_cents) AS hh_weight_cents,
+         CAST(COUNT(*) AS BIGINT) AS hh_sessions
+  FROM metrics
+  GROUP BY event_type, hh_id
+)
+SELECT event_type,
+       CAST(SUM(hh_views_cents) AS BIGINT) AS weighted_views_cents,
+       CAST(SUM(hh_weight_cents) AS BIGINT) AS weighted_reach_cents,
+       CAST(SUM(hh_sessions) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_households,
+       CAST(SUM(hh_views_cents) AS DOUBLE)
+           / CAST(SUM(hh_weight_cents) AS DOUBLE) AS frequency
+FROM per_hh
+GROUP BY event_type
+""",
+)
+def q18_reach_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reach & frequency rollup over the metrics view (SURVEY §2.5
+    note): views = Σ session weights, reach counts each household once
+    with its weight, frequency = views / reach. Two-level agg via the
+    engine's reach_frequency operator; exact integer cents keep the
+    hash deterministic."""
+    from ..operators.metrics import reach_frequency
+
+    m = q15_audience_metrics.__wrapped__(spark, sf_dir)
+    out = reach_frequency(
+        m,
+        group_cols=["event_type"],
+        hh_col="hh_id",
+        view_weight_col="weighted_view_cents",
+        hh_weight_col="weighted_hh_cents",
+    )
+    return out.select(
+        "event_type",
+        F.col("weighted_views").alias("weighted_views_cents"),
+        F.col("weighted_reach").alias("weighted_reach_cents"),
+        "n_sessions",
+        "n_households",
+        (
+            F.col("weighted_views").cast("double")
+            / F.col("weighted_reach").cast("double")
+        ).alias("frequency"),
+    )
 
 
 def sessionized_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
