@@ -602,6 +602,139 @@ def q18_reach_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q16_insert_only_merge",
+    oracle="""
+WITH target AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS start_ts
+  FROM events WHERE event_id % 4 <> 0
+),
+src AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_ts,
+         CAST(floor(value) AS BIGINT) AS duration_s
+  FROM events
+)
+SELECT s.event_id, s.user_id, s.event_type, s.start_ts, s.duration_s
+FROM src s
+WHERE NOT EXISTS (
+  SELECT 1 FROM target t
+  WHERE t.user_id = s.user_id AND t.start_ts = s.start_ts
+)
+""",
+)
+def q16_insert_only_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only MERGE as LEFT ANTI join (S14/J3, reference
+    etl-dag.sql:33-46): 3/4 of events play the already-loaded target;
+    the full feed replays as source. The deliberately weak
+    (user_id, start_ts) key (SURVEY §1.4-10) drops a 'new' row whose
+    key collides with a loaded one even when other columns differ."""
+    from ..operators.merge import merge_insert_only
+
+    ev = _events(spark, sf_dir)
+    start = _epoch_seconds(ev, "ts")
+    src = ev.select(
+        "event_id", "user_id", "event_type",
+        start.alias("start_ts"),
+        F.floor("value").cast("long").alias("duration_s"),
+    )
+    target = ev.filter(F.col("event_id") % 4 != 0).select(
+        "user_id", start.alias("start_ts")
+    )
+    return merge_insert_only(src, target, ["user_id", "start_ts"])
+
+
+def _session_cte(src: str, tag: str) -> str:
+    """LAG-gap session-id CTE chain over source relation ``src``
+    (columns user_id/event_type/start_ts/end_ts/duration_s/event_id),
+    names suffixed with ``tag`` so two chains can coexist."""
+    return f"""
+ordered_{tag} AS (
+  SELECT *,
+         start_ts - LAG(end_ts) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY start_ts, event_id) AS gap_seconds
+  FROM {src}
+),
+ids_{tag} AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN gap_seconds IS NULL OR gap_seconds > {GAP_SECONDS}
+                       THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY start_ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+  FROM ordered_{tag}
+),
+sessions_{tag} AS (
+  SELECT user_id, event_type, session_id,
+         MIN(start_ts) AS session_start_ts,
+         MAX(end_ts)   AS session_end_ts,
+         CAST(SUM(duration_s) AS BIGINT) AS total_duration
+  FROM ids_{tag}
+  GROUP BY user_id, event_type, session_id
+  HAVING SUM(duration_s) >= {MIN_TOTAL_DURATION}
+)"""
+
+
+@query(
+    "q17_affected_key_recompute",
+    oracle=f"""
+WITH {_BASE_CTE},
+old AS (SELECT * FROM base WHERE event_id % 10 <> 0),
+{_session_cte('old', 'o')},
+keys AS (
+  SELECT DISTINCT user_id, event_type FROM base WHERE event_id % 10 = 0
+),
+survivors AS (
+  SELECT o.* FROM sessions_o o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM keys k
+    WHERE k.user_id = o.user_id AND k.event_type = o.event_type
+  )
+),
+affected AS (
+  SELECT b.* FROM base b
+  WHERE EXISTS (
+    SELECT 1 FROM keys k
+    WHERE k.user_id = b.user_id AND k.event_type = b.event_type
+  )
+),
+{_session_cte('affected', 'n')}
+SELECT * FROM survivors
+UNION ALL
+SELECT * FROM sessions_n
+""",
+)
+def q17_affected_key_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affected-key session recompute (S11/S15/J2/J4/P10, reference
+    etl-dag.sql:91-121): 1/10 of events arrive 'late'; their
+    (user_id, event_type) groups get their old sessions DELETEd
+    (anti-join) and re-sessionized from ALL events of the group
+    (semi-join) — late data re-cuts old sessions."""
+    from ..operators.merge import delete_by_keys, semi_join_keys
+
+    ev = viewing_events(spark, sf_dir)
+
+    def sess(df: DataFrame) -> DataFrame:
+        return sessionize(
+            df,
+            SESSION_KEYS,
+            order_col="start_ts",
+            end_col="end_ts",
+            duration_col="duration_s",
+            gap_seconds=GAP_SECONDS,
+            min_total_duration=MIN_TOTAL_DURATION,
+            tiebreak_cols=["event_id"],
+        )
+
+    old_sessions = sess(ev.filter(F.col("event_id") % 10 != 0))
+    keys = ev.filter(F.col("event_id") % 10 == 0).select(*SESSION_KEYS)
+    survivors = delete_by_keys(old_sessions, keys, SESSION_KEYS)
+    recomputed = sess(semi_join_keys(ev, keys, SESSION_KEYS))
+    return survivors.unionByName(recomputed)
+
+
 def sessionized_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: sessionize -> reach & frequency rollup per content key
     (the analysis v_audience_metrics exists for,
