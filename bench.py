@@ -26,6 +26,12 @@ from samba_tv_ingest_etl_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q13_session_ids",
     "q14_sessions",
+    "q17_affected_key_recompute",
+    "q21_ngram_jaccard_pairs",
+    "q22_minhash_lsh_dedup",
+    "q24_embedding_neardup_pairs",
+    "q25_ann_topk_bruteforce",
+    "q26_ann_topk_lsh",
 ]
 
 

@@ -1,0 +1,330 @@
+"""Deduplication operators for LLM-data pipelines (beyond-reference
+surface): exact, exact n-gram-Jaccard (set-similarity join),
+MinHash+LSH, SimHash.
+
+Survivor rule everywhere: a document is dropped iff it is similar to
+some document with a SMALLER id — deterministic, one-pass,
+SQL-expressible (no iterative connected components; at fleet scale a
+connected-components pass over the pair list is a follow-up job).
+
+Cross-engine determinism: signatures are built from dense token ranks
+(``text.vocab_ranks``) mixed with affine functions mod the Mersenne
+prime — identical numbers in Spark and any ANSI oracle.
+``hash_mode='xxhash64'`` switches minhash to Spark's native 64-bit
+hash: no vocabulary join, the production fast path, but engine-local
+values (no oracle).
+
+Scale notes per operator:
+- exact: one hash-groupBy shuffle on ``sha2(text)`` (shuffle carries
+  the 64-char hash + id, not the document).
+- jaccard: explode on shingles, self-join on shingle id. The join is
+  exact (a τ-similar pair must share ≥1 shingle). Hot shingles are
+  the skew hazard — mitigated here by dropping shingles shared by
+  more than ``stop_shingle_df`` docs *from candidate generation
+  only* (verification still uses full shingle sets, so the filter is
+  lossless as long as every similar pair shares at least one
+  sub-threshold shingle; at τ ≥ 0.5 and shingle n ≥ 3 this holds for
+  natural text in practice, and the cap is configurable).
+- minhash: fixed-width signature (``num_perm`` longs) per doc, band
+  self-join on (band index, band slice) — candidate generation cost
+  is O(docs·bands), independent of document length.
+- simhash: 32-bit fingerprint; pigeonhole banding (4 bands of 8
+  bits) is LOSSLESS for hamming distance ≤ 3: any pair within 3 bit
+  flips matches on ≥1 band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import HASH_P, affine_hash, tokens, vocab_ranks, word_shingles
+
+# num_perm=16, 4 bands x 4 rows: s-curve threshold ~ (1/4)^(1/4) ~ 0.71
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # lossless for hamming <= SIMHASH_BANDS - 1
+
+
+def _minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (odd a, spread b)."""
+    return [
+        (2 * i + 1, (1_000_003 * i + 12_345) % HASH_P)
+        for i in range(num_perm)
+    ]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the smallest id per identical text (byte-exact dup).
+    Grouping on ``sha2`` keeps the shuffle narrow; collision risk at
+    256 bits is ignorable."""
+    h = F.sha2(F.col(text_col), 256)
+    return (
+        df.select(F.col(id_col), h.alias("_h"))
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("_h")
+    )
+
+
+def shingle_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """(id, distinct word-ngram shingle array, set size)."""
+    sh = word_shingles(tokens(F.col(text_col)), ngram)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        sh.alias("shingles"),
+        F.size(sh).alias("set_size"),
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    threshold_pct: int = 50,
+    stop_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact set-similarity self-join: candidate pairs share >= 1
+    shingle; Jaccard compared in integer arithmetic
+    (``common * 100 >= pct * union``). Returns (doc_a, doc_b,
+    common, union_size) with doc_a < doc_b, similar pairs only."""
+    ex = shingled.select(
+        "doc_id", "set_size", F.explode("shingles").alias("shingle")
+    )
+    if stop_shingle_df is not None:
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > stop_shingle_df)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("set_size").alias("size_a"),
+        "shingle",
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("set_size").alias("size_b"),
+        "shingle",
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    union = F.col("size_a") + F.col("size_b") - F.col("common")
+    return pairs.filter(
+        F.col("common") * 100 >= F.lit(threshold_pct) * union
+    ).select("doc_a", "doc_b", "common", union.alias("union_size"))
+
+
+def keep_min_id(df: DataFrame, pairs: DataFrame,
+                id_col: str = "doc_id") -> DataFrame:
+    """Drop every doc that is similar to a smaller-id doc."""
+    dropped = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")
+
+
+def minhash_signatures(
+    shingled: DataFrame,
+    num_perm: int = MINHASH_PERMS,
+    hash_mode: str = "rank",
+) -> DataFrame:
+    """(doc_id, set_size, shingles, sig array<long>[num_perm]).
+
+    ``rank``: dictionary-encode shingles (portable, oracle-able).
+    ``xxhash64``: hash shingle strings directly (no vocab join — the
+    production path; values are Spark-local)."""
+    coeffs = _minhash_coeffs(num_perm)
+    if hash_mode == "xxhash64":
+        enc = shingled.withColumn(
+            "ranks",
+            F.transform(
+                "shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(HASH_P))
+            ),
+        )
+    elif hash_mode == "rank":
+        vocab = vocab_ranks(
+            shingled.select(F.explode("shingles").alias("token"))
+        )
+        ex = shingled.select(
+            "doc_id", F.explode("shingles").alias("token")
+        ).join(vocab, "token")
+        enc = (
+            ex.groupBy("doc_id")
+            .agg(F.collect_list("rank").alias("ranks"))
+            .join(shingled, "doc_id")
+        )
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode}")
+    def _hasher(a: int, b: int):
+        # closure factory (a default-arg lambda breaks PySpark's
+        # higher-order-function arity check)
+        return lambda r: affine_hash(r, a, b)
+
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform("ranks", _hasher(a, b))),
+                F.lit(HASH_P),  # empty shingle set -> sentinel signature
+            )
+            for a, b in coeffs
+        ]
+    )
+    return enc.select("doc_id", "set_size", "shingles", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    signed: DataFrame,
+    num_perm: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Band the signature, self-join on (band, slice), verify
+    candidates with EXACT Jaccard over the full shingle sets (so LSH
+    can only lose pairs, never invent them)."""
+    rows = num_perm // bands
+    banded = signed.select(
+        "doc_id",
+        "set_size",
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("sig", i * rows + 1, rows)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "slice"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("set_size").alias("size_a"),
+        F.col("shingles").alias("sh_a"),
+        "band",
+        "slice",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("set_size").alias("size_b"),
+        F.col("shingles").alias("sh_b"),
+        "band",
+        "slice",
+    )
+    cand = (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "size_a", "size_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("size_a") + F.col("size_b") - common
+    return (
+        cand.withColumn("common", common)
+        .withColumn("union_size", union)
+        # union > 0: two empty shingle sets band-match on the sentinel
+        # signature but are NOT duplicates
+        .filter(
+            (F.col("union_size") > 0)
+            & (
+                F.col("common") * 100
+                >= F.lit(threshold_pct) * F.col("union_size")
+            )
+        )
+        .select("doc_a", "doc_b", "common", "union_size")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    a: int = 1_103_515_245,
+    b: int = 12_345,
+) -> DataFrame:
+    """Per-doc SimHash over distinct word unigrams: token rank ->
+    affine hash; fingerprint bit j = 1 iff more token hashes have bit
+    j set than clear (tie -> 0). One explode + vocab join + groupBy."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(tokens(F.col(text_col)))
+        ).alias("token"),
+    )
+    vocab = vocab_ranks(toks)
+    hashed = toks.join(vocab, "token").select(
+        "doc_id", affine_hash(F.col("rank"), a, b).alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return agg.select("doc_id", fp.alias("fingerprint"))
+
+
+def simhash_pairs(
+    fps: DataFrame,
+    max_hamming: int = SIMHASH_BANDS - 1,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bit flips. Pigeonhole banding:
+    with bands > max_hamming, a qualifying pair matches exactly on at
+    least one band — candidate generation is lossless."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = fps.select(
+        "doc_id",
+        "fingerprint",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftright("fingerprint", i * width)
+                        .bitwiseAND(F.lit(mask))
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("fingerprint").alias("fp_a"),
+        "band",
+        "key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fingerprint").alias("fp_b"),
+        "band",
+        "key",
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,222 @@
+"""Text-analysis operators for LLM-data pipelines (beyond-reference
+surface, SURVEY §7 phase 5): tokenization, shingling, quality
+scoring, language ID, document fingerprinting.
+
+Everything here is pure ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen, no Python in the row path. Ratios that feed the
+DuckDB oracle gate are emitted as floor-scaled integers (parts per
+million) so cross-engine float formatting can never flip a hash.
+
+Determinism-by-construction: where a "hash" is needed (fingerprints,
+minhash in ``dedup.py``) tokens are first mapped to dense integer
+ranks via a vocabulary join (global ``row_number`` over sorted
+distinct tokens) and then mixed with modular affine functions
+``(a*r + b) mod P`` — portable to any ANSI engine, unlike
+``xxhash64``/``hash`` whose values differ per engine. The vocabulary
+join is one extra shuffle; production deployments that don't need
+cross-engine reproducibility can swap in ``F.xxhash64`` (see
+``dedup.minhash_signatures(hash_mode='xxhash64')``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: products a*r stay far below 2^63.
+HASH_P = 2_147_483_647
+
+# word tokens: runs of letters/digits, lowercased. \p{L}\p{N} works in
+# both Java regex (Spark) and RE2 (DuckDB).
+TOKEN_SPLIT_RE = r"[^\p{L}\p{N}]+"
+
+PUNCT_CLASS = r"[^.,;:!?]"
+
+# tiny built-in stopword lists for the language-ID heuristic; order of
+# STOPWORDS defines the deterministic tie-break (first wins).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "que", "une", "sur"],
+}
+
+# CJK unified ideographs as literal codepoints (portable across Java
+# regex and RE2 — no \uXXXX escape-syntax skew).
+CJK_RE = "[一-鿿]"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased word tokens, empties removed."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """Distinct word n-grams joined by a single space; empty array when
+    the doc has fewer than n tokens."""
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def affine_hash(rank: Column, a: int, b: int) -> Column:
+    """``(a*rank + b) mod P`` — the portable mixing function. The rank
+    is widened to long first: int32 * int32 silently wraps in
+    non-ANSI mode."""
+    return (rank.cast("long") * F.lit(a) + F.lit(b)) % F.lit(HASH_P)
+
+
+def vocab_ranks(
+    exploded: DataFrame, token_col: str = "token"
+) -> DataFrame:
+    """Global token -> dense rank (1-based, sorted order). One global
+    sort of the distinct vocabulary; at 100 TB this is the classic
+    dictionary-encode step and the vocabulary is orders of magnitude
+    smaller than the corpus."""
+    return (
+        exploded.select(token_col)
+        .distinct()
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col(token_col))),
+        )
+    )
+
+
+def text_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc quality stats: token count, char count, mean token
+    length, punctuation / whitespace-alpha ratios, stopword ratio
+    (EN list). Ratios scaled to ppm integers (floor) so they are
+    engine-exact."""
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(text_col)
+    n_tokens = F.size(toks)
+    punct_chars = F.length(
+        F.regexp_replace(F.col(text_col), PUNCT_CLASS, "")
+    )
+    token_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+
+    def ppm(num: Column, den: Column) -> Column:
+        return F.when(
+            den > 0, F.floor(num * F.lit(1_000_000) / den)
+        ).otherwise(F.lit(0)).cast("long")
+
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        ppm(token_chars, n_tokens).alias("mean_token_len_ppm"),
+        ppm(punct_chars, n_chars).alias("punct_ratio_ppm"),
+        ppm(n_stop, n_tokens).alias("stopword_ratio_ppm"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """n-gram-free language-ID heuristic: CJK characters -> ``zh``;
+    otherwise argmax of stopword hits across the built-in lists, ties
+    and zero-hit docs resolved deterministically (list order; zero ->
+    ``und``)."""
+    toks = tokens(F.col(text_col))
+
+    # closure factory: a default-arg lambda would change the visible
+    # arity and break PySpark's higher-order-function binding
+    def _counter(stops: list[str]):
+        arr = F.array(*[F.lit(s) for s in stops])
+        return lambda t: F.array_contains(arr, t)
+
+    hits = {
+        lang: F.size(F.filter(toks, _counter(stops)))
+        for lang, stops in STOPWORDS.items()
+    }
+    langs = list(STOPWORDS)
+    best = hits[langs[0]]
+    for lang in langs[1:]:
+        best = F.greatest(best, hits[lang])
+    pred = F.lit("und")
+    # reversed: earlier lists win ties because later whens only fire
+    # on strictly matching the max
+    for lang in reversed(langs):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    pred = F.when(
+        F.col(text_col).rlike(CJK_RE), F.lit("zh")
+    ).otherwise(pred)
+    return df.select(id_col, pred.alias("lang_pred"))
+
+
+def fingerprint_sketch(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 4,
+    a: int = 1_103_515_245,
+    b: int = 12_345,
+) -> DataFrame:
+    """Rolling-hash document sketch: word ``ngram``-gram hashes via the
+    rank polynomial ``Σ rank_i · B^(n-1-i) mod P`` then an affine mix;
+    the sketch is (min, max, sum mod P, distinct count) of the hash
+    sequence — deterministic, order-insensitive, cross-engine exact.
+
+    ``vocab`` is the (token, rank) dictionary from ``vocab_ranks``
+    over the same corpus. One explode + one broadcast-ish join
+    (vocabulary ≪ corpus) + one groupBy(doc) shuffle.
+    """
+    base = F.lit(1_000_003)
+    toks = df.select(id_col, tokens(F.col(text_col)).alias("toks"))
+    pos = toks.select(
+        id_col,
+        F.posexplode("toks").alias("pos", "token"),
+    )
+    ranked = pos.join(vocab, "token").drop("token")
+    # polynomial over each n-gram window: gather (pos, rank) per doc,
+    # sort by pos, slide
+    gathered = ranked.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "rank"))
+        ).alias("pr")
+    )
+    ranks = F.col("pr.rank")
+    n = F.lit(ngram)
+    windows = F.when(
+        F.size(ranks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ranks) - n),
+            lambda i: F.aggregate(
+                F.slice(ranks, i + 1, ngram),
+                F.lit(0).cast("long"),
+                lambda acc, r: (acc * base + r) % F.lit(HASH_P),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    hashes = F.transform(windows, lambda h: affine_hash(h, a, b))
+    return gathered.select(
+        id_col,
+        F.coalesce(F.array_min(hashes), F.lit(-1)).alias("fp_min"),
+        F.coalesce(F.array_max(hashes), F.lit(-1)).alias("fp_max"),
+        F.coalesce(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc + h) % F.lit(HASH_P),
+            ),
+            F.lit(-1),
+        ).alias("fp_sum"),
+        F.size(F.array_distinct(hashes)).cast("long").alias("fp_distinct"),
+    )

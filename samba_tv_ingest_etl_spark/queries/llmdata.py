@@ -1,0 +1,612 @@
+"""LLM-data-pipeline queries (beyond-reference surface, SURVEY §7
+phase 5): dedup family, text analysis — over the driver's
+``documents`` table.
+
+Oracle portability strategy: no engine-native hash functions in
+checked outputs. Shingles/tokens are dictionary-encoded via a global
+sorted rank (``row_number`` over the distinct vocabulary — identical
+in Spark and DuckDB because both sort strings by binary UTF-8), then
+mixed with affine/polynomial arithmetic mod the Mersenne prime
+2^31-1. All similarity decisions are integer comparisons
+(``common*100 >= pct*union``), never float.
+
+Near-dup queries plant deterministic duplicates in-query (exact
+copies / 80%-prefix copies of every 20th/25th doc) so the checked
+result exercises the operators on guaranteed positives on top of the
+corpus's natural near-dups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import text as X
+from . import query
+
+_P = X.HASH_P
+_TOKEN_RE = X.TOKEN_SPLIT_RE
+_NGRAM = 3
+_JACCARD_PCT = 50
+
+# ---------------------------------------------------------------- corpora
+
+# exact-copy corpus (q20, q23): every 25th doc duplicated verbatim
+_COPY_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0
+)
+"""
+
+# prefix-copy corpus (q21, q22): every 20th doc re-appears as its
+# 80%-prefix (a high-Jaccard near-dup, never byte-identical)
+_PREFIX_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         substr(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+  FROM documents WHERE doc_id % 20 = 0
+)
+"""
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _copy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return docs.unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+
+
+def _prefix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return docs.unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))"
+            ).alias("text"),
+        )
+    )
+
+
+# shared oracle CTE: tokens -> distinct 3-gram shingles -> sizes
+_SHINGLE_SQL = rf"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {_NGRAM} THEN
+           list_distinct(list_transform(range(1, len(toks) - {_NGRAM - 2}),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+         ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+),
+sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM shingled),
+ex AS (SELECT doc_id, set_size, unnest(shingles) AS shingle FROM sized)
+"""
+
+
+# ---------------------------------------------------------------- q20
+
+@query(
+    "q20_exact_dedup",
+    oracle=f"""
+WITH {_COPY_SQL}
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM corpus GROUP BY text
+""",
+)
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on sha2(text), keep min doc_id.
+    One narrow shuffle (hash + id, not the document bytes)."""
+    return D.exact_dedup(_copy_corpus(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- q21
+
+@query(
+    "q21_ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_PREFIX_SQL}, {_SHINGLE_SQL},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.set_size AS size_a, b.set_size AS size_b,
+         CAST(count(*) AS BIGINT) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, common,
+       CAST(size_a + size_b - common AS BIGINT) AS union_size
+FROM pairs
+WHERE common * 100 >= {_JACCARD_PCT} * (size_a + size_b - common)
+""",
+)
+def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard set-similarity self-join: explode on
+    shingle, count shared shingles per pair, integer threshold
+    compare. A τ-similar pair must share a shingle, so candidate
+    generation is lossless."""
+    sh = D.shingle_docs(_prefix_corpus(spark, sf_dir), ngram=_NGRAM)
+    return D.jaccard_pairs(sh, threshold_pct=_JACCARD_PCT).select(
+        "doc_a",
+        "doc_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("union_size").cast("long").alias("union_size"),
+    )
+
+
+# ---------------------------------------------------------------- q22
+
+def _minhash_oracle() -> str:
+    perms = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(D._minhash_coeffs(D.MINHASH_PERMS))
+    )
+    rows = D.MINHASH_PERMS // D.MINHASH_BANDS
+    return f"""
+WITH {_PREFIX_SQL}, {_SHINGLE_SQL},
+vocab AS (
+  SELECT shingle, row_number() OVER (ORDER BY shingle) AS r
+  FROM (SELECT DISTINCT shingle FROM ex)
+),
+rank_ex AS (
+  SELECT e.doc_id, v.r FROM ex e JOIN vocab v USING (shingle)
+),
+perms(i, a, b) AS (VALUES {perms}),
+sig AS (
+  SELECT doc_id, p.i, min((p.a * r + p.b) % {_P}) AS mh
+  FROM rank_ex CROSS JOIN perms p
+  GROUP BY doc_id, p.i
+),
+banded AS (
+  SELECT doc_id, i // {rows} AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS common,
+         sa.set_size + sb.set_size
+           - len(list_intersect(sa.shingles, sb.shingles)) AS u
+  FROM cand c
+  JOIN sized sa ON sa.doc_id = c.doc_a
+  JOIN sized sb ON sb.doc_id = c.doc_b
+),
+dropped AS (
+  SELECT DISTINCT doc_b FROM ver
+  WHERE u > 0 AND common * 100 >= {_JACCARD_PCT} * u
+)
+SELECT c.doc_id FROM corpus c
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_b = c.doc_id)
+"""
+
+
+@query("q22_minhash_lsh_dedup", oracle=_minhash_oracle())
+def q22_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH dedup survivors: 16-perm signature over
+    rank-encoded shingles, 4x4 banding, candidates verified with
+    exact Jaccard, min-id survivor rule. The signature is O(1) per
+    doc; the band self-join replaces the shingle explode at scale."""
+    sh = D.shingle_docs(_prefix_corpus(spark, sf_dir), ngram=_NGRAM)
+    signed = D.minhash_signatures(sh, hash_mode="rank")
+    pairs = D.minhash_lsh_pairs(signed, threshold_pct=_JACCARD_PCT)
+    corpus = _prefix_corpus(spark, sf_dir).select("doc_id")
+    return D.keep_min_id(corpus, pairs)
+
+
+# ---------------------------------------------------------------- q23
+
+def _simhash_oracle() -> str:
+    a, b = 1_103_515_245, 12_345
+    bits = D.SIMHASH_BITS
+    bands = D.SIMHASH_BANDS
+    width = bits // bands
+    mask = (1 << width) - 1
+    votes = ", ".join(
+        f"CAST(sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" AS BIGINT) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    return rf"""
+WITH {_COPY_SQL},
+toks AS (
+  SELECT doc_id,
+         list_distinct(
+           list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                       t -> t <> '')) AS toks
+  FROM corpus
+),
+tok_ex AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY token) AS r
+  FROM (SELECT DISTINCT token FROM tok_ex)
+),
+hashed AS (
+  SELECT t.doc_id, ({a} * v.r + {b}) % {_P} AS h
+  FROM tok_ex t JOIN vocab v USING (token)
+),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+fps AS (SELECT doc_id, {fp} AS fingerprint FROM votes),
+banded2 AS (
+  SELECT doc_id, fingerprint, i AS band,
+         (fingerprint >> (i * {width})) & {mask} AS key
+  FROM fps, unnest(range(0, {bands})) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.fingerprint AS fp_a, b.fingerprint AS fp_b
+  FROM banded2 a
+  JOIN banded2 b ON a.band = b.band AND a.key = b.key
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= {bands - 1}
+"""
+
+
+@query("q23_simhash_pairs", oracle=_simhash_oracle())
+def q23_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit fingerprint from token-rank
+    votes, pigeonhole 4x8-bit banding (lossless for hamming <= 3)."""
+    fps = D.simhash_fingerprints(_copy_corpus(spark, sf_dir))
+    return D.simhash_pairs(fps).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------- q27
+
+def _stop_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{s}'" for s in X.STOPWORDS[lang]) + "]"
+
+
+@query(
+    "q27_text_quality",
+    oracle=rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN len(toks) > 0 THEN floor(
+         list_sum(list_transform(toks, t -> length(t))) * 1000000.0
+           / len(toks)) ELSE 0 END AS BIGINT) AS mean_token_len_ppm,
+       CAST(CASE WHEN length(text) > 0 THEN floor(
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1000000.0
+           / length(text)) ELSE 0 END AS BIGINT) AS punct_ratio_ppm,
+       CAST(CASE WHEN len(toks) > 0 THEN floor(
+         len(list_filter(toks, t -> list_contains({_stop_list('en')}, t)))
+           * 1000000.0 / len(toks)) ELSE 0 END AS BIGINT)
+         AS stopword_ratio_ppm
+FROM toks
+""",
+)
+def q27_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality stats (token count, mean token length, punct /
+    stopword ratios) as ppm integers — pure JVM expressions."""
+    return X.text_quality(_documents(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- q28
+
+@query(
+    "q28_language_id",
+    oracle=rf"""
+WITH corpus AS (SELECT doc_id, text, lang FROM documents),
+toks AS (
+  SELECT doc_id, text, lang,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+hits AS (
+  SELECT doc_id, text, lang,
+         len(list_filter(toks, t -> list_contains({_stop_list('en')}, t))) AS hen,
+         len(list_filter(toks, t -> list_contains({_stop_list('de')}, t))) AS hde,
+         len(list_filter(toks, t -> list_contains({_stop_list('es')}, t))) AS hes,
+         len(list_filter(toks, t -> list_contains({_stop_list('fr')}, t))) AS hfr
+  FROM toks
+)
+SELECT doc_id, lang,
+       CASE WHEN regexp_matches(text, '{X.CJK_RE}') THEN 'zh'
+            WHEN greatest(hen, hde, hes, hfr) = 0 THEN 'und'
+            WHEN hen >= hde AND hen >= hes AND hen >= hfr THEN 'en'
+            WHEN hde >= hes AND hde >= hfr THEN 'de'
+            WHEN hes >= hfr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM hits
+""",
+)
+def q28_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID with CJK override and deterministic
+    tie-break (list order). Returns the truth column too, so the
+    result doubles as an accuracy table."""
+    docs = _documents(spark, sf_dir)
+    pred = X.language_id(docs)
+    return docs.select("doc_id", "lang").join(pred, "doc_id").select(
+        "doc_id", "lang", "lang_pred"
+    )
+
+
+# ---------------------------------------------------------------- q29
+
+def _fingerprint_oracle() -> str:
+    a, b = 1_103_515_245, 12_345
+    base = 1_000_003
+    # explicit 4-term polynomial, acc_i+1 = (acc_i * B + r) mod P
+    poly = (
+        f"((((CAST(rk[i] AS BIGINT) * {base} + rk[i+1]) % {_P}) * {base}"
+        f" + rk[i+2]) % {_P} * {base} + rk[i+3]) % {_P}"
+    )
+    return rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+pos_ex AS (
+  SELECT doc_id, i AS pos, toks[i] AS token
+  FROM toks, unnest(range(1, len(toks) + 1)) AS t(i)
+),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY token) AS r
+  FROM (SELECT DISTINCT token FROM pos_ex)
+),
+ranked AS (
+  SELECT p.doc_id, p.pos, v.r FROM pos_ex p JOIN vocab v USING (token)
+),
+gathered AS (
+  SELECT doc_id, array_agg(r ORDER BY pos) AS rk FROM ranked GROUP BY doc_id
+),
+hashes AS (
+  SELECT doc_id,
+         CASE WHEN len(rk) >= 4 THEN
+           list_transform(range(1, len(rk) - 2),
+             i -> (({poly}) * {a} + {b}) % {_P})
+         ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM gathered
+)
+SELECT doc_id,
+       CAST(coalesce(list_min(hs), -1) AS BIGINT) AS fp_min,
+       CAST(coalesce(list_max(hs), -1) AS BIGINT) AS fp_max,
+       CAST(CASE WHEN len(hs) > 0
+            THEN list_sum(hs) % {_P} ELSE -1 END AS BIGINT) AS fp_sum,
+       CAST(len(list_distinct(hs)) AS BIGINT) AS fp_distinct
+FROM hashes
+"""
+
+
+@query("q29_doc_fingerprint", oracle=_fingerprint_oracle())
+def q29_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (4-gram polynomial) document sketch: (min, max,
+    sum mod P, distinct count) over the hash sequence."""
+    docs = _documents(spark, sf_dir)
+    vocab = X.vocab_ranks(
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+    )
+    return X.fingerprint_sketch(docs, vocab)
+
+
+# ---------------------------------------------------------------- q24-q26
+
+_DIM = 64
+# synthetic embeddings top out near cos ~0.5; tau=0.35 yields a real
+# (non-empty) near-dup set to check
+_COS_PCT = 35
+_LSH_PLANES = 8
+
+# quantized-embedding CTE: integer milliunits, exact int64 norms
+_QUANT_SQL = """
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
+  FROM qv
+  WHERE list_sum(list_transform(q, v -> v * v)) > 0
+)
+"""
+
+_DOT_SQL = (
+    f"CAST(list_sum(list_transform(range(1, {_DIM + 1}),"
+    " i -> a.q[i] * b.q[i])) AS BIGINT)"
+)
+
+
+def _cos_scaled_sql(dot: str, na: str, nb: str) -> str:
+    return (
+        f"CAST(floor(1000000 * CAST({dot} AS DOUBLE) / "
+        f"sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))) AS BIGINT)"
+    )
+
+
+def _embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize(emb).filter(F.col("norm2") > 0)
+
+
+@query(
+    "q24_embedding_neardup_pairs",
+    oracle=f"""
+WITH {_QUANT_SQL},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_DOT_SQL} AS dot, a.norm2 AS n_a, b.norm2 AS n_b
+  FROM quant a JOIN quant b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       {_cos_scaled_sql('dot', 'n_a', 'n_b')} AS cos_scaled
+FROM pairs
+WHERE dot > 0
+  AND dot * dot * 10000 >= {_COS_PCT * _COS_PCT} * n_a * n_b
+""",
+)
+def q24_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at tau=0.35: quantized-integer
+    dot products so the similarity decision is exact integer
+    arithmetic in every engine."""
+    from ..operators.similarity import cosine_pairs
+
+    return cosine_pairs(_embeddings_q(spark, sf_dir), threshold_pct=_COS_PCT)
+
+
+@query(
+    "q25_ann_topk_bruteforce",
+    oracle=f"""
+WITH {_QUANT_SQL},
+queries AS (SELECT * FROM quant WHERE vec_id < 10),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         {_cos_scaled_sql(_DOT_SQL, 'a.norm2', 'b.norm2')} AS cos_scaled
+  FROM queries a JOIN quant b ON b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_scaled,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cos_scaled DESC, cand_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, rank, cos_scaled FROM ranked WHERE rank <= 10
+""",
+)
+def q25_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id<10: broadcast the
+    queries, scan the corpus once, per-query row_number window with
+    deterministic (score, id) tie-break."""
+    from ..operators.similarity import topk_bruteforce
+
+    q = _embeddings_q(spark, sf_dir)
+    out = topk_bruteforce(q, q.filter(F.col("vec_id") < 10), k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _lsh_oracle() -> str:
+    # deterministic hyperplane weight for (plane p, dim d):
+    # ((p*64 + d) * 2654435761) % 2^31 - 2^30
+    return f"""
+WITH {_QUANT_SQL},
+bits AS (
+  SELECT vec_id, q, norm2, p.i AS plane,
+         CASE WHEN CAST(list_sum(list_transform(range(0, {_DIM}),
+           d -> q[d + 1] * (((p.i * {_DIM} + d) * 2654435761)
+                            % 2147483648 - 1073741824)))
+           AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM quant, unnest(range(0, {_LSH_PLANES})) AS p(i)
+),
+bucketed AS (
+  SELECT vec_id, any_value(q) AS q, any_value(norm2) AS norm2,
+         CAST(sum(bit * (1 << plane)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+),
+queries AS (SELECT * FROM bucketed WHERE vec_id < 10),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         {_cos_scaled_sql(_DOT_SQL, 'a.norm2', 'b.norm2')} AS cos_scaled
+  FROM queries a
+  JOIN bucketed b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_scaled,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cos_scaled DESC, cand_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, rank, cos_scaled FROM ranked WHERE rank <= 10
+"""
+
+
+@query("q26_ann_topk_lsh", oracle=_lsh_oracle())
+def q26_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via 8-bit hyperplane-LSH bucketing:
+    candidates restricted to the query's bucket (the scale path — at
+    fleet size the bucket is the partition key). Hyperplanes are
+    deterministic integer arithmetic, so even this approximate
+    operator is oracle-checkable."""
+    from ..operators.similarity import topk_lsh
+
+    q = _embeddings_q(spark, sf_dir)
+    out = topk_lsh(
+        q, q.filter(F.col("vec_id") < 10), k=10,
+        planes=_LSH_PLANES, dim=_DIM,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------- q30
+
+@query(
+    "q30_multimodal_features",
+    oracle="""
+WITH media AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+           AS media_type
+  FROM documents
+)
+SELECT doc_id, media_type, n_bytes,
+       CAST(list_sum(list_transform(range(1, length(hx) // 2 + 1),
+         i -> strpos('123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+            + strpos('123456789ABCDEF', substr(hx, 2*i, 1))))
+         AS BIGINT) AS byte_sum,
+       CAST(8 AS BIGINT) AS feat_dim
+FROM media
+""",
+)
+def q30_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads + Arrow-batched
+    mapInPandas feature extraction (decode stubbed with a
+    deterministic byte-bucket fake — the Spark-side schema,
+    batching and partition-preserving execution are real)."""
+    from ..operators.multimodal import attach_payload, extract_features
+
+    media = attach_payload(_documents(spark, sf_dir))
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "byte_sum",
+        F.size("feature").cast("long").alias("feat_dim"),
+    )
