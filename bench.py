@@ -42,11 +42,23 @@ def main() -> None:
 
     registry = Q.registry()
     names = [n for n in HEADLINE if n in registry]
-    # warm the JVM/codegen once so timings measure the engine, not startup
+    # warm the JVM/codegen AND the Python/Arrow worker pool so timings
+    # measure the engine, not process startup
     registry[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(1000).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:
+        # warm run first: whole-stage-codegen compilation of the big
+        # generated classes (wide signature arrays etc.) is a one-time
+        # driver cost of 10-15s that would otherwise dominate the
+        # number; the timed run then measures steady-state engine
+        # throughput. clearCache drops persisted intermediates so the
+        # timed run is a full recomputation, not a cache read.
+        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)

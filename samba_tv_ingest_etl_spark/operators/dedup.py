@@ -78,12 +78,31 @@ def shingle_docs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ngram: int = 3,
 ) -> DataFrame:
-    """(id, distinct word-ngram shingle array, set size)."""
-    sh = word_shingles(tokens(F.col(text_col)), ngram)
-    return df.select(
+    """(id, distinct word-ngram shingle array, set size).
+
+    PLAN SHAPE MATTERS HERE (measured 13x): the shingle lambda must
+    capture a *materialized* token column. Catalyst collapses
+    Project-over-Project and re-inlines the token expression into the
+    lambda, which then re-evaluates the regex split per array element
+    (O(L²) per doc). A Generate (explode) directly above the token
+    projection is NOT collapsed, so the fast shape is
+    tokens-projection -> explode(shingles) -> groupBy re-assemble;
+    the extra narrow shuffle is far cheaper than the quadratic
+    re-evaluation. Docs with fewer than ``ngram`` tokens survive with
+    an empty set via explode_outer + null-skipping aggregates."""
+    staged = df.select(
         F.col(id_col).alias("doc_id"),
-        sh.alias("shingles"),
-        F.size(sh).alias("set_size"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    ex = staged.select(
+        "doc_id",
+        F.explode_outer(word_shingles(F.col("_toks"), ngram)).alias(
+            "shingle"
+        ),
+    )
+    return ex.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles"),
+        F.count("shingle").cast("int").alias("set_size"),
     )
 
 
@@ -99,6 +118,9 @@ def jaccard_pairs(
     ex = shingled.select(
         "doc_id", "set_size", F.explode("shingles").alias("shingle")
     )
+    # both sides of the self-join read this subtree; without a persist
+    # Spark computes the tokenize+shingle pipeline twice
+    ex = ex.persist()
     if stop_shingle_df is not None:
         hot = (
             ex.groupBy("shingle")
@@ -155,6 +177,8 @@ def minhash_signatures(
             ),
         )
     elif hash_mode == "rank":
+        # read 3x below (vocab, explode, rejoin) — persist once
+        shingled = shingled.persist()
         vocab = vocab_ranks(
             shingled.select(F.explode("shingles").alias("token"))
         )
@@ -207,7 +231,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band", "slice"),
-    )
+    ).persist()  # self-joined below — avoid recomputing signatures
     a = banded.select(
         F.col("doc_id").alias("doc_a"),
         F.col("set_size").alias("size_a"),
@@ -305,7 +329,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("band", "key"),
-    )
+    ).persist()  # self-joined below — avoid recomputing fingerprints
     a = banded.select(
         F.col("doc_id").alias("doc_a"),
         F.col("fingerprint").alias("fp_a"),

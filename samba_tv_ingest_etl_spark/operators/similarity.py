@@ -105,6 +105,94 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_blocked(
+    quantized: DataFrame,
+    threshold_pct: int = 80,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Same result as ``cosine_pairs`` but computed as a blocked
+    integer matrix product: vectors are packed into ``n_blocks``
+    groups, the n_blocks·(n_blocks+1)/2 block pairs fan out as
+    independent tasks, and each task runs one int64 numpy matmul
+    (BLAS-grade throughput instead of a per-pair expression
+    interpreter — the one place Python wins, because it is
+    Arrow-batched and vectorized, never per-row).
+
+    At fleet scale ``n_blocks`` grows with the corpus so a block
+    stays ~10⁴ vectors; the all-pairs cost is inherent to the exact
+    operator — ``topk_lsh`` is the sub-quadratic path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pct2 = threshold_pct * threshold_pct
+    packed = (
+        quantized.select(
+            "vec_id",
+            "q",
+            "norm2",
+            F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias(
+                "block"
+            ),
+        )
+        .groupBy("block")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("q").alias("qs"),
+            F.collect_list("norm2").alias("ns"),
+        )
+    )
+    a = packed.select(
+        F.col("block").alias("block_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("qs").alias("qs_a"),
+        F.col("ns").alias("ns_a"),
+    )
+    b = packed.select(
+        F.col("block").alias("block_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("qs").alias("qs_b"),
+        F.col("ns").alias("ns_b"),
+    )
+    tasks = a.join(b, F.col("block_a") <= F.col("block_b")).repartition(
+        n_blocks * (n_blocks + 1) // 2
+    )
+
+    out_schema = "id_a long, id_b long, cos_scaled long"
+
+    def run(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ia = np.asarray(row.ids_a, dtype=np.int64)
+                ib = np.asarray(row.ids_b, dtype=np.int64)
+                qa = np.array([np.asarray(v) for v in row.qs_a], dtype=np.int64)
+                qb = np.array([np.asarray(v) for v in row.qs_b], dtype=np.int64)
+                na = np.asarray(row.ns_a, dtype=np.int64)
+                nb = np.asarray(row.ns_b, dtype=np.int64)
+                dot = qa @ qb.T  # exact int64
+                # overflow guards for the integer threshold compare
+                assert abs(dot).max(initial=0) < 960_000_000
+                assert int(na.max(initial=0)) * int(nb.max(initial=0)) * pct2 < 2**62
+                nn = na[:, None] * nb[None, :]
+                mask = (dot > 0) & (dot * dot * 10_000 >= pct2 * nn)
+                if row.block_a == row.block_b:
+                    mask &= ia[:, None] < ib[None, :]
+                i, j = np.nonzero(mask)
+                if not len(i):
+                    continue
+                cos = np.floor(
+                    1_000_000.0 * dot[i, j].astype(np.float64)
+                    / np.sqrt(nn[i, j].astype(np.float64))
+                ).astype(np.int64)
+                lo = np.minimum(ia[i], ib[j])
+                hi = np.maximum(ia[i], ib[j])
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "cos_scaled": cos}
+                )
+
+    return tasks.mapInPandas(run, schema=out_schema)
+
+
 def topk_bruteforce(
     corpus_q: DataFrame, queries_q: DataFrame, k: int = 10
 ) -> DataFrame:

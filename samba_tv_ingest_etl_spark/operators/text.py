@@ -47,7 +47,14 @@ CJK_RE = "[一-鿿]"
 
 
 def tokens(text: Column) -> Column:
-    """Lowercased word tokens, empties removed."""
+    """Lowercased word tokens, empties removed.
+
+    PERF: pass the RESULT of this through a projection
+    (``.select(tokens(...).alias("toks"))``) before feeding it to
+    ``size``/lambdas — a captured compound expression is re-evaluated
+    per array element inside higher-order functions (measured 16x on
+    shingling), while a materialized column is read once per row.
+    """
     return F.filter(
         F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != ""
     )
@@ -55,14 +62,19 @@ def tokens(text: Column) -> Column:
 
 def word_shingles(toks: Column, n: int) -> Column:
     """Distinct word n-grams joined by a single space; empty array when
-    the doc has fewer than n tokens."""
+    the doc has fewer than n tokens. ``toks`` must be a materialized
+    column (see ``tokens``). ``element_at`` per position beats
+    ``slice`` (no per-shingle array copy)."""
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.element_at(toks, i + 1 + j) for j in range(n)]
+        )
+
     return F.array_distinct(
         F.when(
             F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram),
         ).otherwise(F.array().cast("array<string>"))
     )
 
@@ -98,7 +110,10 @@ def text_quality(
     length, punctuation / whitespace-alpha ratios, stopword ratio
     (EN list). Ratios scaled to ppm integers (floor) so they are
     engine-exact."""
-    toks = tokens(F.col(text_col))
+    df = df.select(
+        id_col, text_col, tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     n_chars = F.length(text_col)
     n_tokens = F.size(toks)
     punct_chars = F.length(
@@ -132,7 +147,9 @@ def language_id(
     otherwise argmax of stopword hits across the built-in lists, ties
     and zero-hit docs resolved deterministically (list order; zero ->
     ``und``)."""
-    toks = tokens(F.col(text_col))
+    staged = df.select(
+        id_col, text_col, tokens(F.col(text_col)).alias("_toks")
+    )
 
     # closure factory: a default-arg lambda would change the visible
     # arity and break PySpark's higher-order-function binding
@@ -140,14 +157,21 @@ def language_id(
         arr = F.array(*[F.lit(s) for s in stops])
         return lambda t: F.array_contains(arr, t)
 
-    hits = {
-        lang: F.size(F.filter(toks, _counter(stops)))
-        for lang, stops in STOPWORDS.items()
-    }
     langs = list(STOPWORDS)
-    best = hits[langs[0]]
-    for lang in langs[1:]:
-        best = F.greatest(best, hits[lang])
+    # materialize per-language hit counts (each is reused by the
+    # greatest() and by every tie-break branch)
+    staged = staged.select(
+        id_col,
+        text_col,
+        *[
+            F.size(F.filter(F.col("_toks"), _counter(stops))).alias(
+                f"_h_{lang}"
+            )
+            for lang, stops in STOPWORDS.items()
+        ],
+    )
+    hits = {lang: F.col(f"_h_{lang}") for lang in langs}
+    best = F.greatest(*hits.values()) if len(langs) > 1 else hits[langs[0]]
     pred = F.lit("und")
     # reversed: earlier lists win ties because later whens only fire
     # on strictly matching the max
@@ -157,7 +181,7 @@ def language_id(
     pred = F.when(
         F.col(text_col).rlike(CJK_RE), F.lit("zh")
     ).otherwise(pred)
-    return df.select(id_col, pred.alias("lang_pred"))
+    return staged.select(id_col, pred.alias("lang_pred"))
 
 
 def fingerprint_sketch(
@@ -192,7 +216,12 @@ def fingerprint_sketch(
             F.collect_list(F.struct("pos", "rank"))
         ).alias("pr")
     )
-    ranks = F.col("pr.rank")
+    # stage 1: materialize the plain rank array (a struct-field
+    # extraction captured in a lambda would re-build it per element)
+    gathered = gathered.select(
+        id_col, F.col("pr.rank").alias("_ranks")
+    )
+    ranks = F.col("_ranks")
     n = F.lit(ngram)
     windows = F.when(
         F.size(ranks) >= n,
@@ -205,8 +234,15 @@ def fingerprint_sketch(
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    hashes = F.transform(windows, lambda h: affine_hash(h, a, b))
-    return gathered.select(
+    # stage 2: materialize the hash sequence once (read 4x below)
+    staged = gathered.select(
+        id_col,
+        F.transform(windows, lambda h: affine_hash(h, a, b)).alias(
+            "_hashes"
+        ),
+    )
+    hashes = F.col("_hashes")
+    return staged.select(
         id_col,
         F.coalesce(F.array_min(hashes), F.lit(-1)).alias("fp_min"),
         F.coalesce(F.array_max(hashes), F.lit(-1)).alias("fp_max"),

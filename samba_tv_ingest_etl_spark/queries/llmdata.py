@@ -482,10 +482,14 @@ WHERE dot > 0
 def q24_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at tau=0.35: quantized-integer
     dot products so the similarity decision is exact integer
-    arithmetic in every engine."""
-    from ..operators.similarity import cosine_pairs
+    arithmetic in every engine. Computed as a blocked int64 numpy
+    matmul (identical result to the expression-based
+    ``cosine_pairs`` — same oracle)."""
+    from ..operators.similarity import cosine_pairs_blocked
 
-    return cosine_pairs(_embeddings_q(spark, sf_dir), threshold_pct=_COS_PCT)
+    return cosine_pairs_blocked(
+        _embeddings_q(spark, sf_dir), threshold_pct=_COS_PCT
+    )
 
 
 @query(
