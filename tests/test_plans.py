@@ -1,0 +1,143 @@
+"""Physical-plan assertions — the scale contract, pinned as tests.
+
+Each test inspects ``explain`` output for the properties that keep an
+operator viable at 100 TB: filters/column pruning reaching the parquet
+scan, broadcast joins on small sides, a single exchange feeding
+sessionization's windows + aggregation, and no Python evaluation nodes
+in JVM-path operators."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from samba_tv_ingest_etl_spark import queries as Q
+
+from .conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def registry(spark):
+    return Q.registry()
+
+
+def test_q01_filter_and_columns_pushed_to_scan(spark, registry):
+    df = registry["q01_scan_cast_project"](spark, SF_DIR)
+    plan = formatted(df)
+    # predicate pushdown into the parquet scan
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+    # column pruning: the 16-column lineitem scan reads only the 6
+    # referenced columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(read_cols) == {
+        "l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_shipdate",
+    }
+
+
+def test_sessionize_single_exchange(spark, registry):
+    """Both window functions and the final aggregation must reuse ONE
+    shuffle on the session keys (EnsureRequirements reuse — BASELINE
+    intent 'single shuffle for sessionize+aggregate')."""
+    df = registry["q14_sessions"](spark, SF_DIR)
+    plan = plan_of(df)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan}"
+
+
+def test_q14_no_python_in_plan(spark, registry):
+    """Sessionization is pure JVM — no Python/pandas evaluation."""
+    plan = plan_of(registry["q14_sessions"](spark, SF_DIR))
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_panel_attribution_no_join_no_shuffle(spark, registry):
+    """The array-strategy panel attribution is map-side only: no join,
+    no exchange introduced by the attribution itself."""
+    from samba_tv_ingest_etl_spark.operators.panels import (
+        attribute_panels,
+        panel_windows,
+    )
+    from samba_tv_ingest_etl_spark.queries.core import _event_dates
+
+    dates = _event_dates(spark, SF_DIR)
+    pw = panel_windows(dates)
+    out = attribute_panels(dates, pw)  # array strategy
+    plan = plan_of(out)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_merge_antijoin_broadcasts_small_target_keys(spark, registry):
+    """q16's anti-join: the distinct key side is broadcastable; assert
+    the join is not a cartesian/nested-loop disaster."""
+    plan = plan_of(registry["q16_insert_only_merge"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_affected_key_semijoin_broadcast(spark, registry):
+    """q17: key selection uses broadcast semi/anti joins (the keys
+    side is the small incremental slice)."""
+    plan = plan_of(registry["q17_affected_key_recompute"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_topk_bruteforce_broadcasts_queries(spark, registry):
+    """q25: the query side must broadcast — the corpus is never
+    shuffled for scoring, only for the per-query top-k window."""
+    plan = plan_of(registry["q25_ann_topk_bruteforce"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_weighted_events_is_plain_equijoin(spark):
+    """The geo-weight join (J1) stays an equi-join (hashable keys) —
+    no nested loop from the null-filter rewrite."""
+    from samba_tv_ingest_etl_spark.operators.weighting import weighted_events
+    from tests import samba_fixtures as fx
+
+    ev = fx.acr(spark).withColumn("panel_monday", F.col("metadata_date"))
+    out = weighted_events(ev, fx.geo_weights(spark))
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_exact_dedup_partial_aggregation(spark, registry):
+    """q20: hash aggregate with a map-side partial pass (shuffle
+    carries pre-aggregated (hash, min_id, count), not raw rows)."""
+    plan = plan_of(registry["q20_exact_dedup"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_watermark_filter_prunes_partitions(spark, tmp_path):
+    """A metadata_date-derived partition filter on a yyyy/mm/dd
+    partitioned table prunes at the source (BASELINE intent: read only
+    new data per run)."""
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 3 + 2020).cast("int").alias("yyyy"),
+    )
+    path = str(tmp_path / "t")
+    df.write.partitionBy("yyyy").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("yyyy") == 2021)
+    plan = formatted(scan)
+    assert "PartitionFilters: [" in plan
+    assert "(yyyy" in plan.split("PartitionFilters:")[1][:200]
