@@ -89,16 +89,50 @@ def affine_hash(rank: Column, a: int, b: int) -> Column:
 def vocab_ranks(
     exploded: DataFrame, token_col: str = "token"
 ) -> DataFrame:
-    """Global token -> dense rank (1-based, sorted order). One global
-    sort of the distinct vocabulary; at 100 TB this is the classic
-    dictionary-encode step and the vocabulary is orders of magnitude
-    smaller than the corpus."""
+    """Global token -> dense rank (1-based, binary-UTF8 sorted order
+    — matching ANSI engines' default string collation). The classic
+    dictionary-encode step.
+
+    Implemented as range-partitioned sort + per-partition offsets
+    (two-phase rank): no single-partition global window, so a 10⁸+
+    token vocabulary ranks in parallel. The offsets pass reads only
+    partition COUNTS (a few hundred longs to the driver)."""
+    spark = exploded.sparkSession
+    distinct = exploded.select(token_col).distinct()
+    srt = distinct.repartitionByRange(F.col(token_col))
+    # local rank within each range partition (ranges are ordered by
+    # partition id, so global rank = local rank + offset)
+    part_rank = srt.select(
+        token_col,
+        F.spark_partition_id().alias("_pid"),
+        F.row_number()
+        .over(
+            Window.partitionBy(F.spark_partition_id()).orderBy(
+                F.col(token_col)
+            )
+        )
+        .alias("_local_rank"),
+    ).persist()
+    counts = sorted(
+        (r["_pid"], r["_n"])
+        for r in part_rank.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    if not offsets:
+        return part_rank.select(
+            token_col, F.col("_local_rank").cast("long").alias("rank")
+        )
+    off_df = spark.createDataFrame(offsets, ["_pid", "_off"])
     return (
-        exploded.select(token_col)
-        .distinct()
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.col(token_col))),
+        part_rank.join(F.broadcast(off_df), "_pid")
+        .select(
+            token_col,
+            (F.col("_local_rank") + F.col("_off")).alias("rank"),
         )
     )
 
