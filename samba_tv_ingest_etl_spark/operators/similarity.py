@@ -262,6 +262,149 @@ def lsh_buckets(
     return quantized.withColumn("bucket", bucket)
 
 
+def _dist_to(centroid: list[int]) -> Column:
+    """Exact int64 squared L2 to a literal centroid:
+    ||q - c||^2 = norm2 - 2<q,c> + ||c||^2."""
+    cn = sum(v * v for v in centroid)
+    lit_c = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return (
+        F.col("norm2")
+        - F.lit(2).cast("long") * _dot(F.col("q"), lit_c)
+        + F.lit(int(cn)).cast("long")
+    )
+
+
+def _centroid_structs(cents: dict[int, list[int]]) -> list[Column]:
+    """(dist, cluster_id) structs for every live centroid — struct
+    ordering (dist asc, then id asc) is the deterministic tie-break
+    shared with the oracle's ``ORDER BY dist, c``."""
+    return [
+        F.struct(
+            _dist_to(vec).alias("d"),
+            F.lit(int(c)).cast("long").alias("c"),
+        )
+        for c, vec in sorted(cents.items())
+    ]
+
+
+def _assign_expr(cents: dict[int, list[int]]) -> Column:
+    return F.array_min(F.array(*_centroid_structs(cents)))["c"]
+
+
+def kmeans_centroids(
+    quantized: DataFrame, k: int = 8, iters: int = 2, dim: int = 64
+) -> dict[int, list[int]]:
+    """Deterministic integer Lloyd's over quantized vectors: init =
+    the ``k`` lowest-``vec_id`` vectors (ids 0..k-1 in that order);
+    each step assigns by exact int64 squared-L2 (ties -> lowest
+    centroid id) and recomputes centroids as element-wise
+    ``floor(sum/count)``. Clusters that lose all members are dropped
+    (both engines agree). Every arithmetic op is exact or
+    correctly-rounded IEEE, so DuckDB reproduces the centroids
+    bit-for-bit from unrolled SQL.
+
+    The k*dim centroid table is driver-side tiny; at fleet scale the
+    training pass runs on a bounded sample (same determinism), while
+    assignment stays fully distributed."""
+    seed = (
+        quantized.orderBy("vec_id").limit(k).select("q").collect()
+    )
+    cents = {i: [int(v) for v in r["q"]] for i, r in enumerate(seed)}
+    for _ in range(iters):
+        assigned = quantized.withColumn("cluster", _assign_expr(cents))
+        rows = (
+            assigned.select(
+                "cluster", F.posexplode("q").alias("i", "v")
+            )
+            .groupBy("cluster", "i")
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double") / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias("av")
+            )
+            .collect()
+        )
+        cents = {}
+        for r in rows:
+            cents.setdefault(int(r["cluster"]), [0] * dim)[
+                int(r["i"])
+            ] = int(r["av"])
+    return cents
+
+
+def ivf_assign(
+    quantized: DataFrame, cents: dict[int, list[int]]
+) -> DataFrame:
+    """Add the coarse-quantizer ``cluster`` column. At 100 TB this is
+    the table's partition key: a probe touches nprobe partitions."""
+    return quantized.withColumn("cluster", _assign_expr(cents))
+
+
+def topk_ivf(
+    corpus_q: DataFrame,
+    queries_q: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: train a deterministic k-means coarse
+    quantizer, partition the corpus by nearest centroid, and probe
+    only the ``nprobe`` centroids nearest each query. Same output
+    shape as ``topk_bruteforce``; complements ``topk_lsh`` as the
+    trained (data-adaptive) scale path — buckets follow the data
+    distribution instead of fixed hyperplanes, so recall holds on
+    clustered corpora where sign-bit buckets fragment."""
+    from pyspark.sql import Window
+
+    cents = kmeans_centroids(
+        corpus_q, k=n_centroids, iters=iters, dim=dim
+    )
+    c = ivf_assign(corpus_q, cents).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("q_c"),
+        F.col("norm2").alias("n_c"),
+        "cluster",
+    )
+    probe = F.transform(
+        F.slice(
+            F.array_sort(F.array(*_centroid_structs(cents))),
+            1,
+            nprobe,
+        ),
+        lambda s: s["c"],
+    )
+    qs = F.broadcast(
+        queries_q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("q_q"),
+            F.col("norm2").alias("n_q"),
+            F.explode(probe).alias("cluster"),
+        )
+    )
+    dot = _dot(F.col("q_q"), F.col("q_c"))
+    scored = (
+        c.join(qs, "cluster")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("dot", dot)
+        .withColumn(
+            "cos_scaled",
+            _cos_scaled(F.col("dot"), F.col("n_q"), F.col("n_c")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_scaled").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos_scaled")
+    )
+
+
 def topk_lsh(
     corpus_q: DataFrame,
     queries_q: DataFrame,

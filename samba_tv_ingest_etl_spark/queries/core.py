@@ -752,3 +752,76 @@ def sessionized_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_sessions") / F.col("reach_hh"),
         )
     )
+
+
+@query(
+    "q31_streaming_sessionization",
+    oracle=_SESSION_IDS_SQL
+    + f"""
+SELECT user_id, event_type, session_id,
+       MIN(start_ts) AS session_start_ts,
+       MAX(end_ts)   AS session_end_ts,
+       CAST(SUM(duration_s) AS BIGINT) AS total_duration
+FROM ids
+GROUP BY user_id, event_type, session_id
+HAVING SUM(duration_s) >= {MIN_TOTAL_DURATION}
+""",
+)
+def q31_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch/stream parity: the applyInPandasWithState stateful
+    sessionizer over a file stream must reproduce the BATCH
+    sessionization (q14) bit-for-bit — same oracle. Per-key sentinel
+    events (far-future, zero duration) close every real session; the
+    sentinel's own open session stays in state and is never emitted
+    (below the duration floor anyway)."""
+    import os
+    import tempfile
+
+    from ..streaming.ingest import read_feed_stream
+    from ..streaming.sessionize import sessionize_stream_stateful
+
+    ev = viewing_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="q31_")
+    stage = os.path.join(tmp, "stage")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    # one file for the real events (keeps per-key arrival in-order
+    # even if the file source splits batches), sentinels appended as
+    # a second (later) file
+    ev.coalesce(1).write.parquet(stage)
+    far = (
+        ev.agg(F.max("end_ts")).collect()[0][0] or 0
+    ) + GAP_SECONDS + 1_000_000
+    ev.select("user_id", "event_type").distinct().select(
+        F.lit(-1).cast("long").alias("event_id"),
+        "user_id",
+        "event_type",
+        F.lit(far).cast("long").alias("start_ts"),
+        F.lit(far).cast("long").alias("end_ts"),
+        F.lit(0).cast("long").alias("duration_s"),
+    ).coalesce(1).write.mode("append").parquet(stage)
+
+    stream = read_feed_stream(spark, stage, ev.schema)
+    sessions = sessionize_stream_stateful(
+        stream,
+        key_cols=SESSION_KEYS,
+        start_col="start_ts",
+        end_col="end_ts",
+        duration_col="duration_s",
+        gap_seconds=GAP_SECONDS,
+        min_total_duration=MIN_TOTAL_DURATION,
+        tiebreak_cols=["event_id"],
+    )
+    (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    ).awaitTermination()
+    return spark.read.parquet(out).select(
+        "user_id", "event_type", "session_id",
+        "session_start_ts", "session_end_ts", "total_duration",
+    )

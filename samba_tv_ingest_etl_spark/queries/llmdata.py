@@ -576,6 +576,108 @@ def q26_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+_IVF_K = 8
+_IVF_ITERS = 2
+_IVF_NPROBE = 2
+
+
+def _ivf_dist_sql(qa: str, qc: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, {_DIM + 1}),"
+        f" i -> ({qa}[i] - {qc}[i]) * ({qa}[i] - {qc}[i])))"
+        " AS BIGINT)"
+    )
+
+
+def _ivf_oracle() -> str:
+    """Unrolled deterministic k-means (init = k lowest vec_ids, 2
+    Lloyd steps, floor-average centroids) + nprobe=2 probing — the
+    whole trained index is reproduced in SQL, so even the
+    *approximate* trained ANN operator gets a full value-hash
+    check."""
+    parts = [
+        _QUANT_SQL,
+        f"""
+cents0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+         q AS cq
+  FROM (SELECT vec_id, q FROM quant ORDER BY vec_id LIMIT {_IVF_K})
+)""",
+    ]
+    for it in range(_IVF_ITERS + 1):
+        parts.append(f"""
+a{it} AS (
+  SELECT vec_id, q, norm2, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+  FROM (SELECT a.vec_id, a.q, a.norm2, s.c,
+               {_ivf_dist_sql('a.q', 's.cq')} AS dist
+        FROM quant a, cents{it} s)
+),
+m{it} AS (SELECT vec_id, q, norm2, c FROM a{it} WHERE rn = 1)""")
+        if it < _IVF_ITERS:
+            parts.append(f"""
+cents{it + 1} AS (
+  SELECT c, list(av ORDER BY i) AS cq
+  FROM (SELECT c, t.i,
+               CAST(floor(CAST(SUM(q[t.i]) AS DOUBLE) / COUNT(*))
+                 AS BIGINT) AS av
+        FROM m{it}, unnest(range(1, {_DIM + 1})) AS t(i)
+        GROUP BY c, t.i)
+  GROUP BY c
+)""")
+    last = _IVF_ITERS
+    parts.append(f"""
+queries AS (SELECT * FROM quant WHERE vec_id < 10),
+qp AS (
+  SELECT query_id, c FROM (
+    SELECT query_id, c,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY dist, c) AS rn
+    FROM (SELECT a.vec_id AS query_id, s.c,
+                 {_ivf_dist_sql('a.q', 's.cq')} AS dist
+          FROM queries a, cents{last} s))
+  WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, b.vec_id AS cand_id,
+         {_cos_scaled_sql(_DOT_SQL, 'a.norm2', 'b.norm2')} AS cos_scaled
+  FROM qp p
+  JOIN m{last} b ON b.c = p.c AND b.vec_id <> p.query_id
+  JOIN queries a ON a.vec_id = p.query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_scaled,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cos_scaled DESC, cand_id) AS BIGINT) AS rank
+  FROM scored
+)""")
+    return (
+        "WITH "
+        + ",".join(p.strip().rstrip(",") for p in parts)
+        + f"\nSELECT query_id, cand_id, rank, cos_scaled "
+        f"FROM ranked WHERE rank <= 10"
+    )
+
+
+@query("q32_ann_topk_ivf", oracle=_ivf_oracle())
+def q32_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-index ANN: IVF coarse quantizer from a deterministic
+    integer k-means (k=8, 2 Lloyd steps), nprobe=2. The data-adaptive
+    counterpart to q26's fixed hyperplanes — at fleet scale the
+    cluster id is the corpus partition key and a query touches nprobe
+    partitions instead of the whole corpus."""
+    from ..operators.similarity import topk_ivf
+
+    q = _embeddings_q(spark, sf_dir)
+    out = topk_ivf(
+        q, q.filter(F.col("vec_id") < 10),
+        k=10, n_centroids=_IVF_K, iters=_IVF_ITERS,
+        nprobe=_IVF_NPROBE, dim=_DIM,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ---------------------------------------------------------------- q30
 
 @query(

@@ -103,11 +103,14 @@ def sessionize_stream_stateful(
     duration_col: str = "duration",
     gap_seconds: int = DEFAULT_GAP_SECONDS,
     min_total_duration: int = DEFAULT_MIN_TOTAL_DURATION,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Reference-exact gap-from-previous-END sessionization as a
     custom stateful operator. Emits a session once it is provably
     closed (a following event broke the gap) and it meets the
-    duration floor."""
+    duration floor. ``tiebreak_cols`` pins the processing order of
+    same-start events to match the batch operator's window
+    ordering."""
     key_fields = [
         f for f in events.schema.fields if f.name in set(key_cols)
     ]
@@ -124,8 +127,9 @@ def sessionize_stream_stateful(
             sid, s_start, s_end, s_dur = 0, None, None, 0
 
         closed: list[tuple] = []
+        sort_keys = [start_col] + list(tiebreak_cols or [])
         for pdf in pdfs:
-            pdf = pdf.sort_values([start_col])
+            pdf = pdf.sort_values(sort_keys)
             for row in pdf.itertuples(index=False):
                 start = int(getattr(row, start_col))
                 end = int(getattr(row, end_col))

@@ -89,6 +89,42 @@ def test_lsh_topk_is_bucket_restricted_bruteforce(spark):
     q.unpersist()
 
 
+def test_ivf_topk_recall_and_exactness(spark):
+    """IVF candidates score identically to brute force, the trained
+    index is deterministic across runs, and nprobe=k (probe all
+    centroids) degenerates to exact brute-force top-k."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = S.quantize(emb).filter(F.col("norm2") > 0).cache()
+    queries = q.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["cand_id"]): r["cos_scaled"]
+        for r in S.topk_bruteforce(q, queries, k=10).collect()
+    }
+    ivf = S.topk_ivf(q, queries, k=10, n_centroids=4, nprobe=2).collect()
+    assert ivf, "IVF returned nothing — clusters degenerate"
+    for r in ivf:
+        key = (r["query_id"], r["cand_id"])
+        if key in brute:
+            assert brute[key] == r["cos_scaled"]
+    # training determinism: identical centroids on a re-run
+    c1 = S.kmeans_centroids(q, k=4, iters=2)
+    c2 = S.kmeans_centroids(q, k=4, iters=2)
+    assert c1 == c2
+    # probing every centroid recovers the exact answer
+    full = {
+        (r["query_id"], r["cand_id"]): (r["rank"], r["cos_scaled"])
+        for r in S.topk_ivf(
+            q, queries, k=10, n_centroids=4, nprobe=4
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["cand_id"]): (r["rank"], r["cos_scaled"])
+        for r in S.topk_bruteforce(q, queries, k=10).collect()
+    }
+    assert full == exact
+    q.unpersist()
+
+
 def test_quantized_cosine_symmetry(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = S.quantize(emb)
