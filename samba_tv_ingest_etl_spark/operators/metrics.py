@@ -40,6 +40,69 @@ def audience_metrics(viewing_sessions: DataFrame) -> DataFrame:
     )
 
 
+def reach_frequency_rollup(
+    metrics: DataFrame,
+    dims: Sequence[str],
+    hh_col: str = "hh_id",
+    view_weight_col: str = "weighted_view",
+    hh_weight_col: str = "weighted_hh",
+) -> DataFrame:
+    """Hierarchical (ROLLUP-style) reach/frequency over ``dims``
+    with a ``grouping_level`` column (0 = finest, len(dims) = grand
+    total), suppressed dims NULL-padded.
+
+    Reach does NOT distribute over dimensions — each grouping set
+    must dedup households independently, so a naive ``df.rollup()``
+    over pre-aggregated rows would double-count reach. Instead the
+    finest per-household aggregate is computed once (the only shuffle
+    that sees session-grain data) and re-aggregated per level:
+    sum-of-sums / max-of-maxes / sum-of-counts compose exactly.
+    Coarser levels shuffle only the per-household table (|hh| rows),
+    which at 100 TB is orders of magnitude smaller than sessions."""
+    per_hh = (
+        metrics.groupBy(*dims, hh_col)
+        .agg(
+            F.sum(view_weight_col).alias("_hh_views"),
+            F.max(hh_weight_col).alias("_hh_weight"),
+            F.count(F.lit(1)).alias("_hh_sessions"),
+        )
+        .persist()
+    )
+    dim_schema = {
+        f.name: f.dataType for f in metrics.select(*dims).schema.fields
+    }
+    out = None
+    for lvl in range(len(dims) + 1):
+        keep = list(dims[: len(dims) - lvl])
+        ph = per_hh
+        if lvl:
+            ph = per_hh.groupBy(*keep, hh_col).agg(
+                F.sum("_hh_views").alias("_hh_views"),
+                F.max("_hh_weight").alias("_hh_weight"),
+                F.sum("_hh_sessions").alias("_hh_sessions"),
+            )
+        agg = ph.groupBy(*keep).agg(
+            F.sum("_hh_views").alias("weighted_views"),
+            F.sum("_hh_weight").alias("weighted_reach"),
+            F.sum("_hh_sessions").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_households"),
+        )
+        for d in dims[len(dims) - lvl:]:
+            agg = agg.withColumn(d, F.lit(None).cast(dim_schema[d]))
+        agg = agg.select(
+            *dims,
+            F.lit(lvl).cast("int").alias("grouping_level"),
+            "weighted_views", "weighted_reach",
+            "n_sessions", "n_households",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.withColumn(
+        "frequency",
+        F.col("weighted_views").cast("double")
+        / F.col("weighted_reach").cast("double"),
+    )
+
+
 def reach_frequency(
     metrics: DataFrame,
     group_cols: Sequence[str],

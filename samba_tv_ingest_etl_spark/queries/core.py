@@ -603,6 +603,107 @@ def q18_reach_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q33_reach_frequency_rollup",
+    oracle=_SESSIONS_WEIGHTED_CTE
+    + """
+, metrics_dma AS (
+  SELECT m.*, n.n_name AS dma
+  FROM metrics m
+  JOIN customer c ON c.c_custkey = m.user_id
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+per_hh AS (
+  SELECT event_type, dma, hh_id,
+         CAST(SUM(weight_cents) AS BIGINT) AS v,
+         MAX(weight_cents) AS w,
+         CAST(COUNT(*) AS BIGINT) AS s
+  FROM metrics_dma
+  GROUP BY event_type, dma, hh_id
+),
+l0 AS (
+  SELECT event_type, dma, 0 AS grouping_level,
+         CAST(SUM(v) AS BIGINT) AS weighted_views_cents,
+         CAST(SUM(w) AS BIGINT) AS weighted_reach_cents,
+         CAST(SUM(s) AS BIGINT) AS n_sessions,
+         CAST(COUNT(*) AS BIGINT) AS n_households
+  FROM per_hh GROUP BY event_type, dma
+),
+ph1 AS (
+  SELECT event_type, hh_id, CAST(SUM(v) AS BIGINT) AS v,
+         MAX(w) AS w, CAST(SUM(s) AS BIGINT) AS s
+  FROM per_hh GROUP BY event_type, hh_id
+),
+l1 AS (
+  SELECT event_type, CAST(NULL AS VARCHAR) AS dma, 1 AS grouping_level,
+         CAST(SUM(v) AS BIGINT) AS weighted_views_cents,
+         CAST(SUM(w) AS BIGINT) AS weighted_reach_cents,
+         CAST(SUM(s) AS BIGINT) AS n_sessions,
+         CAST(COUNT(*) AS BIGINT) AS n_households
+  FROM ph1 GROUP BY event_type
+),
+ph2 AS (
+  SELECT hh_id, CAST(SUM(v) AS BIGINT) AS v,
+         MAX(w) AS w, CAST(SUM(s) AS BIGINT) AS s
+  FROM ph1 GROUP BY hh_id
+),
+l2 AS (
+  SELECT CAST(NULL AS VARCHAR) AS event_type,
+         CAST(NULL AS VARCHAR) AS dma, 2 AS grouping_level,
+         CAST(SUM(v) AS BIGINT) AS weighted_views_cents,
+         CAST(SUM(w) AS BIGINT) AS weighted_reach_cents,
+         CAST(SUM(s) AS BIGINT) AS n_sessions,
+         CAST(COUNT(*) AS BIGINT) AS n_households
+  FROM ph2
+),
+rolled AS (
+  SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l2
+)
+SELECT event_type, dma, CAST(grouping_level AS INT) AS grouping_level,
+       weighted_views_cents, weighted_reach_cents, n_sessions,
+       n_households,
+       CAST(weighted_views_cents AS DOUBLE)
+           / CAST(weighted_reach_cents AS DOUBLE) AS frequency
+FROM rolled
+""",
+)
+def q33_reach_frequency_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reach/frequency broken down hierarchically by (event_type,
+    dma) — the breakdown the reference's view comments describe
+    (etl-ddl-backfill.sql:211-216) extended to a ROLLUP. Reach
+    dedups households per grouping set, so the engine re-aggregates
+    the finest per-household table per level instead of a naive
+    ``rollup()`` (which would double-count reach); the DMA dim joins
+    in broadcast (nation is a classic small dim)."""
+    from ..operators.metrics import reach_frequency_rollup
+
+    m = q15_audience_metrics.__wrapped__(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("u_key"), "c_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", F.col("n_name").alias("dma")
+    )
+    dma_map = F.broadcast(
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("u_key", "dma")
+    )
+    m2 = m.join(dma_map, m.user_id == dma_map.u_key, "inner").drop("u_key")
+    out = reach_frequency_rollup(
+        m2,
+        dims=["event_type", "dma"],
+        hh_col="hh_id",
+        view_weight_col="weighted_view_cents",
+        hh_weight_col="weighted_hh_cents",
+    )
+    return out.select(
+        "event_type", "dma", "grouping_level",
+        F.col("weighted_views").alias("weighted_views_cents"),
+        F.col("weighted_reach").alias("weighted_reach_cents"),
+        "n_sessions", "n_households", "frequency",
+    )
+
+
+@query(
     "q16_insert_only_merge",
     oracle="""
 WITH target AS (

@@ -109,3 +109,36 @@ def test_audience_metrics_view(wh):
 def test_task_control_seeded(wh):
     tc = {r["task_name"] for r in wh.read("task_control").collect()}
     assert tc == {"raw_events_update", "panel_windows_update"}
+
+
+def test_reach_rollup_dedups_households_across_dims(spark):
+    """A household with sessions in TWO dmas must count once (with
+    one weight) in the event_type subtotal and the grand total — the
+    exact bug a naive rollup() over pre-aggregated rows would have."""
+    from samba_tv_ingest_etl_spark.operators.metrics import (
+        reach_frequency_rollup,
+    )
+
+    rows = [
+        # (event_type, dma, hh_id, view_w, hh_w)
+        ("play", "NY", "hh_1", 10, 10),
+        ("play", "LA", "hh_1", 10, 10),  # same hh, other dma
+        ("play", "NY", "hh_2", 5, 5),
+    ]
+    m = spark.createDataFrame(
+        rows, ["event_type", "dma", "hh_id", "wv", "wh"]
+    )
+    out = {
+        (r["event_type"], r["dma"], r["grouping_level"]): (
+            r["weighted_reach"], r["n_households"], r["weighted_views"]
+        )
+        for r in reach_frequency_rollup(
+            m, dims=["event_type", "dma"], hh_col="hh_id",
+            view_weight_col="wv", hh_weight_col="wh",
+        ).collect()
+    }
+    assert out[("play", "NY", 0)] == (15, 2, 15)
+    assert out[("play", "LA", 0)] == (10, 1, 10)
+    # subtotal: hh_1 deduped -> reach 15, NOT 25
+    assert out[("play", None, 1)] == (15, 2, 25)
+    assert out[(None, None, 2)] == (15, 2, 25)
