@@ -32,6 +32,8 @@ HEADLINE = [
     "q24_embedding_neardup_pairs",
     "q25_ann_topk_bruteforce",
     "q26_ann_topk_lsh",
+    "q32_ann_topk_ivf",
+    "q33_reach_frequency_rollup",
 ]
 
 

@@ -141,3 +141,35 @@ def test_watermark_filter_prunes_partitions(spark, tmp_path):
     plan = formatted(scan)
     assert "PartitionFilters: [" in plan
     assert "(yyyy" in plan.split("PartitionFilters:")[1][:200]
+
+
+def test_ivf_assignment_is_map_side_only(spark):
+    """IVF cluster assignment is a pure projection over literal
+    centroids — no join, no exchange: it scales as a map over the
+    corpus however large."""
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = S.quantize(emb).filter(F.col("norm2") > 0)
+    cents = S.kmeans_centroids(q, k=4, iters=1)
+    plan = plan_of(S.ivf_assign(q, cents))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # all JVM-side expressions
+
+
+def test_ivf_probe_join_broadcasts_queries(spark, registry):
+    """q32: the probed-queries side broadcasts; the corpus is scored
+    in place (shuffle only for the final per-query top-k window)."""
+    plan = plan_of(registry["q32_ann_topk_ivf"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rollup_reuses_per_hh_and_broadcasts_dim(spark, registry):
+    """q33: the DMA dim joins broadcast, and the cached per-household
+    table feeds every rollup level (InMemoryTableScan reuse) — the
+    session-grain shuffle happens once, not once per level."""
+    plan = plan_of(registry["q33_reach_frequency_rollup"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    spark.catalog.clearCache()
