@@ -419,6 +419,94 @@ def q29_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprint_sketch(docs, vocab)
 
 
+# ---------------------------------------------------------------- q34
+
+_CUR_MIN_TOKENS = 20
+_CUR_MAX_PUNCT_PPM = 100_000
+
+
+@query(
+    "q34_corpus_curation",
+    oracle=rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM corpus GROUP BY text
+),
+toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     t -> t <> '') AS toks
+  FROM canon
+),
+stats AS (
+  SELECT doc_id, text, toks,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN length(text) > 0 THEN floor(
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1000000.0
+             / length(text)) ELSE 0 END AS BIGINT) AS punct_ratio_ppm,
+         CAST(CASE WHEN len(toks) > 0 THEN floor(
+           len(list_filter(toks, t -> list_contains({_stop_list('en')}, t)))
+             * 1000000.0 / len(toks)) ELSE 0 END AS BIGINT)
+           AS stopword_ratio_ppm
+  FROM toks
+),
+hits AS (
+  SELECT s.*,
+         len(list_filter(toks, t -> list_contains({_stop_list('en')}, t))) AS hen,
+         len(list_filter(toks, t -> list_contains({_stop_list('de')}, t))) AS hde,
+         len(list_filter(toks, t -> list_contains({_stop_list('es')}, t))) AS hes,
+         len(list_filter(toks, t -> list_contains({_stop_list('fr')}, t))) AS hfr
+  FROM stats s
+),
+pred AS (
+  SELECT doc_id, n_tokens, punct_ratio_ppm, stopword_ratio_ppm,
+         CASE WHEN regexp_matches(text, '{X.CJK_RE}') THEN 'zh'
+              WHEN greatest(hen, hde, hes, hfr) = 0 THEN 'und'
+              WHEN hen >= hde AND hen >= hes AND hen >= hfr THEN 'en'
+              WHEN hde >= hes AND hde >= hfr THEN 'de'
+              WHEN hes >= hfr THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM hits
+)
+SELECT doc_id, n_tokens, punct_ratio_ppm, stopword_ratio_ppm, lang_pred
+FROM pred
+WHERE n_tokens >= {_CUR_MIN_TOKENS}
+  AND punct_ratio_ppm <= {_CUR_MAX_PUNCT_PPM}
+  AND lang_pred = 'en'
+""",
+)
+def q34_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline — exact dedup
+    (keep lowest doc_id) -> quality gate (length + punctuation) ->
+    language gate (predicted en) — built ONLY from the engine's
+    operators, end-to-end in one Catalyst plan. Each stage is checked
+    in isolation by q20/q27/q28; this query pins their composition.
+    The dedup shuffle carries sha2 digests, the gates are map-side
+    JVM expressions, and the semi-join back to survivors broadcasts
+    at dim scale."""
+    docs = _documents(spark, sf_dir)
+    survivors = D.exact_dedup(docs).select("doc_id")
+    kept = docs.join(survivors, "doc_id", "left_semi")
+    quality = X.text_quality(kept).select(
+        "doc_id", "n_tokens", "punct_ratio_ppm", "stopword_ratio_ppm"
+    )
+    lang = X.language_id(kept)
+    return (
+        kept.select("doc_id")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= _CUR_MIN_TOKENS)
+            & (F.col("punct_ratio_ppm") <= _CUR_MAX_PUNCT_PPM)
+            & (F.col("lang_pred") == "en")
+        )
+        .select(
+            "doc_id", "n_tokens", "punct_ratio_ppm",
+            "stopword_ratio_ppm", "lang_pred",
+        )
+    )
+
+
 # ---------------------------------------------------------------- q24-q26
 
 _DIM = 64
