@@ -291,6 +291,43 @@ def _assign_expr(cents: dict[int, list[int]]) -> Column:
     return F.array_min(F.array(*_centroid_structs(cents)))["c"]
 
 
+def _centroid_df(spark, cents: dict[int, list[int]]) -> DataFrame:
+    """Centroids as a tiny broadcastable table (c, cv, cn=||c||^2)."""
+    rows = [
+        (int(c), [int(v) for v in vec], int(sum(v * v for v in vec)))
+        for c, vec in sorted(cents.items())
+    ]
+    return spark.createDataFrame(rows, "c long, cv array<long>, cn long")
+
+
+def _join_dist() -> Column:
+    """Exact int64 squared L2 against a joined centroid row —
+    identical arithmetic to ``_dist_to`` but over COLUMNS, so the
+    generated code contains no centroid literals and Janino compiles
+    it once instead of once per Lloyd iteration (the literal form
+    re-codegens 2-4s every time the centroid values change)."""
+    return (
+        F.col("norm2")
+        - F.lit(2).cast("long") * _dot(F.col("q"), F.col("cv"))
+        + F.col("cn")
+    )
+
+
+def _assign_join(quantized: DataFrame, cdf: DataFrame,
+                 keep: list[str]) -> DataFrame:
+    """Nearest-centroid assignment via broadcast cross join + min
+    (dist, id) struct — same tie-break as ``_assign_expr``. ``keep``
+    columns ride through the groupBy via first() (they are
+    functionally dependent on vec_id)."""
+    scored = quantized.crossJoin(F.broadcast(cdf)).withColumn(
+        "d", _join_dist()
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("d"), F.col("c")))["c"].alias("cluster"),
+        *[F.first(k).alias(k) for k in keep],
+    )
+
+
 def kmeans_centroids(
     quantized: DataFrame, k: int = 8, iters: int = 2, dim: int = 64
 ) -> dict[int, list[int]]:
@@ -305,13 +342,23 @@ def kmeans_centroids(
 
     The k*dim centroid table is driver-side tiny; at fleet scale the
     training pass runs on a bounded sample (same determinism), while
-    assignment stays fully distributed."""
+    assignment stays fully distributed.
+
+    Each Lloyd step assigns via broadcast join against the centroid
+    table (``_assign_join``), not the literal expression: the join's
+    generated code is centroid-value-free, so whole-stage codegen is
+    compiled once and reused across iterations (the literal form
+    paid a fresh multi-second Janino compile per step)."""
+    spark = quantized.sparkSession
+    quantized = quantized.persist()  # scanned once per Lloyd step
     seed = (
         quantized.orderBy("vec_id").limit(k).select("q").collect()
     )
     cents = {i: [int(v) for v in r["q"]] for i, r in enumerate(seed)}
     for _ in range(iters):
-        assigned = quantized.withColumn("cluster", _assign_expr(cents))
+        assigned = _assign_join(
+            quantized, _centroid_df(spark, cents), keep=["q"]
+        )
         rows = (
             assigned.select(
                 "cluster", F.posexplode("q").alias("i", "v")
@@ -357,32 +404,39 @@ def topk_ivf(
     shape as ``topk_bruteforce``; complements ``topk_lsh`` as the
     trained (data-adaptive) scale path — buckets follow the data
     distribution instead of fixed hyperplanes, so recall holds on
-    clustered corpora where sign-bit buckets fragment."""
+    clustered corpora where sign-bit buckets fragment.
+
+    Assignment and probing both go through the broadcast centroid
+    table (see ``_join_dist``) so nothing here re-codegens per run;
+    the literal map-side ``ivf_assign`` remains the partition-key
+    writer for a persisted 100 TB index."""
     from pyspark.sql import Window
 
+    spark = corpus_q.sparkSession
+    corpus_q = corpus_q.persist()  # training + final assignment
     cents = kmeans_centroids(
         corpus_q, k=n_centroids, iters=iters, dim=dim
     )
-    c = ivf_assign(corpus_q, cents).select(
+    cdf = _centroid_df(spark, cents)
+    c = _assign_join(corpus_q, cdf, keep=["q", "norm2"]).select(
         F.col("vec_id").alias("cand_id"),
         F.col("q").alias("q_c"),
         F.col("norm2").alias("n_c"),
         "cluster",
     )
-    probe = F.transform(
-        F.slice(
-            F.array_sort(F.array(*_centroid_structs(cents))),
-            1,
-            nprobe,
-        ),
-        lambda s: s["c"],
-    )
+    # nprobe nearest centroids per query: same (dist, id) ordering as
+    # the assignment tie-break
+    pw = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("c"))
     qs = F.broadcast(
-        queries_q.select(
+        queries_q.crossJoin(F.broadcast(cdf))
+        .withColumn("d", _join_dist())
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= nprobe)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("q_q"),
             F.col("norm2").alias("n_q"),
-            F.explode(probe).alias("cluster"),
+            F.col("c").alias("cluster"),
         )
     )
     dot = _dot(F.col("q_q"), F.col("q_c"))
