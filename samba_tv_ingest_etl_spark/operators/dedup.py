@@ -166,9 +166,49 @@ def minhash_signatures(
     """(doc_id, set_size, shingles, sig array<long>[num_perm]).
 
     ``rank``: dictionary-encode shingles (portable, oracle-able).
+    ``sha2``: portable content hash (first 60 bits of sha256, mod P)
+    — no vocabulary pass at all, and also oracle-able: DuckDB's
+    ``sha256`` produces the same digest. The hash runs once per
+    (doc, shingle) row on the exploded side, where whole-stage
+    codegen and subexpression elimination apply (HOF lambdas are
+    interpreted and would recompute it per permutation), and the
+    per-perm minima aggregate with map-side combine so the shuffle
+    carries ``num_perm`` longs per doc instead of the shingle set.
     ``xxhash64``: hash shingle strings directly (no vocab join — the
-    production path; values are Spark-local)."""
+    fastest path; values are Spark-local)."""
     coeffs = _minhash_coeffs(num_perm)
+    if hash_mode == "sha2":
+        # shingled feeds both the exploded hash side and the final
+        # rejoin; unpersisted, concurrent first reads of the plan
+        # would re-run the shingling per stage
+        shingled = shingled.persist()
+        ex = shingled.select("doc_id", F.explode("shingles").alias("s"))
+        h = F.pmod(
+            F.conv(
+                F.substring(F.sha2(F.col("s"), 256), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(HASH_P),
+        )
+        mins = (
+            ex.select("doc_id", h.alias("h"))
+            .groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(affine_hash(F.col("h"), a, b)).alias(f"_m{i}")
+                    for i, (a, b) in enumerate(coeffs)
+                ]
+            )
+        )
+        sig = F.array(
+            *[
+                # empty shingle set -> sentinel signature
+                F.coalesce(F.col(f"_m{i}"), F.lit(HASH_P).cast("long"))
+                for i in range(len(coeffs))
+            ]
+        )
+        return shingled.join(mins, "doc_id", "left").select(
+            "doc_id", "set_size", "shingles", sig.alias("sig")
+        )
     if hash_mode == "xxhash64":
         enc = shingled.withColumn(
             "ranks",

@@ -158,17 +158,16 @@ def _minhash_oracle() -> str:
     rows = D.MINHASH_PERMS // D.MINHASH_BANDS
     return f"""
 WITH {_PREFIX_SQL}, {_SHINGLE_SQL},
-vocab AS (
-  SELECT shingle, row_number() OVER (ORDER BY shingle) AS r
-  FROM (SELECT DISTINCT shingle FROM ex)
-),
-rank_ex AS (
-  SELECT e.doc_id, v.r FROM ex e JOIN vocab v USING (shingle)
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(sha256(shingle), 1, 15)) AS BIGINT)
+           % {_P} AS r
+  FROM ex
 ),
 perms(i, a, b) AS (VALUES {perms}),
 sig AS (
   SELECT doc_id, p.i, min((p.a * r + p.b) % {_P}) AS mh
-  FROM rank_ex CROSS JOIN perms p
+  FROM hashed CROSS JOIN perms p
   GROUP BY doc_id, p.i
 ),
 banded AS (
@@ -203,11 +202,12 @@ WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_b = c.doc_id)
 @query("q22_minhash_lsh_dedup", oracle=_minhash_oracle())
 def q22_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH dedup survivors: 16-perm signature over
-    rank-encoded shingles, 4x4 banding, candidates verified with
+    sha256-hashed shingles (portable, vocabulary-free — see
+    ``minhash_signatures``), 4x4 banding, candidates verified with
     exact Jaccard, min-id survivor rule. The signature is O(1) per
     doc; the band self-join replaces the shingle explode at scale."""
     sh = D.shingle_docs(_prefix_corpus(spark, sf_dir), ngram=_NGRAM)
-    signed = D.minhash_signatures(sh, hash_mode="rank")
+    signed = D.minhash_signatures(sh, hash_mode="sha2")
     pairs = D.minhash_lsh_pairs(signed, threshold_pct=_JACCARD_PCT)
     corpus = _prefix_corpus(spark, sf_dir).select("doc_id")
     return D.keep_min_id(corpus, pairs)
