@@ -1,0 +1,233 @@
+"""Scale-pattern queries: skew-safe aggregation/joins, rank-based
+percentiles, and pivoted matrices over the events table.
+
+These cover analytics surface the reference's SQL never needed
+(ranking window functions, top-k selection, PIVOT — all listed as
+"absent" in SURVEY §2.6-2.7) plus the physical skew patterns from
+``operators/skew.py`` that a 100 TB deployment of the same pipeline
+would require. Every query returns salt-free, engine-independent
+values, so all four oracle-check against plain ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import skew as K
+from . import query
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+# (alias, numerator, denominator): discrete percentile p selects the
+# value at row ceil(p*n) = (num*n + den - 1) DIV den — all-integer, so
+# Spark and DuckDB agree bit-for-bit (interpolated quantile_cont would
+# hang the hash on last-bit float rounding).
+_PCTS = [("p50_cents", 1, 2), ("p90_cents", 9, 10), ("p99_cents", 99, 100)]
+
+
+def _typed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+_EV_CTE = """
+ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------- q35
+
+@query(
+    "q35_skew_salted_agg",
+    oracle=f"""
+WITH {_EV_CTE}
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM ev GROUP BY event_type
+""",
+)
+def q35_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type totals computed skew-safely: sums/counts go
+    through a salted two-phase shuffle (the 5-value grouping key
+    would otherwise hotspot 5 reducers at 100 TB) and the exact
+    user count dedups on the high-cardinality (type, user) key
+    first. The salt never reaches the output, so the result equals
+    the naive GROUP BY."""
+    ev = _typed_events(spark, sf_dir)
+    sums = K.salted_sum(
+        ev,
+        keys=["event_type"],
+        sums={
+            "n_events": F.count(F.lit(1)),
+            "value_cents": F.sum("cents"),
+        },
+        salt_source="event_id",
+        n_salts=32,
+    )
+    users = K.distinct_count(
+        ev, keys=["event_type"], col="user_id", alias="n_users"
+    )
+    return sums.join(users, "event_type").select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "n_users",
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------- q36
+
+def _pct_oracle() -> str:
+    sel = ",\n  ".join(
+        f"MAX(CASE WHEN rn = (n * {num} + {den - 1}) // {den} "
+        f"THEN cents END) AS {alias}"
+        for alias, num, den in _PCTS
+    )
+    return f"""
+WITH {_EV_CTE},
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+)
+SELECT event_type,
+  {sel},
+  CAST(MAX(n) AS BIGINT) AS n_events
+FROM ranked GROUP BY event_type
+"""
+
+
+@query("q36_value_percentiles", oracle=_pct_oracle())
+def q36_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete p50/p90/p99 per event type via ranking windows —
+    row_number + count over the same partition, one shuffle, then the
+    selected ranks fold into one row per type with conditional MAX.
+    Discrete (value-at-rank) rather than interpolated: all-integer
+    selection is engine-portable, and at scale it reads one sorted
+    pass instead of an exact-quantile buffer."""
+    ev = _typed_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wp = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.expr(f"(n * {num} + {den - 1}) DIV {den}"),
+                F.col("cents"),
+            )
+        ).alias(alias)
+        for alias, num, den in _PCTS
+    ]
+    return ranked.groupBy("event_type").agg(
+        *picks, F.max("n").cast("long").alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------- q37
+
+def _pivot_oracle() -> str:
+    cols = ",\n  ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN cents END) "
+        f"AS BIGINT) AS {t}_cents"
+        for t in _EVENT_TYPES
+    )
+    return f"""
+WITH {_EV_CTE},
+dma_map AS (
+  SELECT c.c_custkey AS u_key, n.n_name AS dma
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT dma,
+  {cols}
+FROM ev JOIN dma_map ON ev.user_id = dma_map.u_key
+GROUP BY dma
+"""
+
+
+@query("q37_pivot_event_matrix", oracle=_pivot_oracle())
+def q37_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DMA x event-type value matrix via native pivot with an
+    EXPLICIT value list — without it Spark runs an extra distinct
+    job and the column set becomes data-dependent (schema drift on
+    late-arriving types). The dim joins broadcast; the pivot itself
+    is one hash aggregate producing 5 columns, not 5 passes."""
+    ev = _typed_events(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("u_key"), "c_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", F.col("n_name").alias("dma")
+    )
+    dma_map = F.broadcast(
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("u_key", "dma")
+    )
+    pivoted = (
+        ev.join(dma_map, ev.user_id == dma_map.u_key)
+        .groupBy("dma")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum("cents"))
+    )
+    return pivoted.select(
+        "dma",
+        *[F.col(t).cast("long").alias(f"{t}_cents") for t in _EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------- q38
+
+@query(
+    "q38_salted_join_above_avg",
+    oracle=f"""
+WITH {_EV_CTE},
+dim AS (
+  SELECT event_type, CAST(sum(cents) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.cents
+FROM ev e JOIN dim d ON e.event_type = d.event_type
+WHERE e.cents * d.n > d.s
+""",
+)
+def q38_salted_join_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-type-average events through a salted replicate-right
+    join on the 5-value key — the shape of any fact-to-aggregate
+    reattach where the key skews and the right side outgrows the
+    broadcast budget. The mean compare stays in integers
+    (cents * n > sum) so no division enters the hash. Output equals
+    the plain join bit-for-bit; `tests/test_plans.py` pins the
+    salted shuffle shape."""
+    ev = _typed_events(spark, sf_dir)
+    dim = ev.groupBy("event_type").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    joined = K.salted_join(
+        ev.select("event_id", "event_type", "cents"),
+        dim,
+        on=["event_type"],
+        salt_source="event_id",
+        n_salts=8,
+    )
+    return joined.filter(
+        F.col("cents") * F.col("n") > F.col("s")
+    ).select("event_id", "event_type", "cents")
