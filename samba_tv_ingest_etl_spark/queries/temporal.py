@@ -1,0 +1,165 @@
+"""Temporal-join queries: as-of attribution of events to the latest
+preceding order state.
+
+The reference's attribution is day-grain equi-join only
+(``weighting.sql``; SURVEY §2.3 J3); these queries add the sub-day
+temporal surface (as-of join) a real attribution / training-data
+pipeline needs. Oracle: DuckDB's native ``ASOF LEFT JOIN``, which
+pins the exact greatest-ts-at-or-before semantics our union+window
+plan must reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from . import query
+from .core import _epoch_seconds, _events
+
+_ORD_CTE = """
+ord AS (
+  SELECT o_custkey AS user_id,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_sec,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS max_order_cents
+  FROM orders GROUP BY 1, 2
+)
+"""
+
+
+def _order_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (customer, order-date) rollup — unique per (key, ts), as
+    ``asof_join`` requires. Mirrors _ORD_CTE."""
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        ords.select(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_timestamp("o_orderdate").alias("od_sec"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("user_id", "od_sec")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.max("cents").alias("max_order_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q39
+
+@query(
+    "q39_asof_order_attribution",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+  FROM events
+),
+{_ORD_CTE}
+SELECT e.event_id, e.user_id, e.ts_sec,
+       o.od_sec AS order_sec, o.n_orders, o.max_order_cents,
+       (e.ts_sec - o.od_sec) // 86400 AS days_since_order
+FROM ev e ASOF LEFT JOIN ord o
+  ON e.user_id = o.user_id AND e.ts_sec >= o.od_sec
+""",
+)
+def q39_asof_order_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Each event attributed to the customer's latest order placed
+    at-or-before the event: one union+window as-of join (single
+    shuffle on user_id — see ``operators/asof.py``). Unmatched events
+    (no prior order) survive with nulls, so the left-join semantics
+    are checked too."""
+    ev = _events(spark, sf_dir)
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        _epoch_seconds(ev, "ts").alias("ts_sec"),
+    )
+    out = asof_join(
+        ev,
+        _order_state(spark, sf_dir),
+        on=["user_id"],
+        left_ts="ts_sec",
+        right_ts="od_sec",
+        how="left",
+        matched_ts_alias="order_sec",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        "order_sec",
+        "n_orders",
+        "max_order_cents",
+        F.expr("(ts_sec - order_sec) DIV 86400").alias(
+            "days_since_order"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- q40
+
+@query(
+    "q40_asof_recency_cohorts",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+  FROM events
+),
+{_ORD_CTE},
+matched AS (
+  SELECT e.event_type, e.ts_sec, o.od_sec
+  FROM ev e ASOF JOIN ord o
+    ON e.user_id = o.user_id AND e.ts_sec >= o.od_sec
+  WHERE e.ts_sec - o.od_sec <= 30 * 365 * 86400
+)
+SELECT event_type,
+       (ts_sec - od_sec) // (365 * 86400) AS recency_years,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM matched GROUP BY 1, 2
+""",
+)
+def q40_asof_recency_cohorts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recency cohorts: events bucketed by whole-year age of the
+    latest prior order, capped at 30 years via the as-of join's
+    tolerance (inner + tolerance == DuckDB ASOF JOIN + age
+    predicate). The narrow select before the join keeps the shuffled
+    rows to three columns."""
+    ev = _events(spark, sf_dir)
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        _epoch_seconds(ev, "ts").alias("ts_sec"),
+    )
+    out = asof_join(
+        ev,
+        _order_state(spark, sf_dir).select(
+            "user_id", "od_sec", "n_orders"
+        ),
+        on=["user_id"],
+        left_ts="ts_sec",
+        right_ts="od_sec",
+        how="inner",
+        tolerance=30 * 365 * 86400,
+        matched_ts_alias="od_sec",
+    )
+    return (
+        out.groupBy(
+            "event_type",
+            F.expr("(ts_sec - od_sec) DIV (365 * 86400)").alias(
+                "recency_years"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
