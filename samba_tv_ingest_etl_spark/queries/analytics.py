@@ -1,0 +1,278 @@
+"""Beyond-reference analytics surface: portable distinct sketches,
+deterministic sampling / train-test splits, set operations, and
+grouping-sets aggregation.
+
+The reference's SQL never needed these (SURVEY §2.5-§2.7), but a
+100 TB training-data pipeline does: sketches for cheap cardinality
+tracking across rollups, hash-splits for reproducible train/val/test
+partitioning, set ops for cohort algebra, grouping sets for one-pass
+multi-grain reporting. All outputs are integer/string-exact so every
+query oracle-checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import sketch as SK
+from . import query
+
+_K = 256
+
+# DuckDB twin of operators/sketch.portable_hash60
+_H60 = "('0x' || substr(sha256(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------- q41
+
+_SKETCH_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT event_type, {_H60.format(col="user_id")} AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+),
+per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS sketch_size,
+         CAST(max(h) AS BIGINT) AS kth_min_hash
+  FROM r WHERE rn <= {_K} GROUP BY event_type
+),
+g AS (SELECT DISTINCT h FROM d),
+rg AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM g),
+tot AS (
+  SELECT '*all*' AS event_type,
+         CAST(count(*) AS BIGINT) AS sketch_size,
+         CAST(max(h) AS BIGINT) AS kth_min_hash
+  FROM rg WHERE rn <= {_K}
+)
+SELECT * FROM per UNION ALL SELECT * FROM tot
+"""
+
+
+@query("q41_kmv_distinct_sketch", oracle=_SKETCH_ORACLE)
+def q41_kmv_distinct_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type KMV distinct-user sketch plus the '*all*' row
+    produced by MERGING the per-type sketches (not by rescanning
+    events) — the oracle computes the global sketch directly from the
+    data, so the hash-match proves merge == rescan, the property that
+    makes sketch rollups free at 100 TB."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    per = SK.kmv_sketch(
+        ev, keys=["event_type"], col="user_id", k=_K
+    )
+    per.persist()  # reused by the merge; tiny (5 rows x k longs)
+    total = SK.kmv_merge(per, keys=[], k=_K).select(
+        F.lit("*all*").alias("event_type"),
+        "sketch_size",
+        "kth_min_hash",
+    )
+    return (
+        per.select("event_type", "sketch_size", "kth_min_hash")
+        .unionByName(total)
+    )
+
+# ---------------------------------------------------------------- q42
+
+_SPLITS = {"train": 90, "val": 5, "test": 5}
+
+_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         {_H60.format(col="doc_id")} % 100 AS bkt
+  FROM documents
+)
+SELECT CASE WHEN bkt < 90 THEN 'train'
+            WHEN bkt < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM b GROUP BY 1
+"""
+
+
+@query("q42_train_test_split", oracle=_SPLIT_ORACLE)
+def q42_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 document split keyed on doc_id (see
+    operators/sampling.py — rand(seed) is partition-dependent and
+    engine-private; the hash split is neither). The checked output
+    aggregates per split so the oracle pins every row's assignment
+    via the count/min/max/char-sum fingerprint."""
+    from ..operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    return (
+        hash_split(docs, "doc_id", _SPLITS)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q43
+
+_SAMPLE_ORACLE = f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE {_H60.format(col="event_id")} % 10 < 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(cents) AS BIGINT) AS sampled_cents
+FROM s GROUP BY 1
+"""
+
+
+@query("q43_stratified_sample", oracle=_SAMPLE_ORACLE)
+def q43_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% event sample keyed on event_id, aggregated
+    per stratum. The sample predicate is a narrow filter — no
+    shuffle, pushdown-eligible — so at 100 TB it costs a scan, not a
+    repartition."""
+    from ..operators.sampling import stratified_sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        stratified_sample(ev, "event_id", num=1, den=10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum("cents").cast("long").alias("sampled_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q44
+
+_SETOP_ORACLE = """
+WITH purchasers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+big_spenders AS (
+  SELECT DISTINCT o_custkey AS user_id FROM orders
+  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 15000000
+)
+SELECT 'both' AS cohort, user_id
+FROM (SELECT user_id FROM purchasers
+      INTERSECT SELECT user_id FROM big_spenders)
+UNION ALL
+SELECT 'purchase_only' AS cohort, user_id
+FROM (SELECT user_id FROM purchasers
+      EXCEPT SELECT user_id FROM big_spenders)
+"""
+
+
+@query("q44_cohort_set_ops", oracle=_SETOP_ORACLE)
+def q44_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort algebra via native INTERSECT/EXCEPT (left-semi /
+    left-anti hash joins under AQE, both sides pre-deduped by the
+    distinct). The reference has no set operators at all (SURVEY
+    §2.4: UNION ALL only)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    spenders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            > 15_000_000
+        )
+        .select(F.col("o_custkey").alias("user_id"))
+        .distinct()
+    )
+    both = purchasers.intersect(spenders).select(
+        F.lit("both").alias("cohort"), "user_id"
+    )
+    only = purchasers.exceptAll(spenders).select(
+        F.lit("purchase_only").alias("cohort"), "user_id"
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------- q45
+
+_CUBE_ORACLE = """
+WITH dma_map AS (
+  SELECT c.c_custkey AS user_id, n.n_name AS dma
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+ev AS (
+  SELECT coalesce(d.dma, '(unknown)') AS dma, e.event_type,
+         CAST(round(e.value * 100) AS BIGINT) AS cents
+  FROM events e LEFT JOIN dma_map d ON e.user_id = d.user_id
+)
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(dma, '(all)') AS dma,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM ev GROUP BY CUBE (event_type, dma)
+"""
+
+
+@query("q45_cube_event_matrix", oracle=_CUBE_ORACLE)
+def q45_cube_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-grain reporting over CUBE(event_type, dma):
+    Spark expands grouping sets in a single Expand + hash aggregate
+    (4 grains in one shuffle, vs 4 separate jobs). The additive
+    measures make the cube valid — contrast q33's rollup, which
+    re-aggregates per level because reach is NOT additive. Labels are
+    coalesced so the all-grain rows are engine-portable (no nulls in
+    the hash)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", F.col("n_name").alias("dma")
+    )
+    dma_map = F.broadcast(
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("user_id", "dma")
+    )
+    tagged = ev.join(dma_map, "user_id", "left").select(
+        "event_type",
+        F.coalesce("dma", F.lit("(unknown)")).alias("dma"),
+        "cents",
+    )
+    return (
+        tagged.cube("event_type", "dma")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("dma", F.lit("(all)")).alias("dma"),
+            "n_events",
+            "value_cents",
+        )
+    )
