@@ -18,7 +18,7 @@ corpus's natural near-dups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -803,4 +803,70 @@ def q30_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "byte_sum",
         F.size("feature").cast("long").alias("feat_dim"),
+    )
+
+# ---------------------------------------------------------------- q46
+
+_TOP_TERMS_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM ex GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+ranked AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.token ASC)
+           AS rnk
+  FROM tf t JOIN dfreq d USING (token)
+)
+SELECT doc_id, token, tf, df, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("q46_top_characteristic_terms", oracle=_TOP_TERMS_ORACLE)
+def q46_top_characteristic_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3 characteristic terms per document, ranked by term
+    frequency with rarity (ascending document frequency) then the
+    term itself as tie-breaks — the integer-exact core of TF-IDF
+    (a float idf weight would change ordering only within exact-tf
+    ties, which the df tie-break already resolves by rarity; staying
+    integer keeps the output engine-portable, see the date/float
+    conventions in queries/__init__).
+
+    Plan: tokens projected once, exploded in a separate select (the
+    Generate barrier stops Catalyst re-inlining the split per
+    element); tf is one groupBy(doc, token); df re-aggregates tf's
+    output (already distinct per doc — no count_distinct Expand);
+    the tf-df join shuffles on token; the final top-3 is a bounded
+    rank window per doc."""
+    docs = _documents(spark, sf_dir)
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    ex = toks.select("doc_id", F.explode("toks").alias("token"))
+    tf = ex.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "rnk")
     )
