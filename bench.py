@@ -34,6 +34,8 @@ HEADLINE = [
     "q26_ann_topk_lsh",
     "q32_ann_topk_ivf",
     "q33_reach_frequency_rollup",
+    "q39_asof_order_attribution",
+    "q46_top_characteristic_terms",
 ]
 
 

@@ -163,3 +163,78 @@ def q40_asof_recency_cohorts(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+
+# ---------------------------------------------------------------- q47
+
+def _coactivity_oracle() -> str:
+    from .core import MIN_TOTAL_DURATION, _SESSION_IDS_SQL
+
+    return f"""{_SESSION_IDS_SQL},
+sess AS (
+  SELECT user_id, event_type, session_id,
+         MIN(start_ts) AS s_start, MAX(end_ts) AS s_end
+  FROM ids GROUP BY 1, 2, 3
+  HAVING SUM(duration_s) >= {MIN_TOTAL_DURATION}
+)
+SELECT s.user_id, s.event_type, s.session_id,
+       CAST(count(b.event_id) AS BIGINT) AS n_other_events
+FROM sess s LEFT JOIN base b
+  ON b.start_ts BETWEEN s.s_start AND s.s_end
+ AND b.user_id <> s.user_id
+GROUP BY 1, 2, 3
+"""
+
+
+@query("q47_session_coactivity", oracle=_coactivity_oracle())
+def q47_session_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per qualified session, how many events OTHER users produced
+    inside its time span — a keyless range join (the only join key is
+    the time containment itself; the <> predicate rules out an
+    equi-join rewrite). Runs through the bucketed interval join
+    (operators/interval.py): hour-wide buckets turn the would-be
+    nested loop into an equi-shuffle on bucket id; the oracle is the
+    plain BETWEEN theta-join. LEFT semantics (sessions with zero
+    co-activity survive) come from re-attaching counts to the session
+    table with a broadcast of the aggregated — tiny — count side."""
+    from ..operators.interval import interval_join
+    from .core import q14_sessions, viewing_events
+
+    sess = q14_sessions(spark, sf_dir).select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_type").alias("s_type"),
+        "session_id",
+        F.col("session_start_ts").alias("s_start"),
+        F.col("session_end_ts").alias("s_end"),
+    )
+    pts = viewing_events(spark, sf_dir).select(
+        "event_id", "user_id", "start_ts"
+    )
+    sess.persist()  # reused: join input + left re-attach
+    hits = (
+        interval_join(
+            pts,
+            sess,
+            point_ts="start_ts",
+            start_col="s_start",
+            end_col="s_end",
+            bucket_width=3600,
+        )
+        .filter(F.col("user_id") != F.col("s_user"))
+        .groupBy("s_user", "s_type", "session_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_other_events"))
+    )
+    return (
+        sess.join(
+            F.broadcast(hits),
+            ["s_user", "s_type", "session_id"],
+            "left",
+        )
+        .select(
+            F.col("s_user").alias("user_id"),
+            F.col("s_type").alias("event_type"),
+            "session_id",
+            F.coalesce("n_other_events", F.lit(0)).alias(
+                "n_other_events"
+            ),
+        )
+    )
