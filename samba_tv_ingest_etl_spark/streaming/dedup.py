@@ -1,0 +1,93 @@
+"""Streaming dedup + watermarked window aggregation.
+
+The batch engine dedups replayed events with a plain hash-groupBy
+(``operators/dedup.py``); a streaming ingest needs the same guarantee
+without unbounded state. Two standard pieces:
+
+- ``dedup_stream``: row-level exactly-once within a lateness bound via
+  ``dropDuplicatesWithinWatermark`` — state holds only keys younger
+  than the watermark, so memory is O(arrival rate x lateness), not
+  O(history). This is the streaming twin of the load-ledger's
+  file-level idempotency (``sources/ledger.py``): the ledger stops
+  whole-file replays, this stops row replays inside late/overlapping
+  files.
+
+- ``windowed_counts``: event-time tumbling/sliding aggregation with a
+  watermark, append-mode-compatible (windows emit once finalized —
+  exactly the reference's daily-rollup semantics, SURVEY §2.5, at
+  arbitrary grain).
+
+Scale: state store size is the product of key cardinality inside the
+lateness horizon; RocksDB state store + changelog checkpointing keeps
+it off-heap on real clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dedup_stream", "windowed_counts"]
+
+
+def _event_time(df: DataFrame, ts_col: str) -> tuple[DataFrame, str]:
+    """Normalize the event-time column to a real timestamp (driver
+    parquet is TIMESTAMP(NANOS) -> bigint under nanosAsLong)."""
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        return (
+            df.withColumn(
+                "_event_time",
+                F.timestamp_micros(F.expr(f"{ts_col} DIV 1000")),
+            ),
+            "_event_time",
+        )
+    return df, ts_col
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Drop duplicate rows (same ``keys``) arriving within the
+    ``lateness`` horizon of each other. Unlike ``dropDuplicates``,
+    state for a key is evicted once the watermark passes it, so the
+    operator runs forever at bounded memory; duplicates farther apart
+    than ``lateness`` are the load-ledger's job (file granularity)."""
+    df, et = _event_time(stream, ts_col)
+    return df.withWatermark(et, lateness).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    window: str,
+    keys: list[str] | None = None,
+    lateness: str = "10 minutes",
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with late-data handling:
+    rows later than ``lateness`` are dropped, and in append output
+    mode a window emits exactly once, when the watermark passes its
+    end. Default aggregate is ``n_events``; pass ``aggs`` (alias ->
+    summable expression) for more."""
+    df, et = _event_time(stream, ts_col)
+    aggs = aggs or {}
+    exprs = [F.count(F.lit(1)).cast("long").alias("n_events")] + [
+        e.alias(a) for a, e in aggs.items()
+    ]
+    return (
+        df.withWatermark(et, lateness)
+        .groupBy(F.window(et, window), *(keys or []))
+        .agg(*exprs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(keys or []),
+            "n_events",
+            *aggs.keys(),
+        )
+    )
