@@ -870,3 +870,52 @@ def q46_top_characteristic_terms(
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tf", "df", "rnk")
     )
+
+# ---------------------------------------------------------------- q48
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_PREFIX_SQL}, {_SHINGLE_SQL},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.set_size AS size_a, b.set_size AS size_b,
+         CAST(count(*) AS BIGINT) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE common * 100 >= {_JACCARD_PCT} * (size_a + size_b - common)
+),
+sym AS (
+  SELECT doc_a AS n, doc_b AS m FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+),
+reach(n, r) AS (
+  SELECT DISTINCT n, n FROM sym
+  UNION
+  SELECT s.m, reach.r FROM reach JOIN sym s ON reach.n = s.n
+)
+SELECT n AS doc_id,
+       CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY n
+"""
+
+
+@query("q48_dedup_components", oracle=_COMPONENTS_ORACLE)
+def q48_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS from q21's Jaccard pair graph:
+    iterative min-label propagation (operators/components.py) — the
+    'keep one per component' step a dedup pipeline actually executes;
+    pairs alone under-count when dups chain (a~b, b~c, but a!~c).
+    The oracle walks the same graph with a recursive CTE, so the
+    hash-match pins the fixed point, not just one propagation
+    round."""
+    from ..operators.components import connected_components
+
+    sh = D.shingle_docs(_prefix_corpus(spark, sf_dir), ngram=_NGRAM)
+    pairs = D.jaccard_pairs(sh, threshold_pct=_JACCARD_PCT).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(
+        pairs, src="doc_a", dst="doc_b"
+    ).select(F.col("node").alias("doc_id"), "component")
