@@ -276,3 +276,67 @@ def q45_cube_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
+
+
+# ---------------------------------------------------------------- q49
+
+_RECON_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+cust AS (
+  SELECT c_custkey AS user_id,
+         CAST(count(o.o_custkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT coalesce(ev.user_id, cust.user_id) AS user_id,
+       CASE WHEN ev.user_id IS NULL THEN 'customer_only'
+            WHEN cust.user_id IS NULL THEN 'events_only'
+            ELSE 'both' END AS presence,
+       coalesce(ev.n_events, 0) AS n_events,
+       coalesce(cust.n_orders, 0) AS n_orders
+FROM ev FULL OUTER JOIN cust ON ev.user_id = cust.user_id
+"""
+
+
+@query("q49_full_outer_reconciliation", oracle=_RECON_ORACLE)
+def q49_full_outer_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sided audit of the events-vs-customer universe via FULL
+    OUTER join on pre-aggregated sides (aggregate FIRST: the outer
+    join then runs on one row per key instead of the raw fact
+    tables — at 100 TB that's the difference between joining ~10^6
+    key rows and ~10^11 events). The reference has no full-outer
+    surface (SURVEY §2.3)."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"),
+        F.lit(1).alias("_ord"),
+    )
+    cust_agg = (
+        cust.join(orders, "user_id", "left_outer")
+        .groupBy("user_id")
+        .agg(F.count("_ord").cast("long").alias("n_orders"))
+    )
+    e, c = ev.alias("e"), cust_agg.alias("c")
+    return e.join(
+        c, F.col("e.user_id") == F.col("c.user_id"), "full_outer"
+    ).select(
+        F.coalesce("e.user_id", "c.user_id").alias("user_id"),
+        F.when(F.col("e.user_id").isNull(), F.lit("customer_only"))
+        .when(F.col("c.user_id").isNull(), F.lit("events_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+        F.coalesce("e.n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("c.n_orders", F.lit(0)).alias("n_orders"),
+    )

@@ -61,3 +61,48 @@ def overwrite_small(spark: SparkSession, rows, schema, path: str) -> None:
     """Overwrite a tiny control table (task_control is 2 rows —
     reference etl-dag.sql:136-142) from driver-side rows."""
     atomic_overwrite(spark.createDataFrame(rows, schema).coalesce(1), path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    cluster_by: list[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Scale-layout writer: hive-partition on ``partition_by`` (reads
+    with equality/range predicates on those columns prune whole
+    directories before any I/O) and sort each output file on
+    ``cluster_by`` (parquet row-group min/max stats become tight and
+    non-overlapping, so predicate pushdown on the cluster columns
+    skips row groups inside the files that survive pruning).
+
+    The repartition keys = partition columns + a deterministic split
+    of the cluster key, so each task writes exactly one file per
+    hive partition instead of tasks x partitions small files — the
+    small-file problem is a write-time decision, fixed here rather
+    than by a post-hoc compaction job. ``files_per_partition``
+    scales write parallelism for huge partitions; within each file
+    the sort order still holds.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [F.col(c) for c in partition_by]
+    if files_per_partition > 1:
+        # explicit numPartitions pins the exchange (a column-only
+        # repartition is AQE-coalescible, which would fuse the splits
+        # back into one task and one file)
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        part = df.withColumn(
+            "_split",
+            F.pmod(F.xxhash64(*cluster_by), F.lit(files_per_partition)),
+        ).repartition(n, *keys, F.col("_split"))
+    else:
+        part = df.withColumn("_split", F.lit(0)).repartition(*keys)
+    (
+        part.sortWithinPartitions(*partition_by, "_split", *cluster_by)
+        .drop("_split")
+        .write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
