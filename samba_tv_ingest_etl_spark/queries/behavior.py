@@ -1,0 +1,143 @@
+"""Behavioral analytics: ordered funnels and cohort retention.
+
+The reference stops at sessions + reach/frequency (SURVEY §2.5); the
+next questions an audience team asks are sequential: "how many users
+progressed view -> click -> purchase, in that order?" and "of the
+users first seen in week W, how many came back k weeks later?" Both
+reduce to per-user min-timestamp aggregation plus integer week
+arithmetic — one shuffle on user_id each, no window needed, additive
+re-aggregation after, so they hold at any scale and oracle-check
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from .core import _epoch_seconds, _events
+
+_STEPS = ["view", "click", "purchase"]
+
+
+def _ev_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "user_id",
+        "event_type",
+        _epoch_seconds(ev, "ts").alias("ts_sec"),
+    )
+
+
+# ---------------------------------------------------------------- q50
+
+_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_sec END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts_sec END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts_sec END) AS t_buy
+  FROM ev GROUP BY 1
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view,
+  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                 AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_full_funnel
+FROM per_user
+"""
+
+
+@query("q50_ordered_funnel", oracle=_FUNNEL_ORACLE)
+def q50_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel view -> click -> purchase: per-user FIRST
+    occurrence of each step (conditional min — one hash aggregate on
+    user_id, map-side combinable), then ordering comparisons and a
+    global additive rollup. No window, no self-join: the classic
+    n-way 'sequence' funnel collapses to first-timestamps because
+    steps must occur in order after the PREVIOUS step's first
+    occurrence. Null comparisons (missing steps) are NULL > x ->
+    false on both engines."""
+    pu = (
+        _ev_sec(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("event_type") == s, F.col("ts_sec")
+                    )
+                ).alias(f"t_{s}")
+                for s in _STEPS
+            ]
+        )
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_purchase") > F.col("t_click"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        flag(viewed).alias("n_view"),
+        flag(clicked).alias("n_view_click"),
+        flag(bought).alias("n_full_funnel"),
+    )
+
+
+# ---------------------------------------------------------------- q51
+
+_RETENTION_ORACLE = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS week
+  FROM events
+),
+weeks AS (SELECT DISTINCT user_id, week FROM ev),
+cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1
+)
+SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM weeks w JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("q51_cohort_retention", oracle=_RETENTION_ORACLE)
+def q51_cohort_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly cohort retention triangle: cohort = first active epoch
+    week, one row per (cohort, week offset) with distinct active
+    users. Two aggregations keyed on user_id (dedup to user-weeks,
+    then cohort min) — the user-week dedup happens BEFORE the join,
+    so the join carries ~users x active-weeks rows, not raw events.
+    count(*) is exact-distinct by construction (weeks is deduped)."""
+    ev = _ev_sec(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts_sec DIV 86400 DIV 7").alias("week"),
+    )
+    weeks = ev.distinct()
+    cohorts = weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+    )
