@@ -919,3 +919,163 @@ def q48_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         pairs, src="doc_a", dst="doc_b"
     ).select(F.col("node").alias("doc_id"), "component")
+
+# ---------------------------------------------------------------- q52
+
+_REPETITION_ORACLE = rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+bg AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END
+           AS bg_total,
+         CASE WHEN len(toks) >= 2 THEN
+           len(list_distinct(list_transform(range(1, len(toks)),
+             i -> concat_ws(' ', toks[i], toks[i+1]))))
+         ELSE 0 END AS bg_distinct
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tf
+  FROM (SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+        GROUP BY doc_id, token)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN b.bg_total > 0 THEN floor(
+         (b.bg_total - b.bg_distinct) * 1000000.0 / b.bg_total)
+         ELSE 0 END AS BIGINT) AS dup_bigram_ppm,
+       CAST(CASE WHEN b.n_tokens > 0 THEN floor(
+         coalesce(t.top_tf, 0) * 1000000.0 / b.n_tokens)
+         ELSE 0 END AS BIGINT) AS top_token_ppm,
+       CAST(CASE WHEN b.n_tokens < 50 THEN 1 ELSE 0 END AS BIGINT)
+         AS flag_too_short
+FROM bg b LEFT JOIN tf t USING (doc_id)
+"""
+
+
+@query("q52_repetition_quality", oracle=_REPETITION_ORACLE)
+def q52_repetition_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1):
+    duplicate-bigram fraction and top-token dominance, ppm-floor
+    integers. Bigram stats are pure HOF expressions on the projected
+    token array (distinct-count via the same word_shingles used for
+    Jaccard — total is just size-1, so NO bigram explode); only the
+    top-token stat shuffles (explode + per-doc max), keyed on
+    (doc_id, token) — even spread."""
+    toks = _documents(spark, sf_dir).select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    bg = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.greatest(F.size("toks") - 1, F.lit(0)).alias("bg_total"),
+        F.size(X.word_shingles(F.col("toks"), 2)).alias("bg_distinct"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_tf"))
+    )
+    ppm = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.floor(num * F.lit(1_000_000.0) / den)
+    ).otherwise(0).cast("long")
+    return bg.join(tf, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        ppm(
+            (F.col("bg_total") - F.col("bg_distinct")),
+            F.col("bg_total"),
+        ).alias("dup_bigram_ppm"),
+        ppm(F.coalesce("top_tf", F.lit(0)), F.col("n_tokens")).alias(
+            "top_token_ppm"
+        ),
+        F.when(F.col("n_tokens") < 50, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("flag_too_short"),
+    )
+
+
+# ---------------------------------------------------------------- q53
+
+# every 40th doc gets a deterministic contact line appended so the
+# scan is non-vacuous (the synthetic corpus contains no natural PII)
+_PII_SQL = """
+corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 40 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or user' || CAST(doc_id AS VARCHAR)
+                || '@test.org today'
+         ELSE text END AS text
+  FROM documents
+)
+"""
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+
+_PII_ORACLE = f"""
+WITH {_PII_SQL},
+per_doc AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{_EMAIL_RE}'))
+              AS BIGINT) AS n_emails
+  FROM corpus
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_pii,
+       CAST(sum(n_emails) AS BIGINT) AS n_emails_total,
+       CAST(max(n_emails) AS BIGINT) AS max_emails_per_doc
+FROM per_doc
+"""
+
+
+@query("q53_pii_scan", oracle=_PII_ORACLE)
+def q53_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII audit: per-doc email-pattern counts rolled up to
+    corpus totals — the pre-redaction measurement step of a training
+    pipeline. Narrow scan + regexp_count (JVM codegen, no UDF); the
+    regex is RE2/Java-portable (no backrefs/lookaround) so DuckDB
+    counts identically."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 40 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@test.org today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    per_doc = docs.select(
+        F.regexp_count(F.lower("text"), F.lit(_EMAIL_RE)).alias(
+            "n_emails"
+        )
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_emails") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_with_pii"),
+        F.sum("n_emails").cast("long").alias("n_emails_total"),
+        F.max("n_emails").cast("long").alias("max_emails_per_doc"),
+    )

@@ -231,3 +231,40 @@ def q38_salted_join_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(
         F.col("cents") * F.col("n") > F.col("s")
     ).select("event_id", "event_type", "cents")
+
+
+# ---------------------------------------------------------------- q54
+
+_JSON_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM ev GROUP BY 1
+"""
+
+
+@query("q54_json_props_extract", oracle=_JSON_ORACLE)
+def q54_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` column and aggregate. ``get_json_object`` is a JVM
+    path-evaluator (no schema inference pass, no UDF); at 100 TB
+    prefer ``from_json`` with an explicit schema when extracting many
+    fields (one parse instead of N path scans) — single-field pulls
+    like this stay with the cheaper path evaluator."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
