@@ -858,6 +858,12 @@ def q46_top_characteristic_terms(
     tf = ex.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    # tf feeds two different exchanges (hash(doc_id,token) for the
+    # join, hash(token) for dfreq) so ReusedExchange can't apply and
+    # the subtree computes twice. Measured: persist() is a net LOSS
+    # here (cache materialization > recompute of a scan+explode+agg);
+    # at 100 TB prefer checkpointing tf to parquet if it's reused by
+    # more than these two consumers.
     dfreq = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
