@@ -173,3 +173,40 @@ def test_rollup_reuses_per_hh_and_broadcasts_dim(spark, registry):
     assert "BroadcastHashJoin" in plan
     assert plan.count("InMemoryTableScan") >= 2
     spark.catalog.clearCache()
+
+
+def test_cube_single_expand_single_exchange(spark, registry):
+    """q45: all four grains come from one Expand + one hash-partition
+    exchange — not four separate aggregation jobs; the dim joins
+    broadcast."""
+    plan = plan_of(registry["q45_cube_event_matrix"](spark, SF_DIR))
+    assert plan.count("Expand") == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sample_and_split_are_shuffle_free_before_agg(spark, registry):
+    """q42/q43: the split/sample assignment is a narrow projection or
+    filter — the ONLY exchange is the final tiny aggregation's."""
+    for name in ("q42_train_test_split", "q43_stratified_sample"):
+        plan = plan_of(registry[name](spark, SF_DIR))
+        n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_ex == 1, (name, n_ex)
+        assert "Python" not in plan, name
+
+
+def test_funnel_single_user_shuffle(spark, registry):
+    """q50: conditional-min funnel = one exchange on user_id plus the
+    final single-partition rollup; no window, no join."""
+    plan = plan_of(registry["q50_ordered_funnel"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_pii_scan_stays_jvm_side(spark, registry):
+    """q53: regexp counting is codegen'd JVM work over a narrow scan —
+    no Python nodes, no shuffle before the single rollup."""
+    plan = plan_of(registry["q53_pii_scan"](spark, SF_DIR))
+    assert "Python" not in plan
+    assert "Exchange hashpartitioning" not in plan
