@@ -268,3 +268,94 @@ def q54_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------- q55
+
+_DECILE_ORACLE = f"""
+WITH {_EV_CTE},
+d AS (
+  SELECT event_type, cents,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY cents, event_id) AS decile
+  FROM ev
+)
+SELECT event_type, CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents
+FROM d GROUP BY 1, 2
+"""
+
+
+@query("q55_value_deciles", oracle=_DECILE_ORACLE)
+def q55_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value deciles via NTILE — equi-COUNT bucketing (vs
+    q36's value-at-rank selection). The unique (cents, event_id)
+    ordering makes tile assignment engine-deterministic; one window
+    shuffle, then an additive rollup per (type, decile)."""
+    ev = _typed_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "cents",
+            F.ntile(10).over(w).cast("long").alias("decile"),
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q56
+
+_GAP_ORACLE = f"""
+WITH {_EV_CTE},
+ts AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+  FROM events
+),
+gaps AS (
+  SELECT user_id,
+         lead(ts_sec) OVER (PARTITION BY user_id
+                            ORDER BY ts_sec, event_id) - ts_sec
+           AS gap_s
+  FROM ts
+)
+SELECT user_id,
+       CAST(count(gap_s) AS BIGINT) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       CAST(sum(gap_s) AS BIGINT) AS total_gap_s
+FROM gaps GROUP BY 1
+"""
+
+
+@query("q56_inter_event_gaps", oracle=_GAP_ORACLE)
+def q56_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking inter-event gap stats per user via LEAD (the
+    mirror of sessionization's LAG; completes the offset-window
+    family). Window and the subsequent groupBy share the user_id
+    partitioning, so the rollup adds no second shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .core import _epoch_seconds
+
+    ts = ev.select(
+        "user_id", "event_id", _epoch_seconds(ev, "ts").alias("ts_sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    gaps = ts.select(
+        "user_id",
+        (F.lead("ts_sec").over(w) - F.col("ts_sec")).alias("gap_s"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.sum("gap_s").cast("long").alias("total_gap_s"),
+    )
