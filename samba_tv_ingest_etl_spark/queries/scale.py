@@ -359,3 +359,60 @@ def q56_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_s").alias("max_gap_s"),
         F.sum("gap_s").cast("long").alias("total_gap_s"),
     )
+
+
+# ---------------------------------------------------------------- q57
+
+_ROLLING_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rolling_7d
+FROM daily
+"""
+
+
+@query("q57_rolling_7day_volume", oracle=_ROLLING_ORACLE)
+def q57_rolling_7day_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-7-day event volume per type: daily pre-aggregation
+    first (the window then runs over ~types x days rows, not raw
+    events), then an explicit RANGE frame keyed on the integer day —
+    value-based, so calendar gaps are handled without densification.
+    Covers the explicit-frame window surface (SURVEY §2.6 lists it
+    absent from the reference)."""
+    from .core import _epoch_seconds
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.select(
+            "event_type",
+            _epoch_seconds(ev, "ts").alias("ts_sec"),
+        )
+        .select(
+            "event_type", F.expr("ts_sec DIV 86400").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).cast("long").alias("rolling_7d"),
+    )
