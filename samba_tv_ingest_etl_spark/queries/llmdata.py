@@ -1085,3 +1085,124 @@ def q53_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_emails").cast("long").alias("n_emails_total"),
         F.max("n_emails").cast("long").alias("max_emails_per_doc"),
     )
+
+# ---------------------------------------------------------------- q58
+
+_PREP_ORACLE = rf"""
+WITH {_PII_SQL},
+dedup AS (
+  SELECT min(doc_id) AS doc_id, first(text) AS text
+  FROM corpus GROUP BY text
+),
+toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     t -> t <> '') AS toks
+  FROM dedup
+),
+stats AS (
+  SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars,
+         CASE WHEN len(toks) >= 2 THEN
+           len(toks) - 1
+           - len(list_distinct(list_transform(range(1, len(toks)),
+               i -> concat_ws(' ', toks[i], toks[i+1]))))
+         ELSE 0 END AS dup_bigrams,
+         CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END
+           AS total_bigrams,
+         len(regexp_extract_all(lower(text), '{_EMAIL_RE}'))
+           AS n_emails
+  FROM toks
+),
+kept AS (
+  SELECT doc_id, n_tokens, n_chars
+  FROM stats
+  WHERE n_tokens >= 50
+    AND n_emails = 0
+    AND dup_bigrams * 5 < total_bigrams
+),
+split AS (
+  SELECT *,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 100 AS bkt
+  FROM kept
+)
+SELECT CASE WHEN bkt < 90 THEN 'train'
+            WHEN bkt < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM split GROUP BY 1
+"""
+
+
+@query("q58_training_data_prep", oracle=_PREP_ORACLE)
+def q58_training_data_prep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end corpus preparation as ONE Catalyst plan: exact
+    dedup (min-id survivor) -> tokenize once -> quality gates
+    (length >= 50 tokens, duplicate-bigram fraction < 20%) -> PII
+    gate (zero email hits; q53's injected corpus keeps the gate
+    non-vacuous) -> deterministic 90/5/5 hash split -> per-split
+    token/char accounting. Every stage reuses an operator proven by
+    its own oracle query (q20/q52/q53/q42); composing them in one
+    plan is the point — no intermediate materialization, the
+    tokenize projection happens once, and Catalyst pipelines the
+    narrow gates into the scan side of the dedup shuffle."""
+    from ..operators.sampling import hash_split
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 40 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@test.org today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    dedup = docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    toks = dedup.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count(F.lower("text"), F.lit(_EMAIL_RE)).alias(
+            "n_emails"
+        ),
+        X.tokens(F.col("text")).alias("toks"),
+    )
+    stats = toks.select(
+        "doc_id",
+        "n_chars",
+        "n_emails",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.greatest(F.size("toks") - 1, F.lit(0)).alias(
+            "total_bigrams"
+        ),
+        (
+            F.greatest(F.size("toks") - 1, F.lit(0))
+            - F.size(X.word_shingles(F.col("toks"), 2))
+        ).alias("dup_bigrams"),
+    )
+    kept = stats.filter(
+        (F.col("n_tokens") >= 50)
+        & (F.col("n_emails") == 0)
+        & (F.col("dup_bigrams") * 5 < F.col("total_bigrams"))
+    )
+    return (
+        hash_split(kept, "doc_id", {"train": 90, "val": 5, "test": 5})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
