@@ -1206,3 +1206,55 @@ def q58_training_data_prep(
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+# ---------------------------------------------------------------- q59
+
+_FUZZY_ORACLE = f"""
+WITH {_PREFIX_SQL},
+keyed AS (
+  SELECT doc_id, substr(lower(text), 1, 12) AS blk,
+         substr(text, 1, 60) AS head
+  FROM corpus
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+FROM keyed a JOIN keyed b
+  ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 5
+"""
+
+
+@query("q59_fuzzy_blocked_match", oracle=_FUZZY_ORACLE)
+def q59_fuzzy_blocked_match(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Record-linkage-style fuzzy matching: block on a 12-char
+    lowercase prefix, then exact Levenshtein on 60-char heads within
+    each block. Blocking bounds the self-join to same-key pairs —
+    the standard O(n²)-avoidance for edit-distance joins (the
+    quadratic cost survives only inside a block, which dedup-shaped
+    data keeps tiny); distance runs on bounded 60-char heads so the
+    DP cost per pair is a constant, JVM-side (no UDF)."""
+    corpus = _prefix_corpus(spark, sf_dir)
+    keyed = corpus.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, 12).alias("blk"),
+        F.substring("text", 1, 60).alias("head"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein("a.head", "b.head")
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 5)
+    )
