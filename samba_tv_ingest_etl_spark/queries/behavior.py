@@ -141,3 +141,59 @@ def q51_cohort_retention(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
     )
+
+
+# ---------------------------------------------------------------- q60
+
+_REACH_CURVE_ORACLE = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+first_day AS (
+  SELECT user_id, min(day) AS day FROM ev GROUP BY 1
+),
+daily_new AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new_users
+  FROM first_day GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cumulative_reach
+FROM daily_new
+"""
+
+
+@query("q60_cumulative_reach_curve", oracle=_REACH_CURVE_ORACLE)
+def q60_cumulative_reach_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Campaign reach growth curve: cumulative DISTINCT users by day.
+    A naive rolling count-distinct re-scans every prefix; the
+    first-appearance rewrite (min day per user -> daily new-user
+    counts -> running sum) makes it one user-keyed aggregate plus a
+    window over ~days rows. The global window runs on day-grain data
+    (a few thousand rows for years), not events — the reach curve of
+    the reference's audience metrics extended to time series."""
+    ev = _ev_sec(spark, sf_dir).select(
+        "user_id", F.expr("ts_sec DIV 86400").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily_new = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias(
+            "cumulative_reach"
+        ),
+    )
