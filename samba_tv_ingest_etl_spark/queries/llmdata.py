@@ -1140,16 +1140,19 @@ FROM split GROUP BY 1
 def q58_training_data_prep(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """End-to-end corpus preparation as ONE Catalyst plan: exact
-    dedup (min-id survivor) -> tokenize once -> quality gates
-    (length >= 50 tokens, duplicate-bigram fraction < 20%) -> PII
-    gate (zero email hits; q53's injected corpus keeps the gate
-    non-vacuous) -> deterministic 90/5/5 hash split -> per-split
-    token/char accounting. Every stage reuses an operator proven by
-    its own oracle query (q20/q52/q53/q42); composing them in one
-    plan is the point — no intermediate materialization, the
-    tokenize projection happens once, and Catalyst pipelines the
-    narrow gates into the scan side of the dedup shuffle."""
+    """End-to-end corpus preparation as ONE Catalyst plan: per-doc
+    stats computed NARROWLY first (tokenize once, in the scan
+    stage), then exact dedup as a rank window over sha2(text) —
+    so the only wide exchange carries ~60-byte stat rows, never
+    document bytes (a groupBy(text) dedup-first formulation
+    measured 3x slower at sf0.1 purely from shuffling text) —
+    then quality gates (length >= 50 tokens, duplicate-bigram
+    fraction < 20%), PII gate (zero email hits; q53's injected
+    corpus keeps it non-vacuous), deterministic 90/5/5 hash split,
+    per-split token/char accounting. Every stage reuses an operator
+    proven by its own oracle query (q20/q52/q53/q42). Duplicate
+    docs pay tokenization twice — the right trade when the dup
+    fraction is small; flip stages for dup-heavy feeds."""
     from ..operators.sampling import hash_split
 
     docs = _documents(spark, sf_dir).select(
@@ -1168,11 +1171,9 @@ def q58_training_data_prep(
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    dedup = docs.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    toks = dedup.select(
+    toks = docs.select(
         "doc_id",
+        F.sha2("text", 256).alias("_h"),
         F.length("text").cast("long").alias("n_chars"),
         F.regexp_count(F.lower("text"), F.lit(_EMAIL_RE)).alias(
             "n_emails"
@@ -1181,6 +1182,7 @@ def q58_training_data_prep(
     )
     stats = toks.select(
         "doc_id",
+        "_h",
         "n_chars",
         "n_emails",
         F.size("toks").cast("long").alias("n_tokens"),
@@ -1192,7 +1194,13 @@ def q58_training_data_prep(
             - F.size(X.word_shingles(F.col("toks"), 2))
         ).alias("dup_bigrams"),
     )
-    kept = stats.filter(
+    w = Window.partitionBy("_h").orderBy("doc_id")
+    dedup = (
+        stats.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_h")
+    )
+    kept = dedup.filter(
         (F.col("n_tokens") >= 50)
         & (F.col("n_emails") == 0)
         & (F.col("dup_bigrams") * 5 < F.col("total_bigrams"))
