@@ -52,9 +52,15 @@ def delete_by_keys(
     """Survivors of ``DELETE WHERE (keys) IN keys_df`` — a LEFT ANTI
     join (NULL-safe difference is not needed: the reference's tuple-IN
     never matches NULL keys, and neither does the anti-join's
-    equality)."""
+    equality).
+
+    No broadcast hint: the key set is usually a daily increment (tiny),
+    but a multi-day backfill can make it arbitrarily large, and a
+    forced ``F.broadcast`` would collect it to the driver regardless.
+    AQE sizes the distinct key set at runtime and picks broadcast when
+    it actually fits (``spark.sql.adaptive.autoBroadcastJoinThreshold``)."""
     return target.join(
-        F.broadcast(keys_df.select(*keys).distinct()),
+        keys_df.select(*keys).distinct(),
         on=list(keys),
         how="left_anti",
     )

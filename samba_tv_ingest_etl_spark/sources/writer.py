@@ -50,11 +50,31 @@ def atomic_overwrite(
     jold = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(old)
     if fs.exists(jold):
         fs.delete(jold, True)
-    if fs.exists(jpath):
-        fs.rename(jpath, jold)
-    fs.rename(jtmp, jpath)
-    if fs.exists(jold):
-        fs.delete(jold, True)
+    # Hadoop FileSystem.rename signals failure by returning False, not
+    # by raising — a swallowed failure here could fall through to the
+    # cleanup delete and destroy the only remaining copy. Check every
+    # return and stop with __old__/__tmp__ intact for manual recovery.
+    had_prev = fs.exists(jpath)
+    if had_prev and not fs.rename(jpath, jold):
+        raise RuntimeError(
+            f"atomic_overwrite: rename {path} -> {old} failed; "
+            f"table untouched, new data committed at {tmp}"
+        )
+    if not fs.rename(jtmp, jpath):
+        raise RuntimeError(
+            f"atomic_overwrite: rename {tmp} -> {path} failed; "
+            + (
+                f"previous table preserved at {old}"
+                if had_prev
+                else "no previous table existed"
+            )
+            + f", new data committed at {tmp}"
+        )
+    if had_prev and not fs.delete(jold, True):
+        raise RuntimeError(
+            f"atomic_overwrite: swap committed but cleanup of {old} "
+            "failed; table is consistent, remove the directory manually"
+        )
 
 
 def overwrite_small(spark: SparkSession, rows, schema, path: str) -> None:
