@@ -329,7 +329,11 @@ def _assign_join(quantized: DataFrame, cdf: DataFrame,
 
 
 def kmeans_centroids(
-    quantized: DataFrame, k: int = 8, iters: int = 2, dim: int = 64
+    quantized: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    train_sample: tuple[int, int] | None = None,
 ) -> dict[int, list[int]]:
     """Deterministic integer Lloyd's over quantized vectors: init =
     the ``k`` lowest-``vec_id`` vectors (ids 0..k-1 in that order);
@@ -340,24 +344,36 @@ def kmeans_centroids(
     correctly-rounded IEEE, so DuckDB reproduces the centroids
     bit-for-bit from unrolled SQL.
 
-    The k*dim centroid table is driver-side tiny; at fleet scale the
-    training pass runs on a bounded sample (same determinism), while
-    assignment stays fully distributed.
+    ``train_sample=(num, den)`` trains on the deterministic hash
+    sample ``hash_bucket(vec_id, den) < num`` (``operators.sampling``)
+    instead of the full corpus — the standard IVF recipe: centroid
+    quality needs only a bounded sample, so the Lloyd scans stop
+    growing with the corpus while assignment (the caller's job) stays
+    fully distributed. The rule is a pure function of vec_id, so an
+    oracle reproduces the sampled training bit-for-bit.
+
+    The training set is persisted for the duration of the Lloyd loop
+    and unpersisted before returning (training is eager — the
+    centroids leave as plain Python ints, nothing lazy escapes).
 
     Each Lloyd step assigns via broadcast join against the centroid
     table (``_assign_join``), not the literal expression: the join's
     generated code is centroid-value-free, so whole-stage codegen is
     compiled once and reused across iterations (the literal form
     paid a fresh multi-second Janino compile per step)."""
+    from .sampling import stratified_sample
+
     spark = quantized.sparkSession
-    quantized = quantized.persist()  # scanned once per Lloyd step
-    seed = (
-        quantized.orderBy("vec_id").limit(k).select("q").collect()
-    )
+    train = quantized
+    if train_sample is not None:
+        num, den = train_sample
+        train = stratified_sample(train, "vec_id", num, den)
+    train = train.persist()  # scanned once per Lloyd step
+    seed = train.orderBy("vec_id").limit(k).select("q").collect()
     cents = {i: [int(v) for v in r["q"]] for i, r in enumerate(seed)}
     for _ in range(iters):
         assigned = _assign_join(
-            quantized, _centroid_df(spark, cents), keep=["q"]
+            train, _centroid_df(spark, cents), keep=["q"]
         )
         rows = (
             assigned.select(
@@ -378,6 +394,7 @@ def kmeans_centroids(
             cents.setdefault(int(r["cluster"]), [0] * dim)[
                 int(r["i"])
             ] = int(r["av"])
+    train.unpersist()
     return cents
 
 
@@ -397,6 +414,7 @@ def topk_ivf(
     iters: int = 2,
     nprobe: int = 2,
     dim: int = 64,
+    train_sample: tuple[int, int] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: train a deterministic k-means coarse
     quantizer, partition the corpus by nearest centroid, and probe
@@ -413,9 +431,12 @@ def topk_ivf(
     from pyspark.sql import Window
 
     spark = corpus_q.sparkSession
-    corpus_q = corpus_q.persist()  # training + final assignment
+    # no persist here: training manages (and releases) its own cache
+    # inside kmeans_centroids; after it returns eagerly, the corpus is
+    # scanned exactly once more for the final assignment.
     cents = kmeans_centroids(
-        corpus_q, k=n_centroids, iters=iters, dim=dim
+        corpus_q, k=n_centroids, iters=iters, dim=dim,
+        train_sample=train_sample,
     )
     cdf = _centroid_df(spark, cents)
     c = _assign_join(corpus_q, cdf, keep=["q", "norm2"]).select(

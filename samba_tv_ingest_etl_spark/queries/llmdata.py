@@ -694,6 +694,10 @@ def q26_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K = 8
 _IVF_ITERS = 2
 _IVF_NPROBE = 2
+# bounded-sample training: Lloyd steps see hash_bucket(vec_id, 4) < 1
+# (~25% of the corpus); assignment & probing stay full-corpus. The
+# rule is a pure function of vec_id -> the oracle reproduces it.
+_IVF_SAMPLE = (1, 4)
 
 
 def _ivf_dist_sql(qa: str, qc: str) -> str:
@@ -705,28 +709,41 @@ def _ivf_dist_sql(qa: str, qc: str) -> str:
 
 
 def _ivf_oracle() -> str:
-    """Unrolled deterministic k-means (init = k lowest vec_ids, 2
-    Lloyd steps, floor-average centroids) + nprobe=2 probing — the
-    whole trained index is reproduced in SQL, so even the
-    *approximate* trained ANN operator gets a full value-hash
-    check."""
+    """Unrolled deterministic k-means (init = k lowest SAMPLED
+    vec_ids, 2 Lloyd steps over the hash sample, floor-average
+    centroids) + nprobe=2 probing — the whole trained index is
+    reproduced in SQL, so even the *approximate* trained ANN operator
+    gets a full value-hash check. Training reads ``tquant`` (the
+    deterministic ~num/den hash sample mirroring
+    ``operators.sampling.hash_bucket``); the final index assignment
+    and probing read the full ``quant``."""
+    num, den = _IVF_SAMPLE
     parts = [
         _QUANT_SQL,
+        f"""
+tquant AS (
+  SELECT * FROM quant
+  WHERE CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % {den} < {num}
+)""",
         f"""
 cents0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
          q AS cq
-  FROM (SELECT vec_id, q FROM quant ORDER BY vec_id LIMIT {_IVF_K})
+  FROM (SELECT vec_id, q FROM tquant ORDER BY vec_id LIMIT {_IVF_K})
 )""",
     ]
     for it in range(_IVF_ITERS + 1):
+        # Lloyd steps (it < iters) assign the training sample; the
+        # last round (it == iters) is the full-corpus index assignment
+        src = "tquant" if it < _IVF_ITERS else "quant"
         parts.append(f"""
 a{it} AS (
   SELECT vec_id, q, norm2, c,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
   FROM (SELECT a.vec_id, a.q, a.norm2, s.c,
                {_ivf_dist_sql('a.q', 's.cq')} AS dist
-        FROM quant a, cents{it} s)
+        FROM {src} a, cents{it} s)
 ),
 m{it} AS (SELECT vec_id, q, norm2, c FROM a{it} WHERE rn = 1)""")
         if it < _IVF_ITERS:
@@ -788,7 +805,7 @@ def q32_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = topk_ivf(
         q, q.filter(F.col("vec_id") < 10),
         k=10, n_centroids=_IVF_K, iters=_IVF_ITERS,
-        nprobe=_IVF_NPROBE, dim=_DIM,
+        nprobe=_IVF_NPROBE, dim=_DIM, train_sample=_IVF_SAMPLE,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
