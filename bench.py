@@ -36,6 +36,8 @@ HEADLINE = [
     "q33_reach_frequency_rollup",
     "q39_asof_order_attribution",
     "q46_top_characteristic_terms",
+    "q48_dedup_components",
+    "q58_training_data_prep",
 ]
 
 

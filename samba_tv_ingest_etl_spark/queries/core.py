@@ -926,3 +926,271 @@ def q31_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "session_id",
         "session_start_ts", "session_end_ts", "total_duration",
     )
+
+
+# ------------------------------------------------------------- q61
+# day-by-day incremental DAG == one-shot backfill (SURVEY §5.2-3,
+# reference etl-dag.sql vs etl-ddl-backfill.sql). The property held
+# only in pytest until now; this promotes it to a driver-checked
+# oracle row: the Spark side REPLAYS the real five-task incremental
+# DAG one arrival-day at a time into a scratch warehouse, the oracle
+# computes the one-shot backfill in SQL, and the hash match pins
+# equivalence. Geo weights lead (published for all panel Mondays up
+# front) — the precondition under which the reference's incremental
+# is lossless (see test_late_geo_drops_events_quirk for the
+# divergence when it isn't).
+
+_INC_DAYS = 5       # first N arrival days of the events table
+_INC_THIN = 3       # keep event_id % THIN == 0 (bound DAG pass cost)
+_INC_HH = 50        # users -> households (hh_<user_id % _INC_HH>)
+_INC_CID = 4        # content ids (c<event_id % _INC_CID>)
+
+
+def _samba_feeds(spark: SparkSession, sf_dir: str):
+    """ACR/STB/geo feeds in the reference's raw shapes, derived
+    deterministically from the events table. Weak-key safe: one event
+    per (household, start second) so the incremental MERGE key
+    (smba_id, exposure_start_ts) never collides and the
+    incremental==backfill property is exact. Geo publishes every
+    (device, Monday) pair with exact-binary quarter weights."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    start = _epoch_seconds(ev, "ts")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        start.alias("exposure_start_ts"),
+        F.floor("value").cast("long").alias("duration"),
+        F.to_date(F.timestamp_seconds(start)).alias("metadata_date"),
+    )
+    mn = base.agg(F.min("metadata_date")).collect()[0][0]  # 1-row pull
+    base = base.filter(
+        (F.col("metadata_date") <= F.date_add(F.lit(mn), _INC_DAYS - 1))
+        & (F.col("event_id") % _INC_THIN == 0)
+    )
+    w = Window.partitionBy(
+        F.col("user_id") % _INC_HH, "exposure_start_ts"
+    ).orderBy("event_id")
+    base = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    d = F.col("metadata_date")
+    feed = base.select(
+        "event_id",
+        F.concat(F.lit("dev_"), F.col("user_id").cast("string")).alias(
+            "smba_id"
+        ),
+        F.lit("live").alias("content_type"),
+        F.col("event_type").alias("title"),
+        F.concat(
+            F.lit("c"), (F.col("event_id") % _INC_CID).cast("string")
+        ).alias("content_id"),
+        F.lit(None).cast("string").alias("episode_title"),
+        F.lit(None).cast("string").alias("season"),
+        F.lit(None).cast("string").alias("episode"),
+        F.lit("N1").alias("network"),
+        "duration",
+        "exposure_start_ts",
+        (F.col("exposure_start_ts") + F.col("duration")).alias(
+            "exposure_end_ts"
+        ),
+        (F.col("user_id") % 3).cast("string").alias("dma"),
+        F.lit(None).cast("string").alias("zip"),
+        "metadata_date",
+        F.year(d).cast("string").alias("yyyy"),
+        F.month(d).cast("string").alias("mm"),
+        F.dayofmonth(d).cast("string").alias("dd"),
+    )
+    acr = (
+        feed.filter(F.col("event_id") % 2 == 0)
+        .withColumn("application", F.lit("app_01"))
+        .drop("event_id")
+    )
+    stb = feed.filter(F.col("event_id") % 2 == 1).drop("event_id")
+
+    # geo: next Monday strictly after each event date, plus 28 days
+    # out, for every device — weights as exact binary quarters
+    nxt = F.date_add(d, (F.lit(7) - F.weekday(d)).cast("int"))
+    mondays = (
+        base.select(nxt.alias("m"))
+        .unionByName(base.select(F.date_add(nxt, 28).alias("m")))
+        .distinct()
+    )
+    geo = (
+        base.select("user_id")
+        .distinct()
+        .crossJoin(mondays)
+        .select(
+            F.col("m").alias("metadata_date"),
+            F.concat(
+                F.lit("hh_"), (F.col("user_id") % _INC_HH).cast("string")
+            ).alias("hh_id"),
+            F.concat(F.lit("dev_"), F.col("user_id").cast("string")).alias(
+                "smba_id"
+            ),
+            (((F.col("user_id") % 8) + 1) * F.lit(0.25)).alias("geo_weight"),
+        )
+    )
+    return acr, stb, geo
+
+
+@query(
+    "q61_incremental_equals_backfill",
+    oracle=f"""
+WITH base0 AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS exposure_start_ts,
+         CAST(floor(value) AS BIGINT) AS duration,
+         CAST(ts AS DATE) AS metadata_date
+  FROM events
+),
+base1 AS (
+  SELECT * FROM base0
+  WHERE metadata_date <= (SELECT min(metadata_date) + {_INC_DAYS - 1}
+                          FROM base0)
+    AND event_id % {_INC_THIN} = 0
+),
+base AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id % {_INC_HH}, exposure_start_ts
+      ORDER BY event_id) AS rn
+    FROM base1) t
+  WHERE rn = 1
+),
+feed AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'ACR' ELSE 'STB' END
+           AS source_table,
+         'dev_' || CAST(user_id AS VARCHAR) AS smba_id,
+         'live' AS content_type,
+         CASE WHEN event_id % 2 = 0 THEN 'app_01' END AS application,
+         event_type AS title,
+         'c' || CAST(event_id % {_INC_CID} AS VARCHAR) AS content_id,
+         'N1' AS network,
+         duration, exposure_start_ts,
+         exposure_start_ts + duration AS exposure_end_ts,
+         CAST(user_id % 3 AS VARCHAR) AS dma,
+         metadata_date, user_id
+  FROM base
+),
+mondays AS (
+  SELECT DISTINCT
+         metadata_date + CAST(8 - isodow(metadata_date) AS INTEGER) AS m
+  FROM base
+  UNION
+  SELECT DISTINCT
+         metadata_date + CAST(36 - isodow(metadata_date) AS INTEGER)
+  FROM base
+),
+attr AS (
+  SELECT f.*,
+         (SELECT max(m) FROM mondays
+          WHERE m > f.metadata_date AND m <= f.metadata_date + 28)
+           AS panel_monday
+  FROM feed f
+),
+weighted AS (
+  SELECT a.*,
+         'hh_' || CAST(a.user_id % {_INC_HH} AS VARCHAR) AS hh_id,
+         (CAST(a.user_id % 8 AS DOUBLE) + 1) * 0.25 AS panel_weight
+  FROM attr a
+  WHERE a.panel_monday IS NOT NULL
+),
+ids AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN gap IS NULL OR gap > 300 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY hh_id, title, content_id
+                    ORDER BY exposure_start_ts) AS BIGINT) AS session_id
+  FROM (
+    SELECT *,
+           exposure_start_ts - LAG(exposure_end_ts) OVER (
+             PARTITION BY hh_id, title, content_id
+             ORDER BY exposure_start_ts) AS gap
+    FROM weighted)
+),
+sess AS (
+  SELECT hh_id, title, content_id, source_table, application, dma,
+         network, panel_monday, panel_weight, session_id,
+         MIN(exposure_start_ts) AS session_start_ts,
+         MAX(exposure_end_ts) AS session_end_ts,
+         CAST(SUM(duration) AS BIGINT) AS total_duration
+  FROM ids
+  GROUP BY ALL
+  HAVING SUM(duration) >= 180
+)
+SELECT hh_id, title, content_id, source_table, application, dma,
+       network, CAST(panel_monday AS VARCHAR) AS panel_monday,
+       session_id, session_start_ts, session_end_ts, total_duration,
+       CAST(round(panel_weight * 4) AS BIGINT) AS panel_weight_q
+FROM sess
+""",
+)
+def q61_incremental_equals_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Replay the real incremental DAG (plans/incremental.py — the
+    reference's etl-dag.sql task graph) one arrival day at a time into
+    a scratch warehouse, then return the final viewing_sessions. The
+    oracle computes the ONE-SHOT backfill (etl-ddl-backfill.sql chain)
+    over the same feeds; the hash match is the
+    incremental == backfill contract (SURVEY §5.2-3).
+
+    The oracle inlines the geo join: geo carries every (device,
+    covering Monday) pair by construction, so the weighting LEFT JOIN
+    + NULL filters reduce to attaching the household/weight
+    expressions to every panel-attributed event — any divergence in
+    the engine's actual join/filter path still breaks the match."""
+    import os
+    import tempfile
+
+    from ..plans.backfill import Warehouse
+    from ..plans.incremental import run_incremental
+
+    root = tempfile.mkdtemp(prefix="q61_wh_")
+    acr, stb, geo = _samba_feeds(spark, sf_dir)
+    # land the feeds as files once (the raw layer IS files in the
+    # reference); every DAG task then scans parquet instead of
+    # re-deriving the feed expression per action
+    for name, df in [("acr", acr), ("stb", stb), ("geo", geo)]:
+        df.coalesce(1).write.parquet(os.path.join(root, f"feed_{name}"))
+    acr = spark.read.parquet(os.path.join(root, "feed_acr"))
+    stb = spark.read.parquet(os.path.join(root, "feed_stb"))
+    geo = spark.read.parquet(os.path.join(root, "feed_geo"))
+    days = sorted(
+        r[0]
+        for r in acr.select("metadata_date")
+        .unionByName(stb.select("metadata_date"))
+        .distinct()
+        .collect()
+    )
+    wh = Warehouse(spark, os.path.join(root, "wh"))
+    # the replay is dozens of tiny jobs; a vanilla session's 200
+    # shuffle partitions are pure scheduling overhead at fixture
+    # scale. Scope the override to the loop and restore.
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for day in days:
+            le = F.col("metadata_date") <= F.lit(day)
+            run_incremental(wh, acr.filter(le), stb.filter(le), geo)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    vs = wh.read("viewing_sessions")
+    return vs.select(
+        "hh_id", "title", "content_id", "source_table", "application",
+        "dma", "network",
+        F.col("panel_monday").cast("string").alias("panel_monday"),
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start_ts", "session_end_ts",
+        F.col("total_duration").cast("long").alias("total_duration"),
+        F.round(F.col("panel_weight") * 4).cast("long").alias(
+            "panel_weight_q"
+        ),
+    )

@@ -150,8 +150,46 @@ def test_multimodal_stub_and_plumbing(spark, docs):
     assert feats[1]["byte_sum"] == sum(payload)
     assert len(feats[1]["feature"]) == M.FEATURE_DIM
     assert sum(feats[1]["feature"]) == feats[1]["byte_sum"]
+    # no video codec exists anywhere; image only errors when PIL absent
     with pytest.raises(NotImplementedError):
-        M.decode_payload(b"xx", "image")
+        M.decode_payload(b"xx", "video")
+    if "image" not in M.available_codecs():
+        with pytest.raises(NotImplementedError):
+            M.decode_payload(b"xx", "image")
+
+
+def test_multimodal_real_image_codec(spark):
+    """Real-codec path: exercised only where PIL is installed (not in
+    this container — the stub boundary is then the tested path)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = Image.new("L", (4, 4), color=7)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+    feats = M.decode_payload(payload, "image")
+    # uniform gray 7: every resized pixel is 7 -> row sums are exact
+    assert feats == [7 * M.FEATURE_DIM] * M.FEATURE_DIM
+    media = spark.createDataFrame(
+        [(1, payload, "image", len(payload))], M.MEDIA_SCHEMA
+    )
+    out = M.extract_features(media, fake=False).collect()
+    assert out[0]["feature"] == feats
+
+
+def test_multimodal_real_audio_codec():
+    sf_mod = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    data = np.arange(-8, 8, dtype="int16")
+    sf_mod.write(buf, data, 16000, format="WAV", subtype="PCM_16")
+    feats = M.decode_payload(buf.getvalue(), "audio")
+    assert len(feats) == M.FEATURE_DIM
+    assert sum(feats) == int(np.abs(data.astype("int64")).sum())
 
 
 def test_language_id_on_clear_text(spark):
