@@ -23,6 +23,7 @@ from ..operators.panels import attribute_panels, panel_windows
 from ..operators.sessionize import sessionize
 from ..operators.union_events import raw_viewing_events
 from ..operators.weighting import weighted_events
+from ..sources.writer import append as writer_append
 from ..sources.writer import atomic_overwrite
 
 # sessionization spec (etl-ddl-backfill.sql:144,190-192)
@@ -36,18 +37,50 @@ SESSION_GROUP = [
 
 @dataclass
 class Warehouse:
+    """Directory-of-parquet-tables catalog (the Snowflake schema
+    analog).
+
+    ``layout`` opts tables into hive partitioning — the 100 TB
+    storage design: raw/weighted tables partition on
+    ``metadata_date`` so every watermark filter
+    (``metadata_date > wm``) prunes whole directories before I/O,
+    and ``viewing_sessions`` partitions on ``panel_monday`` so the
+    incremental DELETE+INSERT rewrites only the touched Mondays
+    (``overwrite_partitions``) instead of swapping the whole table.
+    Tradeoff, stated: the default (no layout) keeps the per-table
+    atomic swap; the partitioned backend has per-partition atomicity
+    (the standard Spark/Hive contract — the reference delegates the
+    equivalent to Snowflake DML).
+    """
+
     spark: SparkSession
     root: str
+    layout: dict[str, list[str]] | None = None
+
+    # the scale defaults; pass layout=SCALE_LAYOUT to opt in
+    SCALE_LAYOUT = {
+        "raw_viewing_events": ["metadata_date"],
+        "weighted_events": ["metadata_date"],
+        "viewing_sessions": ["panel_monday"],
+    }
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    def partitioning(self, table: str) -> list[str] | None:
+        return (self.layout or {}).get(table)
 
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
     def write(self, df: DataFrame, table: str,
               partition_by: list[str] | None = None) -> None:
-        atomic_overwrite(df, self.path(table), partition_by)
+        atomic_overwrite(
+            df, self.path(table), partition_by or self.partitioning(table)
+        )
+
+    def append(self, df: DataFrame, table: str) -> None:
+        writer_append(df, self.path(table), self.partitioning(table))
 
     def exists(self, table: str) -> bool:
         sc = self.spark.sparkContext

@@ -51,7 +51,6 @@ from ..operators.merge import delete_by_keys, merge_insert_only, semi_join_keys
 from ..operators.panels import attribute_panels, panel_windows
 from ..operators.union_events import raw_viewing_events
 from ..operators.weighting import weighted_events
-from ..sources.writer import append
 from .backfill import Warehouse, build_viewing_sessions
 from .dag import TaskDag
 
@@ -90,7 +89,7 @@ def update_panel_windows(wh: Warehouse, geo_weights: DataFrame) -> int:
     )
     n = delta.count()
     if n:
-        append(delta, wh.path("panel_windows"))
+        wh.append(delta, "panel_windows")
     return n
 
 
@@ -112,7 +111,7 @@ def update_raw_events(wh: Warehouse, acr: DataFrame, stb: DataFrame) -> int:
     )
     n = delta.count()
     if n:
-        append(delta, wh.path("raw_viewing_events"))
+        wh.append(delta, "raw_viewing_events")
     return n
 
 
@@ -147,7 +146,7 @@ def update_weighted_events(wh: Warehouse, geo_weights: DataFrame) -> int:
     )
     n = delta.count()
     if n:
-        append(delta, wh.path("weighted_events"))
+        wh.append(delta, "weighted_events")
     return n
 
 
@@ -155,7 +154,24 @@ def update_viewing_sessions(wh: Warehouse) -> int:
     """Task 4 (``etl-dag.sql:86-124``): affected-key recompute.
     Find touched (hh_id, title, content_id) groups -> DELETE their
     sessions -> re-sessionize those groups from ALL their weighted
-    events -> INSERT."""
+    events -> INSERT.
+
+    Two storage strategies, selected by the Warehouse layout:
+
+    - default: DELETE + INSERT commit together as ONE atomic table
+      swap — stronger than the reference's two statements, same
+      result; but the swap rewrites the whole table every pass.
+    - ``viewing_sessions`` partitioned on ``panel_monday``
+      (``Warehouse.SCALE_LAYOUT``): rewrite ONLY the touched
+      Mondays. A session's ``panel_monday`` is a grouping column
+      carried from its group's weighted events, so every existing
+      or recomputed session of an affected group lives under a
+      Monday present in that group's events — the affected-partition
+      set is a DISTINCT over the (already-computed) affected slice,
+      no extra scan of the sessions table. At 100 TB this turns the
+      daily pass from a full-table rewrite into a handful of
+      directory rewrites.
+    """
     wm = read_watermark(wh, "raw_events_update")
     if not wh.exists("weighted_events"):
         return 0
@@ -172,21 +188,61 @@ def update_viewing_sessions(wh: Warehouse) -> int:
         new_sessions = build_viewing_sessions(affected_events).withColumn(
             "created_at", F.current_timestamp()
         )
-        if wh.exists("viewing_sessions"):
-            survivors = delete_by_keys(
-                wh.read("viewing_sessions"), keys, AFFECTED_KEYS
+        if not wh.exists("viewing_sessions"):
+            n_new = new_sessions.count()
+            wh.write(new_sessions, "viewing_sessions")
+            return n_new
+        if wh.partitioning("viewing_sessions") == ["panel_monday"]:
+            return _update_sessions_partitioned(
+                wh, keys, affected_events, new_sessions
             )
-            # DELETE + INSERT commit together as one atomic table swap
-            # — stronger than the reference's two statements, same
-            # result.
-            out = survivors.unionByName(new_sessions)
-        else:
-            out = new_sessions
+        survivors = delete_by_keys(
+            wh.read("viewing_sessions"), keys, AFFECTED_KEYS
+        )
+        out = survivors.unionByName(new_sessions)
         n_new = new_sessions.count()
         wh.write(out, "viewing_sessions")
         return n_new
     finally:
         keys.unpersist()
+
+
+def _update_sessions_partitioned(
+    wh: Warehouse,
+    keys: DataFrame,
+    affected_events: DataFrame,
+    new_sessions: DataFrame,
+) -> int:
+    """Partition-scoped DELETE+INSERT on the ``panel_monday`` hive
+    layout: read only the affected Mondays (directory-pruned scan),
+    anti-join out the affected groups' old sessions, union the
+    recomputed ones, dynamic-partition-overwrite exactly those
+    Mondays. Mondays whose every session belonged to an affected
+    group and got none back are cleared explicitly
+    (``expected_partitions``) — dynamic overwrite alone cannot
+    delete a partition it writes no rows to."""
+    from ..sources.writer import overwrite_partitions
+
+    mondays = sorted(
+        r[0]
+        for r in affected_events.select("panel_monday").distinct().collect()
+        if r[0] is not None
+    )
+    if not mondays:
+        return 0
+    existing = wh.read("viewing_sessions").filter(
+        F.col("panel_monday").isin(mondays)
+    )
+    survivors = delete_by_keys(existing, keys, AFFECTED_KEYS)
+    out = survivors.unionByName(new_sessions)
+    n_new = new_sessions.count()
+    overwrite_partitions(
+        out,
+        wh.path("viewing_sessions"),
+        ["panel_monday"],
+        expected_partitions=mondays,
+    )
+    return n_new
 
 
 def update_control_table(

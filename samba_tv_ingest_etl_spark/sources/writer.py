@@ -77,6 +77,73 @@ def atomic_overwrite(
         )
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    expected_partitions: list | None = None,
+) -> None:
+    """Replace ONLY the hive partitions present in ``df``, leaving
+    every other partition's files untouched (Spark's dynamic
+    partition-overwrite mode). This is the 100 TB mutation path: a
+    daily incremental pass that touches 2 of 500 ``panel_monday``
+    partitions rewrites those 2 directories, not the table.
+
+    ``expected_partitions``: single-column mode only — partition
+    values the caller knows it logically rewrote. Any expected value
+    with NO row in ``df`` (every row of that partition was deleted)
+    is cleared explicitly, because dynamic overwrite can only replace
+    partitions it writes; an absent partition would otherwise keep
+    its stale files and resurrect deleted rows.
+
+    Atomicity is per-partition (the standard Spark/Hive contract),
+    not per-table like ``atomic_overwrite`` — the tradeoff is
+    documented at the Warehouse layer, which keeps the atomic-swap
+    path as the default backend.
+    """
+    if expected_partitions and len(partition_by) != 1:
+        raise ValueError("expected_partitions needs a single partition column")
+    spark = df.sparkSession
+    written = None
+    if expected_partitions:
+        # The rewrite plan typically READS the table it overwrites
+        # (survivors ∪ recomputed). localCheckpoint materializes the
+        # output slice (bounded: the affected partitions only) and
+        # cuts the lineage, so neither the write nor the
+        # written-partition probe below can re-read files the commit
+        # replaces. Blocks are RDD-owned -> freed by the
+        # ContextCleaner, no CacheManager leak.
+        df = df.localCheckpoint(eager=True)
+        col = partition_by[0]
+        written = {r[0] for r in df.select(col).distinct().collect()}
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    if expected_partitions:
+        col = partition_by[0]
+        fs, _ = _fs(spark, path)
+        jvm = spark.sparkContext._jvm
+        for val in expected_partitions:
+            if val in written:
+                continue
+            # hive dir name uses the partition value's string form
+            sub = jvm.org.apache.hadoop.fs.Path(
+                path.rstrip("/") + f"/{col}={val}"
+            )
+            if fs.exists(sub) and not fs.delete(sub, True):
+                raise RuntimeError(
+                    f"overwrite_partitions: failed to clear emptied "
+                    f"partition {col}={val} under {path}"
+                )
+
+
 def overwrite_small(spark: SparkSession, rows, schema, path: str) -> None:
     """Overwrite a tiny control table (task_control is 2 rows —
     reference etl-dag.sql:136-142) from driver-side rows."""
