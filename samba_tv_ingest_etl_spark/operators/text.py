@@ -174,6 +174,49 @@ def text_quality(
     )
 
 
+def token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bpe_chars_per_piece: int = 4,
+) -> DataFrame:
+    """Token counting for data budgeting: whitespace tokens plus a
+    BPE-ish subword estimate — each word contributes
+    ``ceil(len / bpe_chars_per_piece)`` pieces (the ~4-chars-per-
+    subword heuristic of byte-pair vocabularies), so long rare words
+    cost proportionally more, matching how real tokenizers behave
+    without shipping a merges table into the JVM.
+
+    Returns (``doc_id``, ``n_tokens``, ``bpe_est_tokens``,
+    ``chars_per_token_ppm``). Pure whole-stage-codegen expressions;
+    the per-word piece count runs inside one ``aggregate`` HOF over
+    the materialized token array (no explode, no shuffle)."""
+    df = df.select(id_col, tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    n_tokens = F.size(toks)
+    pieces = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.ceil(F.length(t) / F.lit(bpe_chars_per_piece)).cast("long"),
+    )
+    token_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return df.select(
+        id_col,
+        n_tokens.cast("long").alias("n_tokens"),
+        pieces.alias("bpe_est_tokens"),
+        F.when(
+            n_tokens > 0,
+            F.floor(token_chars * F.lit(1_000_000) / n_tokens),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("chars_per_token_ppm"),
+    )
+
+
 def language_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

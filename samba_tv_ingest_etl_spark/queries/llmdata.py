@@ -1303,3 +1303,173 @@ def q59_fuzzy_blocked_match(
         )
         .filter(F.col("edit_dist") <= 5)
     )
+
+
+# ---------------------------------------------------------------- q62
+
+_DECON_NGRAM = 5
+_DECON_MIN_SHARED = 3
+
+
+@query(
+    "q62_benchmark_decontamination",
+    oracle=rf"""
+WITH evals AS (
+  SELECT doc_id AS eval_id,
+         substr(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
+  FROM documents WHERE doc_id % 20 = 0
+),
+td AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+sd AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {_DECON_NGRAM} THEN
+           list_distinct(list_transform(
+             range(1, len(toks) - {_DECON_NGRAM - 2}),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                            toks[i+3], toks[i+4])))
+         ELSE CAST([] AS VARCHAR[]) END AS sh
+  FROM td
+),
+te AS (
+  SELECT eval_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     t -> t <> '') AS toks
+  FROM evals
+),
+se AS (
+  SELECT eval_id,
+         CASE WHEN len(toks) >= {_DECON_NGRAM} THEN
+           list_distinct(list_transform(
+             range(1, len(toks) - {_DECON_NGRAM - 2}),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                            toks[i+3], toks[i+4])))
+         ELSE CAST([] AS VARCHAR[]) END AS sh
+  FROM te
+),
+xd AS (SELECT doc_id, unnest(sh) AS g FROM sd),
+xe AS (SELECT eval_id, unnest(sh) AS g FROM se)
+SELECT xd.doc_id, xe.eval_id,
+       CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM xd JOIN xe ON xd.g = xe.g
+GROUP BY xd.doc_id, xe.eval_id
+HAVING count(*) >= {_DECON_MIN_SHARED}
+""",
+)
+def q62_benchmark_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >=
+    {min_shared} distinct 5-grams with an eval set (here: 80%
+    prefixes of every 20th doc — planted positives, plus whatever
+    natural near-dups cross the line). Eval side broadcast — the
+    corpus never shuffles (operators/contamination.py)."""
+    from ..operators.contamination import contamination
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    evals = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.expr(
+            "substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))"
+        ).alias("text"),
+    )
+    return contamination(
+        docs, evals, ngram=_DECON_NGRAM, min_shared=_DECON_MIN_SHARED
+    )
+
+
+# ---------------------------------------------------------------- q63
+
+_BOILER_CHUNK = 8
+_BOILER_MIN_DF = 2
+
+
+@query(
+    "q63_boilerplate_chunks",
+    oracle=rf"""
+WITH {_PREFIX_SQL},
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+chunked AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(floor(len(toks) / {_BOILER_CHUNK}) AS INT)),
+           i -> array_to_string(
+             toks[(i*{_BOILER_CHUNK}+1):(i*{_BOILER_CHUNK}+{_BOILER_CHUNK})],
+             ' ')) AS chunks
+  FROM toks
+  WHERE len(toks) >= {_BOILER_CHUNK}
+),
+inst AS (SELECT doc_id, unnest(chunks) AS chunk FROM chunked),
+dfs AS (
+  SELECT chunk FROM (SELECT DISTINCT doc_id, chunk FROM inst)
+  GROUP BY chunk HAVING count(*) >= {_BOILER_MIN_DF}
+),
+marked AS (
+  SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_boiler_chunks
+  FROM inst i JOIN dfs d ON i.chunk = d.chunk
+  GROUP BY i.doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM inst
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_chunks,
+       CAST(COALESCE(m.n_boiler_chunks, 0) AS BIGINT) AS n_boiler_chunks,
+       CAST(floor(COALESCE(m.n_boiler_chunks, 0) * 1000000.0 / t.n_chunks)
+            AS BIGINT) AS boiler_ppm
+FROM totals t LEFT JOIN marked m ON t.doc_id = m.doc_id
+""",
+)
+def q63_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection over fixed-width token chunks on the
+    prefix-copy corpus (planted near-dups guarantee df >= 2 chunks).
+    The df count shuffles sha2 digests, never chunk text
+    (operators/contamination.py)."""
+    from ..operators.contamination import boilerplate_chunks
+
+    return boilerplate_chunks(
+        _prefix_corpus(spark, sf_dir),
+        chunk=_BOILER_CHUNK,
+        min_df=_BOILER_MIN_DF,
+    )
+
+
+# ---------------------------------------------------------------- q64
+
+
+@query(
+    "q64_token_stats",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(list_sum(list_transform(toks,
+              t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0) AS BIGINT)
+         AS bpe_est_tokens,
+       CASE WHEN len(toks) > 0 THEN
+         CAST(floor(COALESCE(list_sum(list_transform(toks,
+                t -> length(t))), 0) * 1000000.0 / len(toks)) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS chars_per_token_ppm
+FROM toks
+""",
+)
+def q64_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for data budgeting: whitespace tokens + BPE-ish
+    subword estimate (ceil(len/4) pieces per word) — one aggregate
+    HOF over the materialized token array, no explode, no shuffle
+    (operators/text.token_stats)."""
+    return X.token_stats(_documents(spark, sf_dir))
