@@ -163,3 +163,117 @@ def extract_features(
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32, fake: bool = True
+) -> DataFrame:
+    """Image resize over ``mapInPandas`` — payload in, transformed
+    payload out, 1:1 rows, no shuffle. Real path (``fake=False``,
+    needs PIL): decode, resize to ``width``x``height``, re-encode
+    PNG. Fake path: deterministic byte stride-sample to
+    ``width*height`` bytes — same schema, same batch shape, same
+    downstream contract, so swapping in the codec changes nothing
+    but pixels. Non-image rows pass through untouched (a pipeline
+    resizes what it can and preserves the rest)."""
+
+    def _resize_one(payload: bytes, media_type: str) -> bytes:
+        if media_type != "image":
+            return payload
+        if not fake:
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload))
+            buf = io.BytesIO()
+            img.resize((width, height)).save(buf, format="PNG")
+            return buf.getvalue()
+        target = width * height
+        if len(payload) <= target:
+            return payload
+        stride = len(payload) / target
+        return bytes(payload[int(i * stride)] for i in range(target))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _resize_one(p, m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                    "n_bytes": [len(p) for p in out],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, fake: bool = True
+) -> DataFrame:
+    """Video frame sampling over ``mapInPandas`` — the 1:N fan-out
+    shape (one row in, ``n_frames`` rows out) that a real
+    ``av``-based sampler uses; non-video rows are dropped. Real
+    decode needs a container/codec lib that is not in this
+    environment, so ``fake=False`` raises ``NotImplementedError``
+    at the same boundary as ``decode_payload``; the fake path
+    splits the payload into ``n_frames`` contiguous byte segments
+    (deterministic, schema-identical).
+
+    Scale: fan-out multiplies rows, not bytes-per-row; Arrow batch
+    streaming keeps peak memory at one input batch + its frames.
+    Downstream per-frame feature extraction stays shuffle-free."""
+    if not fake:
+        raise NotImplementedError(
+            "no video container codec available; install av and route "
+            "through decode_payload's codec registry"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for d, p, m in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if m != "video" or len(p) == 0:
+                    continue
+                step = max(1, len(p) // n_frames)
+                for k in range(min(n_frames, len(p))):
+                    ids.append(d)
+                    idxs.append(k)
+                    frames.append(bytes(p[k * step:(k + 1) * step]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "n_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)

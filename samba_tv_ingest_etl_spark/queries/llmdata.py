@@ -1473,3 +1473,73 @@ def q64_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     HOF over the materialized token array, no explode, no shuffle
     (operators/text.token_stats)."""
     return X.token_stats(_documents(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- q65
+
+_RESIZE_W = 32
+_RESIZE_H = 32
+_N_FRAMES = 4
+
+
+@query(
+    "q65_multimodal_resize_frames",
+    oracle=f"""
+WITH media AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+           AS media_type
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CAST(CASE WHEN media_type = 'image'
+                 THEN least(n, {_RESIZE_W * _RESIZE_H}) ELSE n END
+            AS BIGINT) AS resized_bytes,
+       CAST(CASE WHEN media_type = 'video'
+                 THEN least({_N_FRAMES}, n) ELSE 0 END
+            AS BIGINT) AS n_frames,
+       CAST(CASE WHEN media_type = 'video'
+                 THEN least({_N_FRAMES}, n) *
+                      (CASE WHEN n >= {_N_FRAMES}
+                            THEN n // {_N_FRAMES} ELSE 1 END)
+                 ELSE 0 END
+            AS BIGINT) AS frame_bytes
+FROM media
+""",
+)
+def q65_multimodal_resize_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multimodal transform plumbing: resize (1:1 payload transform)
+    and video frame sampling (1:N fan-out), both Arrow-batched
+    mapInPandas with deterministic byte-level fakes behind the codec
+    boundary. The oracle checks the SIZE arithmetic of both
+    transforms — the part expressible without the codec — so the
+    batch shapes, fan-out row counts, and pass-through rules are all
+    pinned."""
+    from ..operators.multimodal import (
+        attach_payload,
+        resize_images,
+        sample_frames,
+    )
+
+    media = attach_payload(_documents(spark, sf_dir))
+    resized = resize_images(media, _RESIZE_W, _RESIZE_H).select(
+        "doc_id", "media_type", F.col("n_bytes").alias("resized_bytes")
+    )
+    frames = (
+        sample_frames(media, _N_FRAMES)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("n_bytes").cast("long").alias("frame_bytes"),
+        )
+    )
+    return resized.join(frames, "doc_id", "left").select(
+        "doc_id",
+        "media_type",
+        "resized_bytes",
+        F.coalesce("n_frames", F.lit(0)).cast("long").alias("n_frames"),
+        F.coalesce("frame_bytes", F.lit(0)).cast("long").alias("frame_bytes"),
+    )

@@ -204,3 +204,48 @@ def test_language_id_on_clear_text(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc_id"]: r["lang_pred"] for r in X.language_id(df).collect()}
     assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "zh", 6: "und"}
+
+
+def test_resize_images_fake_path(spark):
+    rows = [
+        (1, b"x" * 5000, "image", 5000),
+        (2, b"y" * 100, "image", 100),   # already under target
+        (3, b"z" * 5000, "audio", 5000), # non-image passes through
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["doc_id"]: r for r in M.resize_images(media, 32, 32).collect()}
+    assert out[1]["n_bytes"] == 32 * 32 and len(out[1]["payload"]) == 1024
+    assert out[2]["n_bytes"] == 100
+    assert bytes(out[3]["payload"]) == b"z" * 5000
+
+
+def test_sample_frames_fan_out(spark):
+    rows = [
+        (1, bytes(range(100)), "video", 100),
+        (2, b"img", "image", 3),  # dropped: not video
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    frames = sorted(
+        M.sample_frames(media, n_frames=4).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["doc_id"] for r in frames] == [1, 1, 1, 1]
+    assert [r["n_bytes"] for r in frames] == [25, 25, 25, 25]
+    assert bytes(frames[1]["frame"]) == bytes(range(25, 50))
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(media, fake=False)
+
+
+def test_resize_images_real_codec(spark):
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = Image.new("L", (64, 64), color=9)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, buf.getvalue(), "image", len(buf.getvalue()))], M.MEDIA_SCHEMA
+    )
+    out = M.resize_images(media, 8, 8, fake=False).collect()[0]
+    back = Image.open(io.BytesIO(bytes(out["payload"])))
+    assert back.size == (8, 8)
