@@ -1194,3 +1194,93 @@ def q61_incremental_equals_backfill(
             "panel_weight_q"
         ),
     )
+
+
+# ------------------------------------------------------------- q66
+# Streaming exactly-once at row granularity + finalized window
+# emission, pinned to a batch oracle like q31: a replayed-file
+# duplicate stream must produce the same daily counts as batch
+# DISTINCT + GROUP BY.
+
+
+@query(
+    "q66_streaming_dedup_window_counts",
+    oracle="""
+WITH src AS (
+  SELECT event_id, event_type, ts FROM events
+  UNION ALL
+  SELECT event_id, event_type, ts FROM events WHERE event_id % 10 = 0
+),
+ded AS (SELECT DISTINCT event_id, event_type, ts FROM src),
+win AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS wd,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM ded GROUP BY 1, 2
+)
+SELECT event_type, CAST(wd AS VARCHAR) AS window_start, n_events
+FROM win
+""",
+)
+def q66_streaming_dedup_window_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream/batch parity for the ingest-dedup + rollup chain:
+    ``dropDuplicatesWithinWatermark`` (bounded state row dedup — the
+    row-level twin of the load ledger's file idempotency) feeding a
+    watermarked tumbling-day aggregation in append mode (windows
+    emit exactly once, finalized). The staged stream replays every
+    10th event in a second file — the overlapping-file scenario the
+    reference's COPY skip-loaded handles at file granularity. A
+    far-future sentinel advances the watermark so every real window
+    finalizes; its own window never emits (q31 pattern)."""
+    import os
+    import tempfile
+
+    from ..streaming.dedup import dedup_stream, windowed_counts
+    from ..streaming.ingest import read_feed_stream
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "ts")
+    tmp = tempfile.mkdtemp(prefix="q66_")
+    stage = os.path.join(tmp, "stage")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    ev.coalesce(1).write.parquet(stage)
+    # the replayed file: every 10th event again (same rows)
+    ev.filter(F.col("event_id") % 10 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    # sentinel: one far-future row to push the watermark past all
+    # real windows (never emitted itself — its window stays open)
+    far_ns = (ev.agg(F.max("ts")).collect()[0][0] or 0) + 10**15
+    spark.createDataFrame(
+        [(-1, "__sentinel__", far_ns)], ev.schema
+    ).coalesce(1).write.mode("append").parquet(stage)
+
+    stream = read_feed_stream(spark, stage, ev.schema)
+    deduped = dedup_stream(
+        stream, keys=["event_id", "event_type", "ts"], ts_col="ts",
+        lateness="1 hour",
+    )
+    counts = windowed_counts(
+        deduped, ts_col="_event_time", window="1 day",
+        keys=["event_type"], lateness=None,  # watermark set by dedup
+    )
+    (
+        counts.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    ).awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            "event_type",
+            F.to_date("window_start").cast("string").alias("window_start"),
+            "n_events",
+        )
+    )

@@ -66,21 +66,28 @@ def windowed_counts(
     ts_col: str,
     window: str,
     keys: list[str] | None = None,
-    lateness: str = "10 minutes",
+    lateness: str | None = "10 minutes",
     aggs: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Event-time tumbling-window aggregation with late-data handling:
     rows later than ``lateness`` are dropped, and in append output
     mode a window emits exactly once, when the watermark passes its
     end. Default aggregate is ``n_events``; pass ``aggs`` (alias ->
-    summable expression) for more."""
+    summable expression) for more.
+
+    ``lateness=None`` declares NO watermark here — required when an
+    upstream stateful operator (e.g. ``dedup_stream``) already set
+    one: Spark disallows redefining the watermark mid-chain, and the
+    upstream declaration propagates through."""
     df, et = _event_time(stream, ts_col)
     aggs = aggs or {}
     exprs = [F.count(F.lit(1)).cast("long").alias("n_events")] + [
         e.alias(a) for a, e in aggs.items()
     ]
+    if lateness is not None:
+        df = df.withWatermark(et, lateness)
     return (
-        df.withWatermark(et, lateness)
+        df
         .groupBy(F.window(et, window), *(keys or []))
         .agg(*exprs)
         .select(
