@@ -35,9 +35,12 @@ Scale: each task reads only the watermark slice (partition pruning on
 ``metadata_date`` when raw tables are date-partitioned); the affected
 keys set is DISTINCT over that slice — broadcast into both the DELETE
 anti-join and the recompute semi-join. The recompute shuffles only the
-affected groups. The plain-parquet DELETE rewrites ``viewing_sessions``
-once per pass; swap the Warehouse to a Delta backend for file-level
-deletes without touching this module.
+affected groups. With the default flat layout the DELETE rewrites
+``viewing_sessions`` once per pass (atomic swap); with
+``Warehouse.SCALE_LAYOUT`` the pass rewrites ONLY the touched
+``panel_monday`` partitions (``_update_sessions_partitioned``) — the
+100 TB path. A Delta backend would slot into the same Warehouse seam
+for file-level deletes.
 """
 
 from __future__ import annotations
