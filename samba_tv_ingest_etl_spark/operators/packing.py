@@ -1,0 +1,97 @@
+"""Sequence packing for LLM training: assign documents to fixed-size
+token windows ("concat the corpus, chunk every ``seq_len`` tokens"),
+the layout step between a curated corpus and a training dataloader.
+
+The core primitive is a GLOBAL exclusive prefix sum over a stable
+order — the naive ``SUM() OVER (ORDER BY ...)`` with no partition key
+collapses onto a single reducer, so ``global_cumsum`` uses the same
+two-phase shape as ``text.vocab_ranks``: range-repartition on the
+order key, local window per partition, then partition TOTALS (one
+long per partition to the driver) become broadcast offsets. Scales to
+any corpus size; the only driver traffic is #partitions longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_cumsum", "pack_sequences"]
+
+
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    out_col: str = "cum_before",
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in ``order_col`` order
+    (first row gets 0), computed without a global single-partition
+    window. ``order_col`` must be unique (it is the total order)."""
+    spark = df.sparkSession
+    srt = df.repartitionByRange(F.col(order_col))
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(order_col)
+    local = srt.withColumn("_pid", F.spark_partition_id()).withColumn(
+        out_col,
+        F.coalesce(
+            F.sum(F.col(value_col).cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    local = local.localCheckpoint(eager=True)  # totals + result read it
+    counts = sorted(
+        (r["_pid"], r["_t"])
+        for r in local.groupBy("_pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("_t"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in counts:
+        offsets.append((pid, acc))
+        acc += int(t or 0)
+    if not offsets:
+        return local.drop("_pid")
+    off = spark.createDataFrame(offsets, ["_pid", "_off"])
+    return (
+        local.join(F.broadcast(off), "_pid")
+        .withColumn(out_col, F.col(out_col) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk packing: lay documents end to end in
+    ``order_col`` order and cut every ``seq_len`` tokens. Returns one
+    row per (non-empty) document with its placement:
+    (``order_col``, ``n_tokens``, ``start_offset``, ``seq_first``,
+    ``seq_last``, ``n_seqs``) — a doc spanning a cut belongs to
+    every sequence it crosses (``n_seqs`` > 1), exactly what a
+    packed dataloader needs to locate it."""
+    nonempty = docs.filter(F.col(token_col) > 0)
+    placed = global_cumsum(
+        nonempty, token_col, order_col, out_col="start_offset"
+    )
+    # integer DIV throughout: double division drifts past 2^53
+    placed = placed.withColumn(
+        "_end", F.col("start_offset") + F.col(token_col).cast("long") - 1
+    )
+    return (
+        placed.select(
+            order_col,
+            F.col(token_col).cast("long").alias("n_tokens"),
+            "start_offset",
+            F.expr(f"start_offset DIV {seq_len}").alias("seq_first"),
+            F.expr(f"_end DIV {seq_len}").alias("seq_last"),
+        )
+        .withColumn(
+            "n_seqs",
+            (F.col("seq_last") - F.col("seq_first") + 1).cast("long"),
+        )
+    )

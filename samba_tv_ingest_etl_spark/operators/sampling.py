@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .sketch import portable_hash60
 
-__all__ = ["hash_bucket", "hash_split", "stratified_sample"]
+__all__ = ["hash_bucket", "hash_split", "mixture_rates", "mixture_sample", "stratified_sample"]
 
 
 def hash_bucket(col: Column | str, n_buckets: int) -> Column:
@@ -69,3 +69,81 @@ def stratified_sample(
     key satisfies the bucket predicate, so the same sample is
     reproducible in any engine)."""
     return df.filter(hash_bucket(key, den) < F.lit(num))
+
+
+def mixture_rates(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, int],
+    token_col: str,
+    den: int = 10_000,
+    default_weight: int = 1,
+) -> DataFrame:
+    """Down-sample each source to hit a target mixture: given integer
+    target ``weights`` per source, keep the LARGEST corpus whose
+    per-source token shares match the weights — the binding source
+    (smallest available/weight ratio) is kept whole and every other
+    source is deterministically hash-sampled down.
+
+    All arithmetic is integer (engine-exact, oracle-able): the
+    binding ratio is ``m = min_s(avail_s * den DIV w_s)`` and each
+    source keeps keys with ``hash_bucket(key, den) < keep_den_s``
+    where ``keep_den_s = min(den, m * w_s DIV avail_s)``. Appends
+    ``keep_den`` and filters. Products stay under int64 for corpora
+    up to ~10^14 tokens at the default ``den`` (raise a ValueError
+    beyond that rather than silently wrapping — non-ANSI mode).
+    Scale shape: per-source totals are a tiny aggregate broadcast
+    back onto the corpus; the sample itself is a narrow hash filter
+    — no corpus shuffle anywhere.
+    """
+    w = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s, F.lit(int(wt)))
+            for s, wt in weights.items()
+        ],
+        F.lit(int(default_weight)),
+    ) if weights else F.lit(int(default_weight))
+    avail = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("_avail")
+    ).withColumn("_w", w)
+    # tiny (one row per source) but derived from a full-corpus scan —
+    # materialize once; read by the overflow probe, m, and rates
+    avail = avail.localCheckpoint(eager=True)
+    if avail.agg(
+        F.max(F.col("_avail") * F.lit(den) < 0).alias("_ovf")
+    ).collect()[0][0]:
+        raise ValueError("avail * den overflows int64; lower den")
+    m = avail.select(
+        F.min(F.expr(f"_avail * {den} DIV _w")).alias("_m")
+    )
+    return avail.crossJoin(F.broadcast(m)).select(
+        source_col,
+        F.col("_avail").alias("avail_tokens"),
+        F.least(
+            F.lit(den).cast("long"),
+            F.expr("_m * _w DIV _avail"),
+        ).alias("keep_den"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, int],
+    token_col: str,
+    key_col: str,
+    den: int = 10_000,
+    default_weight: int = 1,
+    rates: DataFrame | None = None,
+) -> DataFrame:
+    """Apply ``mixture_rates``: keep rows whose key hashes under the
+    source's ``keep_den``. The appended ``keep_den`` column reports
+    the rate the row survived. Pass a precomputed ``rates`` to avoid
+    re-running the per-source totals scan."""
+    if rates is None:
+        rates = mixture_rates(
+            df, source_col, weights, token_col, den, default_weight
+        )
+    return df.join(
+        F.broadcast(rates.select(source_col, "keep_den")), source_col
+    ).filter(hash_bucket(key_col, den) < F.col("keep_den"))

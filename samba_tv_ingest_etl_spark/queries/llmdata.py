@@ -1543,3 +1543,133 @@ def q65_multimodal_resize_frames(
         F.coalesce("n_frames", F.lit(0)).cast("long").alias("n_frames"),
         F.coalesce("frame_bytes", F.lit(0)).cast("long").alias("frame_bytes"),
     )
+
+
+# ---------------------------------------------------------------- q67
+
+_SEQ_LEN = 256
+
+
+@query(
+    "q67_sequence_packing",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+                '{_TOKEN_RE}'), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ne AS (SELECT * FROM toks WHERE n_tokens > 0),
+placed AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_offset
+  FROM ne
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {_SEQ_LEN} AS seq_first,
+       (start_offset + n_tokens - 1) // {_SEQ_LEN} AS seq_last,
+       (start_offset + n_tokens - 1) // {_SEQ_LEN}
+         - start_offset // {_SEQ_LEN} + 1 AS n_seqs
+FROM placed
+""",
+)
+def q67_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay the corpus end to end
+    in doc_id order, cut every {seq_len} tokens, report each doc's
+    placement (start offset, first/last sequence, span). The global
+    exclusive prefix sum runs two-phase (range partitions + offset
+    broadcast, operators/packing.py) — the oracle's naive
+    ORDER-BY-everything window is exactly the single-reducer plan
+    the operator avoids."""
+    from ..operators.packing import pack_sequences
+
+    docs = _documents(spark, sf_dir)
+    toked = docs.select(
+        "doc_id",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(toked, seq_len=_SEQ_LEN)
+
+
+# ---------------------------------------------------------------- q68
+
+_MIX_W = {"src0": 4, "src1": 2}
+_MIX_DEN = 10_000
+
+
+@query(
+    "q68_data_mixture_sample",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+                '{_TOKEN_RE}'), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+avail AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens,
+         CAST(CASE WHEN source = 'src0' THEN 4
+                   WHEN source = 'src1' THEN 2
+                   ELSE 1 END AS BIGINT) AS w
+  FROM toks GROUP BY 1
+),
+mm AS (SELECT min(avail_tokens * {_MIX_DEN} // w) AS m FROM avail),
+rates AS (
+  SELECT source, avail_tokens,
+         least({_MIX_DEN}, m * w // avail_tokens) AS keep_den
+  FROM avail, mm
+),
+kept AS (
+  SELECT t.source,
+         CAST(count(*) AS BIGINT) AS kept_docs,
+         CAST(sum(t.n_tokens) AS BIGINT) AS kept_tokens
+  FROM toks t JOIN rates r USING (source)
+  WHERE ('0x' || substr(sha256(CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % {_MIX_DEN} < r.keep_den
+  GROUP BY 1
+)
+SELECT r.source, r.avail_tokens,
+       CAST(r.keep_den AS BIGINT) AS keep_den,
+       CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM rates r LEFT JOIN kept k USING (source)
+""",
+)
+def q68_data_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture construction: keep the largest corpus whose
+    per-source token shares match the target weights (src0:4, src1:2,
+    rest 1) — the binding source stays whole, the others are
+    deterministically hash-downsampled (operators/sampling.py
+    mixture_sample; integer-exact, so the oracle reproduces every
+    kept doc). Checked output is the per-source accounting."""
+    from ..operators.sampling import mixture_rates, mixture_sample
+
+    docs = _documents(spark, sf_dir)
+    toked = docs.select(
+        "doc_id",
+        "source",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    rates = mixture_rates(
+        toked, "source", _MIX_W, token_col="n_tokens", den=_MIX_DEN
+    )
+    kept = mixture_sample(
+        toked, "source", _MIX_W, token_col="n_tokens",
+        key_col="doc_id", den=_MIX_DEN, rates=rates,
+    )
+    per = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+    )
+    # rates (not the survivors) carry keep_den: a source whose every
+    # doc hashes out still reports its true rate, like the oracle
+    return rates.join(per, "source", "left").select(
+        "source",
+        F.col("avail_tokens").cast("long").alias("avail_tokens"),
+        F.col("keep_den").cast("long").alias("keep_den"),
+        F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+    )

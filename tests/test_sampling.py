@@ -51,3 +51,60 @@ def test_sample_rate_and_determinism(spark):
     n, k = docs.count(), len(ids1)
     assert 0 < k < n
     assert abs(k / n - 0.1) < 0.08  # small SF -> loose bound
+
+
+def test_mixture_sample_binding_source_kept_whole(spark):
+    # src_a: 100 tokens w=2, src_b: 400 tokens w=1 -> binding is
+    # src_a (100/2 < 400/1): keep all of a, b sampled to ~50 tokens
+    rows = [(i, "src_a", 10) for i in range(10)] + [
+        (100 + i, "src_b", 10) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    from samba_tv_ingest_etl_spark.operators.sampling import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    rates = {
+        r["source"]: (r["avail_tokens"], r["keep_den"])
+        for r in mixture_rates(
+            df, "source", {"src_a": 2}, token_col="n_tokens", den=1000
+        ).collect()
+    }
+    # m = min(100*1000//2, 400*1000//1) = 50000
+    # a: min(1000, 50000*2//100) = 1000; b: 50000*1//400 = 125
+    assert rates == {"src_a": (100, 1000), "src_b": (400, 125)}
+    kept = mixture_sample(
+        df, "source", {"src_a": 2}, token_col="n_tokens",
+        key_col="doc_id", den=1000,
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert by_src["src_a"] == 10          # binding source kept whole
+    assert 0 < by_src.get("src_b", 0) < 40  # others downsampled
+
+
+def test_mixture_sample_deterministic(spark):
+    rows = [(i, "s", 5) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    from samba_tv_ingest_etl_spark.operators.sampling import mixture_sample
+
+    a = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(7), "source", {}, token_col="n_tokens",
+            key_col="doc_id",
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(3), "source", {}, token_col="n_tokens",
+            key_col="doc_id",
+        ).collect()
+    )
+    assert a == b  # partitioning-independent (hash of key, not rand)
