@@ -56,29 +56,33 @@ def connected_components(
         .distinct()
     )
     sym = sym.persist()
-    labels = sym.select("n").distinct().withColumn(
-        "component", F.col("n")
-    )
-    prev_sum = None
-    for _ in range(max_iter):
-        labels = labels.localCheckpoint()
-        cur = labels.agg(
-            F.sum(F.col("component").cast("long"))
-        ).collect()[0][0]
-        if prev_sum is not None and cur == prev_sum:
-            sym.unpersist()
-            return labels.select(
-                F.col("n").alias("node"), "component"
-            )
-        prev_sum = cur
-        neigh = sym.join(
-            labels.withColumnRenamed("n", "m"), "m"
-        ).select("n", "component")
-        labels = (
-            labels.unionByName(neigh)
-            .groupBy("n")
-            .agg(F.min("component").alias("component"))
+    try:
+        labels = sym.select("n").distinct().withColumn(
+            "component", F.col("n")
         )
-    raise RuntimeError(
-        f"connected_components: no fixed point in {max_iter} rounds"
-    )
+        prev_sum = None
+        for _ in range(max_iter):
+            labels = labels.localCheckpoint()
+            cur = labels.agg(
+                F.sum(F.col("component").cast("long"))
+            ).collect()[0][0]
+            if prev_sum is not None and cur == prev_sum:
+                return labels.select(
+                    F.col("n").alias("node"), "component"
+                )
+            prev_sum = cur
+            neigh = sym.join(
+                labels.withColumnRenamed("n", "m"), "m"
+            ).select("n", "component")
+            labels = (
+                labels.unionByName(neigh)
+                .groupBy("n")
+                .agg(F.min("component").alias("component"))
+            )
+        raise RuntimeError(
+            f"connected_components: no fixed point in {max_iter} rounds"
+        )
+    finally:
+        # labels is checkpointed (RDD-owned) before every sym read, so
+        # unpersisting here never strands the returned plan
+        sym.unpersist()

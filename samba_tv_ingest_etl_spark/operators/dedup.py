@@ -240,7 +240,7 @@ def minhash_signatures(
         # shingled feeds both the exploded hash side and the final
         # rejoin; unpersisted, concurrent first reads of the plan
         # would re-run the shingling per stage
-        shingled = shingled.persist()
+        shingled = shingled.localCheckpoint(eager=True)
         ex = shingled.select("doc_id", F.explode("shingles").alias("s"))
         h = F.pmod(
             F.conv(
@@ -277,7 +277,7 @@ def minhash_signatures(
         )
     elif hash_mode == "rank":
         # read 3x below (vocab, explode, rejoin) — persist once
-        shingled = shingled.persist()
+        shingled = shingled.localCheckpoint(eager=True)
         vocab = vocab_ranks(
             shingled.select(F.explode("shingles").alias("token"))
         )
@@ -326,7 +326,7 @@ def minhash_lsh_pairs(
     persisted signatures (3x faster end-to-end, and at 100 TB the
     wide-row shuffle it removes is the dominant cost)."""
     rows = num_perm // bands
-    signed = signed.persist()  # banded self-join + two shingle joins
+    signed = signed.localCheckpoint(eager=True)  # banded self-join + two shingle joins; GC-owned
     banded = signed.select(
         "doc_id",
         F.posexplode(
@@ -439,7 +439,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("band", "key"),
-    ).persist()  # self-joined below — avoid recomputing fingerprints
+    ).localCheckpoint(eager=True)  # self-joined below — avoid recomputing fingerprints; GC-owned
     a = banded.select(
         F.col("doc_id").alias("doc_a"),
         F.col("fingerprint").alias("fp_a"),

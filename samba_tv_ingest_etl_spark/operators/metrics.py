@@ -66,7 +66,7 @@ def reach_frequency_rollup(
             F.max(hh_weight_col).alias("_hh_weight"),
             F.count(F.lit(1)).alias("_hh_sessions"),
         )
-        .persist()
+        .localCheckpoint(eager=True)  # RDD-owned: freed by GC, no cache leak
     )
     dim_schema = {
         f.name: f.dataType for f in metrics.select(*dims).schema.fields

@@ -112,7 +112,7 @@ def vocab_ranks(
             )
         )
         .alias("_local_rank"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     counts = sorted(
         (r["_pid"], r["_n"])
         for r in part_rank.groupBy("_pid")

@@ -69,7 +69,7 @@ def q41_kmv_distinct_sketch(
     per = SK.kmv_sketch(
         ev, keys=["event_type"], col="user_id", k=_K
     )
-    per.persist()  # reused by the merge; tiny (5 rows x k longs)
+    per = per.localCheckpoint(eager=True)  # reused by merge; tiny (5 rows x k longs), GC-owned
     total = SK.kmv_merge(per, keys=[], k=_K).select(
         F.lit("*all*").alias("event_type"),
         "sketch_size",

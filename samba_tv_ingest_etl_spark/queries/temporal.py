@@ -209,7 +209,7 @@ def q47_session_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = viewing_events(spark, sf_dir).select(
         "event_id", "user_id", "start_ts"
     )
-    sess.persist()  # reused: join input + left re-attach
+    sess = sess.localCheckpoint(eager=True)  # reused: join input + re-attach; GC-owned
     hits = (
         interval_join(
             pts,
