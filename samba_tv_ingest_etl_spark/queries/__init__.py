@@ -38,6 +38,13 @@ _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Size shuffles for the local run: AQE coalesces batch shuffles
+    # anyway, but streaming microbatches bypass AQE, so a vanilla
+    # session's 200 partitions become 200 tasks per tiny batch in the
+    # streaming parity queries. Every checked output is
+    # partitioning-independent by construction (hash-stable keys,
+    # two-phase ranks), so this is purely a scheduling-cost knob.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

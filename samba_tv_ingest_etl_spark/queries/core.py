@@ -1038,9 +1038,7 @@ def _samba_feeds(spark: SparkSession, sf_dir: str):
     return acr, stb, geo
 
 
-@query(
-    "q61_incremental_equals_backfill",
-    oracle=f"""
+_INC_EQ_ORACLE = f"""
 WITH base0 AS (
   SELECT event_id, user_id, event_type,
          CAST(floor(epoch(ts)) AS BIGINT) AS exposure_start_ts,
@@ -1127,23 +1125,15 @@ SELECT hh_id, title, content_id, source_table, application, dma,
        session_id, session_start_ts, session_end_ts, total_duration,
        CAST(round(panel_weight * 4) AS BIGINT) AS panel_weight_q
 FROM sess
-""",
-)
-def q61_incremental_equals_backfill(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Replay the real incremental DAG (plans/incremental.py — the
-    reference's etl-dag.sql task graph) one arrival day at a time into
-    a scratch warehouse, then return the final viewing_sessions. The
-    oracle computes the ONE-SHOT backfill (etl-ddl-backfill.sql chain)
-    over the same feeds; the hash match is the
-    incremental == backfill contract (SURVEY §5.2-3).
+"""
 
-    The oracle inlines the geo join: geo carries every (device,
-    covering Monday) pair by construction, so the weighting LEFT JOIN
-    + NULL filters reduce to attaching the household/weight
-    expressions to every panel-attributed event — any divergence in
-    the engine's actual join/filter path still breaks the match."""
+
+def _incremental_replay(
+    spark: SparkSession, sf_dir: str, layout: dict | None
+) -> DataFrame:
+    """Shared body of q61/q69: replay the incremental DAG day by day
+    into a scratch warehouse with the given storage layout, return
+    the final viewing_sessions projected for the oracle compare."""
     import os
     import tempfile
 
@@ -1167,7 +1157,7 @@ def q61_incremental_equals_backfill(
         .distinct()
         .collect()
     )
-    wh = Warehouse(spark, os.path.join(root, "wh"))
+    wh = Warehouse(spark, os.path.join(root, "wh"), layout=layout)
     # the replay is dozens of tiny jobs; a vanilla session's 200
     # shuffle partitions are pure scheduling overhead at fixture
     # scale. Scope the override to the loop and restore.
@@ -1193,6 +1183,43 @@ def q61_incremental_equals_backfill(
         F.round(F.col("panel_weight") * 4).cast("long").alias(
             "panel_weight_q"
         ),
+    )
+
+
+@query("q61_incremental_equals_backfill", oracle=_INC_EQ_ORACLE)
+def q61_incremental_equals_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Replay the real incremental DAG (plans/incremental.py — the
+    reference's etl-dag.sql task graph) one arrival day at a time into
+    a scratch warehouse, then return the final viewing_sessions. The
+    oracle computes the ONE-SHOT backfill (etl-ddl-backfill.sql chain)
+    over the same feeds; the hash match is the
+    incremental == backfill contract (SURVEY §5.2-3).
+
+    The oracle inlines the geo join: geo carries every (device,
+    covering Monday) pair by construction, so the weighting LEFT JOIN
+    + NULL filters reduce to attaching the household/weight
+    expressions to every panel-attributed event — any divergence in
+    the engine's actual join/filter path still breaks the match."""
+    return _incremental_replay(spark, sf_dir, layout=None)
+
+
+@query("q69_incremental_partitioned_backend", oracle=_INC_EQ_ORACLE)
+def q69_incremental_partitioned_backend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q61's DAG replay on the PARTITION-SCOPED storage backend
+    (Warehouse.SCALE_LAYOUT): raw/weighted tables hive-partitioned on
+    metadata_date (watermark filters prune directories), and the
+    affected-key recompute rewrites only the touched panel_monday
+    partitions via dynamic partition overwrite instead of swapping
+    the whole table. Same oracle as q61 — the two storage strategies
+    must be indistinguishable at the results layer."""
+    from ..plans.backfill import Warehouse
+
+    return _incremental_replay(
+        spark, sf_dir, layout=Warehouse.SCALE_LAYOUT
     )
 
 
