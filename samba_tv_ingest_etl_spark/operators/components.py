@@ -57,9 +57,13 @@ def connected_components(
     )
     sym = sym.persist()
     try:
-        labels = sym.select("n").distinct().withColumn(
-            "component", F.col("n")
-        )
+        # seed with min(self, neighbors) — one groupBy instead of the
+        # identity labeling, equivalent to running the first
+        # propagation round for free (same fixed point, one less
+        # join+groupBy iteration)
+        labels = sym.groupBy("n").agg(
+            F.min("m").alias("_mn")
+        ).select("n", F.least("n", "_mn").alias("component"))
         prev_sum = None
         for _ in range(max_iter):
             labels = labels.localCheckpoint()
