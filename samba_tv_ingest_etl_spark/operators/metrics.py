@@ -66,7 +66,8 @@ def reach_frequency_rollup(
             F.max(hh_weight_col).alias("_hh_weight"),
             F.count(F.lit(1)).alias("_hh_sessions"),
         )
-        .localCheckpoint(eager=True)  # RDD-owned: freed by GC, no cache leak
+        .persist()  # CacheManager entry (visible plan, InMemoryTableScan
+        # reuse assertable); bounded: |hh| rows per query invocation
     )
     dim_schema = {
         f.name: f.dataType for f in metrics.select(*dims).schema.fields

@@ -178,3 +178,25 @@ def test_overwrite_partitions_leaves_unlisted(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(path).collect()
     }
     assert rows == {(7, "a"), (2, "b")}
+
+
+def test_overwrite_partitions_clears_emptied_date_partition(spark, tmp_path):
+    """Partition values that are DATEs: the cleanup path builds the
+    hive dir name from str(value) — 'col=2025-06-02' — which must
+    match what Spark wrote."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    d1, d2 = dt.date(2025, 6, 2), dt.date(2025, 6, 9)
+    spark.createDataFrame(
+        [(1, d1), (2, d2)], ["id", "day"]
+    ).write.partitionBy("day").parquet(path)
+    overwrite_partitions(
+        spark.createDataFrame([(9, d1)], ["id", "day"]),
+        path,
+        ["day"],
+        expected_partitions=[d1, d2],
+    )
+    assert not os.path.exists(os.path.join(path, f"day={d2}"))
+    rows = [(r["id"], r["day"]) for r in spark.read.parquet(path).collect()]
+    assert rows == [(9, d1)]
