@@ -1311,3 +1311,88 @@ def q66_streaming_dedup_window_counts(
             "n_events",
         )
     )
+
+
+# ------------------------------------------------------------- q70
+# Stream-stream interval join == batch range join. Events split by
+# id parity into an "impression" stream and a "conversion" stream;
+# conversions attribute to same-user impressions within 1 hour.
+# Timestamps are truncated to whole seconds BEFORE staging: Spark
+# stream event time is microsecond-precision while the DuckDB oracle
+# compares nanoseconds — second-truncated inputs make the interval
+# arithmetic identical in both engines.
+
+
+@query(
+    "q70_stream_stream_attribution",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+le AS (SELECT * FROM base WHERE event_id % 2 = 0),
+re AS (SELECT * FROM base WHERE event_id % 2 = 1)
+SELECT l.user_id, l.event_id, r.event_id AS r_event_id,
+       CAST(r.sec - l.sec AS BIGINT) AS delay_s
+FROM le l JOIN re r
+  ON l.user_id = r.user_id
+ AND r.sec >= l.sec AND r.sec <= l.sec + 3600
+""",
+)
+def q70_stream_stream_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two live streams joined with bounded state
+    (streaming/join.py): both sides watermarked, the mandatory
+    time-range bound makes buffered state evictable. Inner matches
+    emit as they occur, so draining both staged file streams with
+    availableNow yields the complete batch-range-join result — the
+    oracle is the plain SQL range join."""
+    import os
+    import tempfile
+
+    from ..streaming.ingest import read_feed_stream
+    from ..streaming.join import stream_stream_interval_join
+
+    raw = _events(spark, sf_dir)
+    sec = _epoch_seconds(raw, "ts")
+    # second-truncated nanos: both engines then compare identical
+    # whole-second interval arithmetic
+    ev = raw.select(
+        "event_id",
+        "user_id",
+        (sec * F.lit(1_000_000_000)).cast("long").alias("ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="q70_")
+    stage_l = os.path.join(tmp, "l")
+    stage_r = os.path.join(tmp, "r")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(stage_l)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(stage_r)
+
+    lstream = read_feed_stream(spark, stage_l, ev.schema)
+    rstream = read_feed_stream(spark, stage_r, ev.schema)
+    joined = stream_stream_interval_join(
+        lstream, rstream, on=["user_id"], left_ts="ts", right_ts="ts",
+        max_delay="1 hour",
+    )
+    result = joined.select(
+        "user_id",
+        "event_id",
+        F.col("r_event_id").alias("r_event_id"),
+        (
+            F.unix_timestamp("r__event_time")
+            - F.unix_timestamp("_event_time")
+        ).cast("long").alias("delay_s"),
+    )
+    (
+        result.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    ).awaitTermination()
+    return spark.read.parquet(out)
