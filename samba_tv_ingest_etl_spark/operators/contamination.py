@@ -109,27 +109,23 @@ def boilerplate_chunks(
         .filter(F.col("df") >= min_df)
         .select("cid")
     )
-    marked = inst.join(dfs, "cid", "left_semi")
-    per_doc = marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_boiler_chunks")
+    # flag-join instead of semi-join + second aggregation: every doc's
+    # totals and boilerplate counts come out of ONE doc_id shuffle
+    marked = inst.join(
+        dfs.withColumn("_hot", F.lit(1)), "cid", "left"
     )
-    totals = inst.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_chunks")
-    )
-    return (
-        totals.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_chunks",
-            F.coalesce("n_boiler_chunks", F.lit(0))
-            .cast("long")
-            .alias("n_boiler_chunks"),
-            F.floor(
-                F.coalesce("n_boiler_chunks", F.lit(0))
-                * F.lit(1_000_000)
-                / F.col("n_chunks")
-            )
-            .cast("long")
-            .alias("boiler_ppm"),
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.coalesce("_hot", F.lit(0))).cast("long").alias(
+            "n_boiler_chunks"
+        ),
+    ).select(
+        "doc_id",
+        "n_chunks",
+        "n_boiler_chunks",
+        F.floor(
+            F.col("n_boiler_chunks") * F.lit(1_000_000) / F.col("n_chunks")
         )
+        .cast("long")
+        .alias("boiler_ppm"),
     )
