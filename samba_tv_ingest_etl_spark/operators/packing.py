@@ -78,20 +78,20 @@ def pack_sequences(
     placed = global_cumsum(
         nonempty, token_col, order_col, out_col="start_offset"
     )
-    # integer DIV throughout: double division drifts past 2^53
+    # integer DIV throughout: double division drifts past 2^53; all
+    # input columns pass through (callers sort by derived keys and
+    # still need their ids)
     placed = placed.withColumn(
         "_end", F.col("start_offset") + F.col(token_col).cast("long") - 1
     )
     return (
-        placed.select(
-            order_col,
-            F.col(token_col).cast("long").alias("n_tokens"),
-            "start_offset",
-            F.expr(f"start_offset DIV {seq_len}").alias("seq_first"),
-            F.expr(f"_end DIV {seq_len}").alias("seq_last"),
+        placed.withColumn(
+            "seq_first", F.expr(f"start_offset DIV {seq_len}")
         )
+        .withColumn("seq_last", F.expr(f"_end DIV {seq_len}"))
         .withColumn(
             "n_seqs",
             (F.col("seq_last") - F.col("seq_first") + 1).cast("long"),
         )
+        .drop("_end")
     )

@@ -1591,7 +1591,10 @@ def q67_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    return pack_sequences(toked, seq_len=_SEQ_LEN)
+    return pack_sequences(toked, seq_len=_SEQ_LEN).select(
+        "doc_id", "n_tokens", "start_offset",
+        "seq_first", "seq_last", "n_seqs",
+    )
 
 
 # ---------------------------------------------------------------- q68
@@ -1672,4 +1675,74 @@ def q68_data_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_den").cast("long").alias("keep_den"),
         F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
         F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+    )
+
+
+# ---------------------------------------------------------------- q71
+
+
+@query(
+    "q71_shuffled_sequence_packing",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+                '{_TOKEN_RE}'), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ne AS (SELECT * FROM toks WHERE n_tokens > 0),
+ordd AS (
+  SELECT doc_id, n_tokens,
+         upper(lpad(format('{{:x}}',
+           ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         ), 16, '0')) || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS ord
+  FROM ne
+),
+placed AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_offset
+  FROM ordd
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {_SEQ_LEN} AS seq_first,
+       (start_offset + n_tokens - 1) // {_SEQ_LEN} AS seq_last,
+       (start_offset + n_tokens - 1) // {_SEQ_LEN}
+         - start_offset // {_SEQ_LEN} + 1 AS n_seqs
+FROM placed
+""",
+)
+def q71_shuffled_sequence_packing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The canonical last step of a training-data pipeline:
+    DETERMINISTIC corpus shuffle (order by a stable key hash —
+    reproducible across runs, engines, and partitionings, unlike
+    orderBy(rand)) composed with concat-then-chunk packing. The sort
+    key is padded hex(hash) + padded doc_id, a lexicographic total
+    order even under hash collisions. Same two-phase cumsum as q67 —
+    the range partitioner just sees the hash order instead of
+    doc_id order."""
+    from ..operators.packing import pack_sequences
+    from ..operators.sketch import portable_hash60
+
+    docs = _documents(spark, sf_dir)
+    toked = docs.select(
+        "doc_id",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    ordered = toked.withColumn(
+        "ord",
+        F.concat(
+            F.lpad(F.hex(portable_hash60(F.col("doc_id"))), 16, "0"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        ),
+    )
+    return pack_sequences(
+        ordered, seq_len=_SEQ_LEN, order_col="ord"
+    ).select(
+        "doc_id", "n_tokens", "start_offset",
+        "seq_first", "seq_last", "n_seqs",
     )
