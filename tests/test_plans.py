@@ -210,3 +210,35 @@ def test_pii_scan_stays_jvm_side(spark, registry):
     plan = plan_of(registry["q53_pii_scan"](spark, SF_DIR))
     assert "Python" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_decontamination_single_exchange_eval_broadcast(spark, registry):
+    """q62: the corpus side never shuffles for the match — the eval
+    n-gram side broadcasts, and the only exchange is the final
+    per-(doc, eval) count."""
+    plan = plan_of(registry["q62_benchmark_decontamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 1, f"expected 1 exchange, got {n_ex}"
+    assert "Python" not in plan
+
+
+def test_boilerplate_shuffles_digests_not_text(spark, registry):
+    """q63: every hash exchange carries doc ids / sha2 digests — the
+    chunk text column never appears in an exchange's partitioning
+    keys (the shuffle payload is what kills full-text groupBys)."""
+    plan = plan_of(registry["q63_boilerplate_chunks"](spark, SF_DIR))
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 3, f"expected 3 exchanges, got {n_ex}"
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "_chunk" not in keys and "chunk#" not in keys, keys
+
+
+def test_mixture_sample_no_corpus_shuffle(spark, registry):
+    """q68: the kept-rows path is a broadcast-rates join + narrow hash
+    filter; hash exchanges exist only for the tiny per-source
+    aggregates, never keyed on doc_id."""
+    plan = plan_of(registry["q68_data_mixture_sample"](spark, SF_DIR))
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "doc_id" not in keys, keys
+    assert "BroadcastHashJoin" in plan
