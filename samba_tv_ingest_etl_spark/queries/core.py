@@ -1396,3 +1396,108 @@ def q70_stream_stream_attribution(
         .start()
     ).awaitTermination()
     return spark.read.parquet(out)
+
+
+# ------------------------------------------------------------- q72
+# Built-in session_window streaming variant, pinned to its own batch
+# oracle. Semantics DIFFER from the reference sessionizer (q13/q14/
+# q31): session_window merges events whose [ts, ts+gap) windows
+# overlap — the gap is measured start-to-start (break when
+# ts - prev_ts >= gap), while the reference measures start vs
+# previous END and breaks strictly above the gap. Both variants are
+# part of the engine's streaming surface; each is pinned to the
+# matching oracle so the difference is explicit, not accidental.
+
+
+@query(
+    "q72_streaming_session_window",
+    oracle=f"""
+WITH {_BASE_CTE},
+lagged AS (
+  SELECT user_id, event_type, start_ts, duration_s,
+         LAG(start_ts) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY start_ts, event_id) AS prev_start
+  FROM base
+),
+ids AS (
+  SELECT *, CAST(SUM(CASE WHEN prev_start IS NULL
+                          OR start_ts - prev_start >= {GAP_SECONDS}
+                          THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id, event_type
+                   ORDER BY start_ts, prev_start) AS BIGINT) AS sid
+  FROM lagged
+)
+SELECT user_id, event_type,
+       CAST(min(start_ts) AS BIGINT) AS window_start,
+       CAST(max(start_ts) + {GAP_SECONDS} AS BIGINT) AS window_end,
+       CAST(sum(duration_s) AS BIGINT) AS total_duration,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ids
+GROUP BY user_id, event_type, sid
+HAVING sum(duration_s) >= {MIN_TOTAL_DURATION}
+""",
+)
+def q72_streaming_session_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark's built-in session_window over a staged file stream,
+    append mode: a session finalizes when the watermark passes its
+    end. One far-future sentinel advances the global watermark so
+    every real session emits (q31/q66 pattern); the sentinel's own
+    window stays open and is filtered by key."""
+    import os
+    import tempfile
+
+    from ..streaming.ingest import read_feed_stream
+    from ..streaming.sessionize import sessionize_stream_window
+
+    ev = viewing_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.timestamp_seconds("start_ts").alias("et"),
+        "duration_s",
+    )
+    tmp = tempfile.mkdtemp(prefix="q72_")
+    stage = os.path.join(tmp, "stage")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    ev.coalesce(1).write.parquet(stage)
+    far = ev.agg(
+        F.max(F.unix_timestamp("et"))
+    ).collect()[0][0] + GAP_SECONDS + 1_000_000
+    spark.createDataFrame(
+        [(-1, "__sentinel__", None, 0)], ev.schema
+    ).withColumn("et", F.timestamp_seconds(F.lit(far))).select(
+        ev.columns
+    ).coalesce(1).write.mode("append").parquet(stage)
+
+    stream = read_feed_stream(spark, stage, ev.schema)
+    sessions = sessionize_stream_window(
+        stream,
+        key_cols=["user_id", "event_type"],
+        time_col="et",
+        duration_col="duration_s",
+        gap_seconds=GAP_SECONDS,
+        min_total_duration=MIN_TOTAL_DURATION,
+    )
+    (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    ).awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("window_start").alias("window_start"),
+            F.unix_timestamp("window_end").alias("window_end"),
+            F.col("total_duration").cast("long").alias("total_duration"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
