@@ -193,3 +193,31 @@ def write_clustered(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed catalog table: pre-shuffle the data into
+    ``num_buckets`` hash buckets on ``bucket_cols`` at WRITE time, so
+    every later join or aggregation on those columns skips its
+    exchange entirely (the scan reports the bucketing as its output
+    partitioning). This is the co-located-join answer for repeated
+    fact-to-fact joins at 100 TB: pay the shuffle once when the table
+    lands, never again per query.
+
+    Needs the session catalog (``saveAsTable``) — bucketing metadata
+    lives there, not in the parquet files; a plain ``.parquet(path)``
+    write silently drops it. ``sort_cols`` additionally sorts within
+    buckets (merge-friendly reads + tight row-group stats)."""
+    w = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w = w.bucketBy(num_buckets, *bucket_cols)
+    w = w.sortBy(*(sort_cols or bucket_cols))
+    w.saveAsTable(table)

@@ -94,3 +94,57 @@ def test_windowed_counts_finalize_and_drop_late(spark, tmp_path):
     w1_start = float(_BASE + w1)
     assert by_start.get(w1_start) == 2, by_start
     assert len([s for s in by_start if s == w1_start]) == 1
+
+
+def test_dedup_stream_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB streaming path keeps state off-heap in RocksDB
+    (changelog-checkpointed on real clusters). Same dedup semantics,
+    different provider — results must be identical to the default
+    HDFS-backed store."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from samba_tv_ingest_etl_spark.streaming.dedup import dedup_stream
+    from samba_tv_ingest_etl_spark.streaming.ingest import read_feed_stream
+
+    rows = [(i, 1_700_000_000_000_000_000 + i * 10**9) for i in range(50)]
+    ev = spark.createDataFrame(rows, ["event_id", "ts"])
+    stage = str(tmp_path / "stage")
+    ev.coalesce(1).write.parquet(stage)
+    ev.filter(F.col("event_id") % 5 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)  # replayed rows
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = str(tmp_path / "out")
+        stream = read_feed_stream(spark, stage, ev.schema)
+        deduped = dedup_stream(
+            stream, keys=["event_id"], ts_col="ts", lateness="1 hour"
+        )
+        (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        ).awaitTermination()
+        got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+        assert got == list(range(50))
+        # the state store actually used RocksDB (sst/log files on disk)
+        ckpt_state = os.path.join(str(tmp_path / "ckpt"), "state")
+        assert os.path.isdir(ckpt_state)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
