@@ -340,3 +340,67 @@ def q49_full_outer_reconciliation(
         F.coalesce("e.n_events", F.lit(0)).alias("n_events"),
         F.coalesce("c.n_orders", F.lit(0)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------- q73
+
+
+@query(
+    "q73_star_join_revenue",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(l.l_extendedprice
+                           * (100 - CAST(round(l.l_discount * 100)
+                                     AS BIGINT))) AS BIGINT))
+            AS BIGINT) AS revenue_c
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE' AND l.l_returnflag <> 'R'
+GROUP BY 1
+""",
+)
+def q73_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact lineitem through orders to the
+    customer/nation/region dimension chain, region filter, grouped
+    revenue. Declared as plain joins — Catalyst reorders and
+    broadcasts every dim (the region filter prunes nation keys
+    BEFORE the fact scan's join), the fact table shuffles once for
+    the final aggregate. Revenue in exact integer cents with the
+    discount quantized to integer percent (engine-exact — float
+    products never reach the hash)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (F.lit(100) - disc_pct)
+    ).cast("long")
+    return (
+        li.filter(F.col("l_returnflag") != "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.sum(rev_c).cast("long").alias("revenue_c"),
+        )
+    )

@@ -242,3 +242,11 @@ def test_mixture_sample_no_corpus_shuffle(spark, registry):
     for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "doc_id" not in keys, keys
     assert "BroadcastHashJoin" in plan
+
+
+def test_star_join_broadcasts_all_dims(spark, registry):
+    """q73: all four dimension hops broadcast — the fact table never
+    shuffles for a join, only for the final aggregate."""
+    plan = plan_of(registry["q73_star_join_revenue"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
