@@ -48,6 +48,11 @@ def assert_query_matches_oracle(spark, name: str, sf_dir: str) -> None:
     sql = Q.oracles()[name]
     got = fn(spark, sf_dir).toPandas()
     want = run_oracle(sql, sf_dir)
+    # every registered query produces rows on the fixture data; an
+    # empty==empty "match" is vacuous and has hidden a real bug (a
+    # filter constant that matched nothing). Allowlist here if a
+    # legitimately-empty query ever appears.
+    assert len(got) > 0, f"{name}: empty result — vacuous oracle match"
     assert len(got) == len(want), (
         f"{name}: row count {len(got)} != oracle {len(want)}"
     )
