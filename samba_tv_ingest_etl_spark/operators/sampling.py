@@ -23,7 +23,14 @@ from pyspark.sql import functions as F
 
 from .sketch import portable_hash60
 
-__all__ = ["hash_bucket", "hash_split", "mixture_rates", "mixture_sample", "stratified_sample"]
+__all__ = [
+    "group_cap",
+    "hash_bucket",
+    "hash_split",
+    "mixture_rates",
+    "mixture_sample",
+    "stratified_sample",
+]
 
 
 def hash_bucket(col: Column | str, n_buckets: int) -> Column:
@@ -147,3 +154,29 @@ def mixture_sample(
     return df.join(
         F.broadcast(rates.select(source_col, "keep_den")), source_col
     ).filter(hash_bucket(key_col, den) < F.col("keep_den"))
+
+
+def group_cap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    max_per_group: int,
+) -> DataFrame:
+    """Cap every group's contribution at ``max_per_group`` rows,
+    chosen deterministically: rank rows inside each group by
+    (hash(key), key) — a total order, so re-runs, repartitions, and
+    other engines pick the SAME survivors — and keep the first k.
+    The standard domain-capping step of a corpus pipeline ("no single
+    source dominates"), done without rand() and without collecting
+    group counts. One shuffle on the group key; groups smaller than
+    the cap pass through whole."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        portable_hash60(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_per_group)
+        .drop("_rk")
+    )

@@ -1746,3 +1746,51 @@ def q71_shuffled_sequence_packing(
         "doc_id", "n_tokens", "start_offset",
         "seq_first", "seq_last", "n_seqs",
     )
+
+
+# ---------------------------------------------------------------- q74
+
+_CAP_PER_SOURCE = 15
+
+
+@query(
+    "q74_per_source_cap",
+    oracle=rf"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT,
+                    doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS kept_docs,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM ranked WHERE rk <= {_CAP_PER_SOURCE}
+GROUP BY 1
+""",
+)
+def q74_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: every source contributes at most
+    {cap} documents, chosen by deterministic hash rank
+    (operators/sampling.group_cap) — rerun/repartition/engine-stable,
+    unlike rand() reservoirs. Checked output is the per-source
+    accounting fingerprint (count, char sum, id range pins the exact
+    survivor set)."""
+    from ..operators.sampling import group_cap
+
+    docs = _documents(spark, sf_dir).select("doc_id", "source", "n_chars")
+    kept = group_cap(
+        docs, group_col="source", key_col="doc_id",
+        max_per_group=_CAP_PER_SOURCE,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )

@@ -108,3 +108,27 @@ def test_mixture_sample_deterministic(spark):
         ).collect()
     )
     assert a == b  # partitioning-independent (hash of key, not rand)
+
+
+def test_group_cap_exact_and_deterministic(spark):
+    from samba_tv_ingest_etl_spark.operators.sampling import group_cap
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept_a = sorted(
+        r["doc_id"]
+        for r in group_cap(
+            df.repartition(7), "source", "doc_id", 10
+        ).collect()
+    )
+    kept_b = sorted(
+        r["doc_id"]
+        for r in group_cap(
+            df.repartition(3), "source", "doc_id", 10
+        ).collect()
+    )
+    assert kept_a == kept_b                      # partitioning-stable
+    big = [k for k in kept_a if k < 1000]
+    small = [k for k in kept_a if k >= 1000]
+    assert len(big) == 10                        # capped exactly
+    assert len(small) == 3                       # under-cap passes whole
