@@ -24,14 +24,29 @@ def global_cumsum(
     value_col: str,
     order_col: str,
     out_col: str = "cum_before",
+    bucket_of=None,
 ) -> DataFrame:
     """Exclusive prefix sum of ``value_col`` in ``order_col`` order
     (first row gets 0), computed without a global single-partition
-    window. ``order_col`` must be unique (it is the total order)."""
+    window. ``order_col`` must be unique (it is the total order).
+
+    ``bucket_of``: optional Column assigning each row a bucket that is
+    MONOTONE non-decreasing in ``order_col`` (dense ints: ``id DIV
+    B``; fixed-width uniform strings: a short prefix). With it the
+    whole pass costs ONE hash exchange — the window partitions by the
+    bucket value directly. Without it, the generic path range-
+    partitions first and windows per physical partition, which Spark
+    plans as range exchange + pid hash exchange (two data movements;
+    still never a single-partition window). Prefer a bucket when the
+    key's shape allows one."""
     spark = df.sparkSession
-    srt = df.repartitionByRange(F.col(order_col))
-    w = Window.partitionBy(F.spark_partition_id()).orderBy(order_col)
-    local = srt.withColumn("_pid", F.spark_partition_id()).withColumn(
+    if bucket_of is not None:
+        local = df.withColumn("_pid", bucket_of)
+    else:
+        srt = df.repartitionByRange(F.col(order_col))
+        local = srt.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy(F.col("_pid")).orderBy(order_col)
+    local = local.withColumn(
         out_col,
         F.coalesce(
             F.sum(F.col(value_col).cast("long")).over(
@@ -66,6 +81,7 @@ def pack_sequences(
     seq_len: int,
     token_col: str = "n_tokens",
     order_col: str = "doc_id",
+    bucket_of=None,
 ) -> DataFrame:
     """Concat-then-chunk packing: lay documents end to end in
     ``order_col`` order and cut every ``seq_len`` tokens. Returns one
@@ -76,7 +92,8 @@ def pack_sequences(
     packed dataloader needs to locate it."""
     nonempty = docs.filter(F.col(token_col) > 0)
     placed = global_cumsum(
-        nonempty, token_col, order_col, out_col="start_offset"
+        nonempty, token_col, order_col, out_col="start_offset",
+        bucket_of=bucket_of,
     )
     # integer DIV throughout: double division drifts past 2^53; all
     # input columns pass through (callers sort by derived keys and

@@ -1591,7 +1591,12 @@ def q67_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    return pack_sequences(toked, seq_len=_SEQ_LEN).select(
+    # doc_id is dense -> DIV bucketing is monotone and uniform: the
+    # whole cumsum costs ONE hash exchange (see global_cumsum)
+    return pack_sequences(
+        toked, seq_len=_SEQ_LEN,
+        bucket_of=F.expr("doc_id DIV 1024"),
+    ).select(
         "doc_id", "n_tokens", "start_offset",
         "seq_first", "seq_last", "n_seqs",
     )
@@ -1740,8 +1745,11 @@ def q71_shuffled_sequence_packing(
             F.lpad(F.col("doc_id").cast("string"), 12, "0"),
         ),
     )
+    # the sort key is uniform fixed-width hex -> a 2-char prefix is a
+    # monotone 256-way bucket: one hash exchange for the whole cumsum
     return pack_sequences(
-        ordered, seq_len=_SEQ_LEN, order_col="ord"
+        ordered, seq_len=_SEQ_LEN, order_col="ord",
+        bucket_of=F.substring("ord", 1, 2),
     ).select(
         "doc_id", "n_tokens", "start_offset",
         "seq_first", "seq_last", "n_seqs",

@@ -56,3 +56,23 @@ def test_pack_sequences_placement(spark):
         3: (300, 1, 1, 1),    # [300, 349]
         4: (350, 1, 2, 2),    # [350, 649]
     }  # doc 5 (0 tokens) dropped
+
+
+def test_global_cumsum_bucket_path_single_exchange(spark):
+    """With a monotone bucket, the cumsum's visible cost is ONE hash
+    exchange (the checkpoint hides it from the final plan, so assert
+    on the pre-checkpoint stage via the full query): bucket results
+    must equal the generic range-partitioned path exactly."""
+    rows = [(i, (i * 13) % 9 + 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(11)
+    generic = {
+        r["k"]: r["cum_before"]
+        for r in global_cumsum(df, "v", "k").collect()
+    }
+    bucketed = {
+        r["k"]: r["cum_before"]
+        for r in global_cumsum(
+            df, "v", "k", bucket_of=F.expr("k DIV 128")
+        ).collect()
+    }
+    assert bucketed == generic
