@@ -1802,3 +1802,25 @@ def q74_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_doc"),
         F.max("doc_id").cast("long").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------- q75
+
+
+@query("q75_dedup_components_star", oracle=_COMPONENTS_ORACLE)
+def q75_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q48's dedup clusters computed by the large-star/small-star
+    algorithm (connected_components_star, SoCC'14) instead of plain
+    propagation — same recursive-CTE oracle, so the driver pins that
+    both algorithms reach the identical fixed point. Star is the
+    100 TB path for high-diameter graphs; on dup-shaped (low-
+    diameter) graphs either works."""
+    from ..operators.components import connected_components_star
+
+    sh = D.shingle_docs(_prefix_corpus(spark, sf_dir), ngram=_NGRAM)
+    pairs = D.jaccard_pairs(
+        sh, threshold_pct=_JACCARD_PCT, stop_shingle_df=_STOP_SHINGLE_DF
+    ).select("doc_a", "doc_b")
+    return connected_components_star(
+        pairs, src="doc_a", dst="doc_b"
+    ).select(F.col("node").alias("doc_id"), "component")
