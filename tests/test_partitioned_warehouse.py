@@ -200,3 +200,30 @@ def test_overwrite_partitions_clears_emptied_date_partition(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, f"day={d2}"))
     rows = [(r["id"], r["day"]) for r in spark.read.parquet(path).collect()]
     assert rows == [(9, d1)]
+
+
+def test_partitioned_backfill_then_incremental(spark, tmp_path, feeds):
+    """The migration path: an initial BACKFILL lands directly on the
+    partitioned layout (Warehouse.write applies the table layout), and
+    subsequent incremental passes mutate it partition-scoped —
+    end state equals the all-flat pipeline."""
+    acr, stb, geo = feeds
+    days = _arrival_dates(acr, stb)
+    cut = days[-2]
+
+    wh_flat = Warehouse(spark, str(tmp_path / "flat"))
+    early = F.col("metadata_date") <= F.lit(cut)
+    backfill(wh_flat, acr.filter(early), stb.filter(early), geo)
+    run_incremental(wh_flat, acr, stb, geo)
+
+    wh_part = Warehouse(
+        spark, str(tmp_path / "part"), layout=Warehouse.SCALE_LAYOUT
+    )
+    backfill(wh_part, acr.filter(early), stb.filter(early), geo)
+    assert any(
+        p.startswith("panel_monday=")
+        for p in __import__("os").listdir(wh_part.path("viewing_sessions"))
+    ), "backfill must land on the partitioned layout"
+    run_incremental(wh_part, acr, stb, geo)
+
+    assert _sessions_set(wh_part) == _sessions_set(wh_flat)
