@@ -525,3 +525,71 @@ def topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cos_scaled")
     )
+
+
+def semdedup_drops(
+    quantized: DataFrame,
+    threshold_pct: int = 80,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    train_sample: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Semantic dedup via cluster-then-prune (the SemDeDup recipe,
+    Abbas et al., arXiv:2303.09540): train the coarse quantizer on a
+    bounded sample, assign every vector to its nearest centroid, and
+    compare pairs only WITHIN a cluster — a doc is dropped when a
+    lower-id near-duplicate (cosine >= tau, exact integer decision as
+    in ``cosine_pairs``) shares its cluster. Returns the dropped
+    side: (vec_id, cluster, n_dominators, max_cos_scaled).
+
+    Scale shape: the all-pairs O(n^2) of ``cosine_pairs`` becomes
+    O(sum n_c^2) with the corpus sharded by cluster — both join sides
+    shuffle once on ``cluster`` (at fleet size the persisted index's
+    partition key, making the join co-located), and k grows with the
+    corpus so n_c stays bounded. Training cost is capped by
+    ``train_sample`` exactly as in ``topk_ivf``. Deterministic
+    end-to-end -> the full trained pipeline is oracle-checkable."""
+    spark = quantized.sparkSession
+    cents = kmeans_centroids(
+        quantized, k=n_centroids, iters=iters, dim=dim,
+        train_sample=train_sample,
+    )
+    assigned = _assign_join(
+        quantized, _centroid_df(spark, cents), keep=["q", "norm2"]
+    )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("q").alias("q_a"),
+        F.col("norm2").alias("n_a"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("q").alias("q_b"),
+        F.col("norm2").alias("n_b"),
+    )
+    dot = _dot(F.col("q_a"), F.col("q_b"))
+    pairs = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * 10_000
+                >= F.lit(threshold_pct * threshold_pct)
+                * F.col("n_a")
+                * F.col("n_b")
+            )
+        )
+    )
+    return pairs.groupBy(
+        F.col("id_b").alias("vec_id"), F.col("cluster")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dominators"),
+        F.max(
+            _cos_scaled(F.col("dot"), F.col("n_a"), F.col("n_b"))
+        ).alias("max_cos_scaled"),
+    )

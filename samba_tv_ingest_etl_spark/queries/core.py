@@ -1279,10 +1279,20 @@ def q66_streaming_dedup_window_counts(
         "append"
     ).parquet(stage)
     # sentinel: one far-future row to push the watermark past all
-    # real windows (never emitted itself — its window stays open)
-    far_ns = (ev.agg(F.max("ts")).collect()[0][0] or 0) + 10**15
+    # real windows (never emitted itself — its window stays open).
+    # ts encoding differs across driver data generations (nanos
+    # bigint vs native timestamp) — advance ~12 days in either.
+    import datetime
+
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    if isinstance(mx, int):
+        far = mx + 10**15
+    else:
+        far = (mx or datetime.datetime(2000, 1, 1)) + datetime.timedelta(
+            days=12
+        )
     spark.createDataFrame(
-        [(-1, "__sentinel__", far_ns)], ev.schema
+        [(-1, "__sentinel__", far)], ev.schema
     ).coalesce(1).write.mode("append").parquet(stage)
 
     stream = read_feed_stream(spark, stage, ev.schema)

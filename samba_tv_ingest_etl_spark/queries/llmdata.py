@@ -708,15 +708,15 @@ def _ivf_dist_sql(qa: str, qc: str) -> str:
     )
 
 
-def _ivf_oracle() -> str:
-    """Unrolled deterministic k-means (init = k lowest SAMPLED
-    vec_ids, 2 Lloyd steps over the hash sample, floor-average
-    centroids) + nprobe=2 probing — the whole trained index is
-    reproduced in SQL, so even the *approximate* trained ANN operator
-    gets a full value-hash check. Training reads ``tquant`` (the
-    deterministic ~num/den hash sample mirroring
-    ``operators.sampling.hash_bucket``); the final index assignment
-    and probing read the full ``quant``."""
+def _ivf_assign_parts() -> list[str]:
+    """Shared oracle prefix: unrolled deterministic k-means (init = k
+    lowest SAMPLED vec_ids, 2 Lloyd steps over the hash sample,
+    floor-average centroids) ending in the full-corpus assignment CTE
+    ``m{_IVF_ITERS}`` (vec_id, q, norm2, c). Training reads ``tquant``
+    (the deterministic ~num/den hash sample mirroring
+    ``operators.sampling.hash_bucket``); the final assignment reads
+    the full ``quant``. Reused by the q32 (IVF probe) and q76
+    (SemDeDup prune) oracles — one trained index, two consumers."""
     num, den = _IVF_SAMPLE
     parts = [
         _QUANT_SQL,
@@ -757,6 +757,14 @@ cents{it + 1} AS (
         GROUP BY c, t.i)
   GROUP BY c
 )""")
+    return parts
+
+
+def _ivf_oracle() -> str:
+    """Trained index (``_ivf_assign_parts``) + nprobe=2 probing — the
+    whole approximate ANN pipeline reproduced in SQL for a full
+    value-hash check."""
+    parts = _ivf_assign_parts()
     last = _IVF_ITERS
     parts.append(f"""
 queries AS (SELECT * FROM quant WHERE vec_id < 10),
@@ -808,6 +816,56 @@ def q32_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_IVF_NPROBE, dim=_DIM, train_sample=_IVF_SAMPLE,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------- q76
+
+def _semdedup_oracle() -> str:
+    """Same trained index as q32 (``_ivf_assign_parts``), consumed by
+    the SemDeDup prune: within-cluster pairs a<b at cosine >= tau;
+    the dropped side aggregated per (vec_id, cluster)."""
+    parts = _ivf_assign_parts()
+    last = _IVF_ITERS
+    parts.append(f"""
+pairs AS (
+  SELECT b.vec_id AS id_b, b.c AS cluster,
+         {_DOT_SQL} AS dot, a.norm2 AS n_a, b.norm2 AS n_b
+  FROM m{last} a
+  JOIN m{last} b ON a.c = b.c AND a.vec_id < b.vec_id
+)""")
+    return (
+        "WITH "
+        + ",".join(p.strip().rstrip(",") for p in parts)
+        + f"""
+SELECT id_b AS vec_id, cluster,
+       CAST(count(*) AS BIGINT) AS n_dominators,
+       max({_cos_scaled_sql('dot', 'n_a', 'n_b')}) AS max_cos_scaled
+FROM pairs
+WHERE dot > 0
+  AND dot * dot * 10000 >= {_COS_PCT * _COS_PCT} * n_a * n_b
+GROUP BY 1, 2"""
+    )
+
+
+@query("q76_semdedup_drops", oracle=_semdedup_oracle())
+def q76_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. arXiv:2303.09540):
+    cluster embeddings with the same trained quantizer as q32, then
+    drop any doc with a lower-id near-dup (cos >= tau=0.35) in its
+    cluster. Returns the dropped docs with evidence columns. The
+    scale win over q24's all-pairs: candidates are bounded per
+    cluster and the pair join is co-located on the index's partition
+    key."""
+    from ..operators.similarity import semdedup_drops
+
+    return semdedup_drops(
+        _embeddings_q(spark, sf_dir),
+        threshold_pct=_COS_PCT,
+        n_centroids=_IVF_K,
+        iters=_IVF_ITERS,
+        dim=_DIM,
+        train_sample=_IVF_SAMPLE,
+    )
 
 
 # ---------------------------------------------------------------- q30

@@ -31,17 +31,21 @@ __all__ = ["dedup_stream", "windowed_counts"]
 
 
 def _event_time(df: DataFrame, ts_col: str) -> tuple[DataFrame, str]:
-    """Normalize the event-time column to a real timestamp (driver
-    parquet is TIMESTAMP(NANOS) -> bigint under nanosAsLong)."""
+    """Normalize the event-time column to a real ``_event_time``
+    timestamp regardless of the physical encoding — nanos-since-epoch
+    bigint (TIMESTAMP(NANOS) parquet under nanosAsLong) or a native
+    timestamp/timestamp_ntz (microsecond parquet). Always emitting
+    the same column name keeps downstream stateful chains (dedup ->
+    windowed agg, join output prefixes) schema-stable across data
+    encodings; NTZ casts to session-zone timestamp under the engine's
+    pinned-UTC conf, so window arithmetic is unchanged."""
+    if ts_col == "_event_time":
+        return df, ts_col
     if dict(df.dtypes).get(ts_col) == "bigint":
-        return (
-            df.withColumn(
-                "_event_time",
-                F.timestamp_micros(F.expr(f"{ts_col} DIV 1000")),
-            ),
-            "_event_time",
-        )
-    return df, ts_col
+        col = F.timestamp_micros(F.expr(f"{ts_col} DIV 1000"))
+    else:
+        col = F.col(ts_col).cast("timestamp")
+    return df.withColumn("_event_time", col), "_event_time"
 
 
 def dedup_stream(
