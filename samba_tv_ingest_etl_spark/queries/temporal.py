@@ -238,3 +238,67 @@ def q47_session_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- q77
+
+_SCD2_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS tier
+  FROM events
+),
+lagged AS (
+  SELECT *, LAG(tier) OVER (
+           PARTITION BY user_id ORDER BY ts_sec, event_id
+         ) AS prev_tier
+  FROM ev
+),
+runs AS (
+  SELECT user_id, tier, ts_sec FROM lagged
+  WHERE prev_tier IS DISTINCT FROM tier
+)
+SELECT user_id, tier,
+       CAST(row_number() OVER (
+         PARTITION BY user_id ORDER BY ts_sec) AS BIGINT) AS version,
+       ts_sec AS valid_from,
+       LEAD(ts_sec) OVER (
+         PARTITION BY user_id ORDER BY ts_sec) AS valid_to
+FROM runs
+"""
+
+
+@query("q77_scd2_user_tier_history", oracle=_SCD2_ORACLE)
+def q77_scd2_user_tier_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCD2 dimension history from the event stream: each user's
+    ``tier`` (a props-derived attribute) as [valid_from, valid_to)
+    versioned intervals — the standard type-2 build the reference's
+    insert-only warehouse lacks (``operators/scd.py``). One shuffle
+    on user_id; the run-length collapse happens before the validity
+    LEAD, so the second window processes transitions, not events.
+    Composes with ``asof_join`` (q39/q40) for point-in-time
+    attribute lookup."""
+    from ..operators.scd import scd2_history
+
+    ev = _events(spark, sf_dir)
+    src = ev.select(
+        "user_id",
+        "event_id",
+        _epoch_seconds(ev, "ts").alias("ts_sec"),
+        (F.get_json_object("props", "$.k").cast("long") / 25)
+        .cast("long")
+        .alias("tier"),
+    )
+    out = scd2_history(
+        src,
+        keys=["user_id"],
+        ts_col="ts_sec",
+        attrs=["tier"],
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "user_id", "tier", "version", "valid_from", "valid_to"
+    )

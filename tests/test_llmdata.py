@@ -249,3 +249,26 @@ def test_resize_images_real_codec(spark):
     out = M.resize_images(media, 8, 8, fake=False).collect()[0]
     back = Image.open(io.BytesIO(bytes(out["payload"])))
     assert back.size == (8, 8)
+
+
+def test_semdedup_drops_subset_of_allpairs(spark):
+    """Every SemDeDup drop must be witnessed by a full all-pairs
+    near-dup edge (q76 prunes WITHIN clusters, so its evidence is a
+    subset of q24's corpus-wide pair list) with the same max cosine."""
+    from samba_tv_ingest_etl_spark import queries as Q
+    from .conftest import SF_DIR
+
+    reg = Q.registry()
+    drops = {
+        (r["vec_id"], r["max_cos_scaled"])
+        for r in reg["q76_semdedup_drops"](spark, SF_DIR).collect()
+    }
+    assert drops, "fixture produced no semantic dups — vacuous test"
+    pair_best: dict[int, int] = {}
+    for r in reg["q24_embedding_neardup_pairs"](spark, SF_DIR).collect():
+        b = r["id_b"]
+        pair_best[b] = max(pair_best.get(b, -1), r["cos_scaled"])
+    for vec_id, max_cos in drops:
+        assert vec_id in pair_best
+        # the within-cluster witness can't beat the corpus-wide best
+        assert max_cos <= pair_best[vec_id]
