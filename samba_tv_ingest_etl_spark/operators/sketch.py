@@ -35,6 +35,9 @@ __all__ = [
     "kmv_sketch",
     "kmv_merge",
     "kmv_estimate",
+    "histogram_sketch",
+    "histogram_merge",
+    "histogram_quantile_bins",
 ]
 
 HASH_SPACE = 1 << 60  # 15 hex chars of sha256
@@ -125,4 +128,84 @@ def kmv_estimate(
     )
     return F.when(size < k, size.cast("double")).otherwise(
         F.lit(float(k - 1)) / (kth.cast("double") / F.lit(float(HASH_SPACE)))
+    )
+
+
+def histogram_sketch(
+    df: DataFrame, keys: list[str], cents_col: str, bin_width: int
+) -> DataFrame:
+    """Fixed-width histogram sketch of an integer (cents) column:
+    one row per (keys, bin) with the member count. Mergeable by
+    construction — histograms over disjoint slices SUM to the
+    histogram of the union (``histogram_merge``), so per-partition/
+    per-day sketches roll up to any grouping without rescanning raw
+    data. Bin = floor division, so negative values land in the
+    correct lower bin on every engine.
+
+    Scale shape: a single map-side-combinable groupBy whose shuffle
+    carries (keys, bin) — output size is O(|keys| x value_range /
+    bin_width), independent of row count."""
+    # floor over exact double division (|cents| << 2^53): truncating
+    # integer DIV would round negatives toward zero, splitting a bin
+    binned = df.withColumn(
+        "_bin",
+        F.floor(
+            F.col(cents_col).cast("double") / F.lit(int(bin_width))
+        ).cast("long"),
+    )
+    return binned.groupBy(*keys, F.col("_bin").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def histogram_merge(
+    sketches: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Roll histogram sketches up to a coarser grouping (``keys`` ⊂
+    the sketch keys, possibly empty): counts add. Exact merging —
+    the result IS the histogram of the unioned data."""
+    return sketches.groupBy(*keys, "bin").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def histogram_quantile_bins(
+    hist: DataFrame,
+    keys: list[str],
+    bin_width: int,
+    probs: list[tuple[str, int, int]],
+) -> DataFrame:
+    """Value-at-quantile estimates from a histogram sketch: for each
+    ``(alias, num, den)`` in ``probs`` (p = num/den), the LOWER EDGE
+    (in cents) of the first bin whose cumulative count reaches
+    ``ceil(p * total)`` — the standard histogram quantile with a
+    deterministic integer answer (estimate error bounded by
+    bin_width). The cumulative window runs over histogram ROWS
+    (O(bins) per key), not data rows."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tw = Window.partitionBy(*keys)
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(tw)
+    )
+    aggs = []
+    for alias, num, den in probs:
+        # ceil(total * num / den) via (a + b - 1) DIV b — valid
+        # because both operands are positive (Spark DIV truncates
+        # toward zero, so the negate-and-floor trick would be off by
+        # one here)
+        target = F.expr(f"(total * {num} + {den} - 1) DIV {den}")
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= target,
+                    F.col("bin") * F.lit(int(bin_width)),
+                )
+            ).alias(alias)
+        )
+    return cum.groupBy(*keys).agg(
+        F.max("total").alias("n_rows"), *aggs
     )

@@ -404,3 +404,85 @@ def q73_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev_c).cast("long").alias("revenue_c"),
         )
     )
+
+
+# ---------------------------------------------------------------- q78
+
+_HIST_W = 500  # cents per bin
+
+_HIST_QUANT_SELECT = """
+  SELECT {label} AS event_type,
+         CAST(max(total) AS BIGINT) AS n_rows,
+         CAST(min(CASE WHEN cum >= (total * 1 + 1) // 2
+                       THEN bin * {w} END) AS BIGINT) AS p50_cents,
+         CAST(min(CASE WHEN cum >= (total * 9 + 9) // 10
+                       THEN bin * {w} END) AS BIGINT) AS p90_cents,
+         CAST(min(CASE WHEN cum >= (total * 99 + 99) // 100
+                       THEN bin * {w} END) AS BIGINT) AS p99_cents
+  FROM {src}{group}
+"""
+
+_HIST_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+h AS (
+  SELECT event_type,
+         CAST(floor(CAST(cents AS DOUBLE) / {_HIST_W}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM h
+),
+g AS (
+  SELECT bin, n,
+         SUM(n) OVER (ORDER BY bin) AS cum,
+         SUM(n) OVER () AS total
+  FROM (SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM h GROUP BY 1)
+)
+{_HIST_QUANT_SELECT.format(label="event_type", w=_HIST_W, src="c",
+                           group=" GROUP BY event_type")}
+UNION ALL
+{_HIST_QUANT_SELECT.format(label="'*all*'", w=_HIST_W, src="g",
+                           group="")}
+"""
+
+
+@query("q78_histogram_quantile_sketch", oracle=_HIST_ORACLE)
+def q78_histogram_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable fixed-bin histogram sketch + value-at-quantile
+    estimates (p50/p90/p99 as bin lower edges): the approximate-
+    quantile twin of q41's KMV — per-event-type histograms roll up
+    by ADDITION, and the '*all*' row is produced by MERGING the
+    per-type sketches while the oracle computes it directly from the
+    data, so the hash-match proves merge == rescan. Sketch size is
+    O(types x bins), independent of row count; the quantile window
+    runs over histogram rows only."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    probs = [("p50_cents", 1, 2), ("p90_cents", 9, 10),
+             ("p99_cents", 99, 100)]
+    hist = SK.histogram_sketch(
+        ev, keys=["event_type"], cents_col="cents", bin_width=_HIST_W
+    )
+    hist = hist.localCheckpoint(eager=True)  # reused: per-type + merge; tiny
+    per = SK.histogram_quantile_bins(
+        hist, keys=["event_type"], bin_width=_HIST_W, probs=probs
+    )
+    merged = SK.histogram_merge(hist, keys=[])
+    total = SK.histogram_quantile_bins(
+        merged, keys=[], bin_width=_HIST_W, probs=probs
+    ).select(F.lit("*all*").alias("event_type"), "n_rows",
+             *[p[0] for p in probs])
+    return per.select(
+        "event_type", "n_rows", *[p[0] for p in probs]
+    ).unionByName(total)

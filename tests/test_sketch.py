@@ -65,3 +65,67 @@ def test_prefilter_exact_when_enough_survivors(spark):
         ev, [], "event_id", k=k, prefilter=full["kth_min_hash"] + 1
     ).collect()[0]
     assert pre["sketch"] == full["sketch"]
+
+
+def test_histogram_merge_equals_rescan(spark):
+    """Histograms over disjoint halves, merged, == histogram of the
+    whole — and the quantile estimates agree exactly."""
+    from samba_tv_ingest_etl_spark.operators import sketch as SK
+    from pyspark.sql import functions as F
+
+    ev = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("grp"),
+        ((F.col("id") * 37) % 1000 - 200).alias("cents"),
+    )
+    probs = [("p50", 1, 2), ("p99", 99, 100)]
+    whole = SK.histogram_sketch(ev, ["grp"], "cents", bin_width=50)
+    h1 = SK.histogram_sketch(
+        ev.filter(F.col("id") < 2500), ["grp"], "cents", bin_width=50
+    )
+    h2 = SK.histogram_sketch(
+        ev.filter(F.col("id") >= 2500), ["grp"], "cents", bin_width=50
+    )
+    merged = SK.histogram_merge(h1.unionByName(h2), ["grp"])
+    a = sorted(tuple(r) for r in whole.collect())
+    b = sorted(tuple(r) for r in merged.collect())
+    assert a == b
+    qa = sorted(tuple(r) for r in SK.histogram_quantile_bins(
+        whole, ["grp"], 50, probs).collect())
+    qb = sorted(tuple(r) for r in SK.histogram_quantile_bins(
+        merged, ["grp"], 50, probs).collect())
+    assert qa == qb
+
+
+def test_histogram_quantile_within_bin_of_exact(spark):
+    """The estimate is the lower edge of the bin holding the exact
+    rank-statistic value: exact_p - bin_width < estimate <= exact_p."""
+    from samba_tv_ingest_etl_spark.operators import sketch as SK
+    from pyspark.sql import functions as F
+
+    w = 50
+    vals = [((i * 131) % 2000) - 300 for i in range(1, 1001)]
+    ev = spark.createDataFrame([(v,) for v in vals], "cents long")
+    hist = SK.histogram_sketch(ev, [], "cents", bin_width=w)
+    out = SK.histogram_quantile_bins(
+        hist, [], w, [("p50", 1, 2), ("p90", 9, 10)]
+    ).collect()[0]
+    sv = sorted(vals)
+    import math
+    for alias, num, den in [("p50", 1, 2), ("p90", 9, 10)]:
+        exact = sv[math.ceil(len(sv) * num / den) - 1]
+        est = out[alias]
+        assert est <= exact < est + w, (alias, est, exact)
+
+
+def test_histogram_negative_values_floor_bin(spark):
+    """-1 cents lands in bin -1 (floor), not bin 0 (truncation)."""
+    from samba_tv_ingest_etl_spark.operators import sketch as SK
+
+    ev = spark.createDataFrame(
+        [(-1,), (-50,), (0,), (49,)], "cents long"
+    )
+    rows = {
+        r["bin"]: r["n"]
+        for r in SK.histogram_sketch(ev, [], "cents", 50).collect()
+    }
+    assert rows == {-1: 2, 0: 2}
