@@ -333,3 +333,58 @@ def fingerprint_sketch(
         ).alias("fp_sum"),
         F.size(F.array_distinct(hashes)).cast("long").alias("fp_distinct"),
     )
+
+
+def derived_weights(d: int, a: int = 2654435761, m: int = 2001,
+                    shift: int = 1000) -> list[int]:
+    """Deterministic stand-in for a trained weight vector: weight of
+    feature bucket b is ``(b * a) % m - shift`` (integers in
+    [-shift, m-1-shift]). A real deployment loads learned weights
+    from a model artifact into the same ``hashed_linear_score``
+    call; this derivation exists so the full scoring pipeline is
+    oracle-checkable without shipping a binary model."""
+    return [(b * a) % m - shift for b in range(d)]
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[int],
+    intercept: int = 0,
+) -> DataFrame:
+    """FastText-style linear text classifier over hashed bag-of-words
+    features: token -> 60-bit portable sha256 hash -> bucket
+    ``h % len(weights)`` -> weight lookup in a literal array compiled
+    into the generated code; per-doc score = intercept + sum of
+    member weights. ``quality_pass`` = score >= 0.
+
+    Scale shape: completely NARROW — tokenize, hash and accumulate
+    run inside one whole-stage-codegen projection per row (aggregate
+    HOF, no explode, no join, no shuffle), so scoring 100 TB is a
+    single map pass. The weight vector is a plan literal (fine to a
+    few thousand dims); for large models broadcast a (bucket, weight)
+    table and explode+join instead."""
+    d = len(weights)
+    wlit = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    out = df.select(
+        id_col, tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    bucket = lambda t: (  # noqa: E731 — portable_hash60 on a lambda var
+        F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10)
+        .cast("long") % F.lit(d)
+    ).cast("int")
+    score = F.aggregate(
+        toks,
+        F.lit(int(intercept)).cast("long"),
+        lambda acc, t: acc + F.element_at(wlit, bucket(t) + 1),
+    )
+    return out.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("score_milli"),
+        F.when(score >= 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("quality_pass"),
+    )

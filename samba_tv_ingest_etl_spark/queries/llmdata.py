@@ -1882,3 +1882,58 @@ def q75_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(
         pairs, src="doc_a", dst="doc_b"
     ).select(F.col("node").alias("doc_id"), "component")
+
+
+# ---------------------------------------------------------------- q79
+
+_CLS_D = 256
+_CLS_INTERCEPT = 1500
+
+_CLS_W_SQL = (
+    "((('0x' || substr(sha256(tok), 1, 15))::BIGINT % "
+    f"{_CLS_D}) * 2654435761) % 2001 - 1000"
+)
+
+_CLS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         {_CLS_INTERCEPT} + CAST(coalesce(list_sum(
+           list_transform(toks, tok -> {_CLS_W_SQL})), 0) AS BIGINT)
+           AS score_milli
+  FROM t
+)
+SELECT doc_id, n_tokens, score_milli,
+       CAST(CASE WHEN score_milli >= 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS quality_pass
+FROM scored
+"""
+
+
+@query("q79_hashed_linear_classifier", oracle=_CLS_ORACLE)
+def q79_hashed_linear_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-classifier scoring (fastText-shaped): hashed
+    bag-of-words features -> linear weights -> per-doc score +
+    pass/fail label, entirely inside one codegen'd map pass (no
+    explode, no shuffle — ``operators/text.py::hashed_linear_score``).
+    Weights here derive deterministically from the bucket id so the
+    whole model application is value-hash-checked; a trained model
+    drops into the same operator as a weight list."""
+    from ..operators.text import derived_weights, hashed_linear_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hashed_linear_score(
+        docs,
+        "doc_id",
+        "text",
+        weights=derived_weights(_CLS_D),
+        intercept=_CLS_INTERCEPT,
+    )

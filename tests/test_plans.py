@@ -271,3 +271,12 @@ def test_semdedup_pair_join_on_cluster(spark, registry):
     assert "CartesianProduct" not in plan
     joins = re.findall(r"(SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]", plan)
     assert any("cluster" in keys for _, keys in joins), plan
+
+
+def test_classifier_scoring_is_narrow_jvm_map(spark, registry):
+    """q79: model application is one codegen'd projection — no
+    shuffle, no Python workers, no join."""
+    plan = plan_of(registry["q79_hashed_linear_classifier"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "Join" not in plan
