@@ -197,3 +197,73 @@ def q60_cumulative_reach_curve(
             "cumulative_reach"
         ),
     )
+
+
+# ---------------------------------------------------------------- q80
+
+_TRANSITION_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+  FROM events
+),
+seq AS (
+  SELECT coalesce(LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts_sec, event_id),
+           '__start__') AS from_type,
+         event_type AS to_type
+  FROM ev
+),
+t AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM seq GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST((n_transitions * 1000000) //
+            SUM(n_transitions) OVER (PARTITION BY from_type)
+         AS BIGINT) AS ppm_of_from
+FROM t
+"""
+
+
+@query("q80_session_transitions", oracle=_TRANSITION_ORACLE)
+def q80_session_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order user-journey transition matrix: per-user event
+    sequences (LAG over one user_id shuffle, '__start__' for session
+    entry), rolled up to (from, to) counts plus the row-normalized
+    transition rate in integer ppm. The per-from normalization runs
+    over the MATRIX (|types|^2 rows), not events — the classic
+    two-grain plan: heavy shuffle once at user grain, windows only
+    on the tiny aggregate."""
+    from pyspark.sql import Window
+
+    raw = _events(spark, sf_dir)
+    ev = raw.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _epoch_seconds(raw, "ts").alias("ts_sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    seq = ev.select(
+        F.coalesce(
+            F.lag("event_type").over(w), F.lit("__start__")
+        ).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    )
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    fw = Window.partitionBy("from_type")
+    # exact integer DIV (both sides positive -> trunc == floor ==
+    # DuckDB //); double division could round past the floor
+    return (
+        t.withColumn("_tot", F.sum("n_transitions").over(fw))
+        .withColumn(
+            "ppm_of_from",
+            F.expr("n_transitions * 1000000 DIV _tot").cast("long"),
+        )
+        .drop("_tot")
+    )
