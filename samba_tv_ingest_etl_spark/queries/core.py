@@ -1511,3 +1511,79 @@ def q72_streaming_session_window(
             F.col("n_events").cast("long").alias("n_events"),
         )
     )
+
+
+# ------------------------------------------------------------- q81
+# Text feed formats: CSV + JSONL readers (sources/formats.py) proven
+# by round-trip parity — stage the events table in both formats, read
+# each back through the declared-schema PERMISSIVE readers, and the
+# per-format aggregates must equal the parquet truth the oracle
+# computes. A reader that dropped rows, shifted types, or mis-parsed
+# a field breaks the value hash.
+
+_FEED_AGG = """
+  SELECT '{fmt}' AS fmt, event_type,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         CAST(min(event_id) AS BIGINT) AS min_event_id,
+         CAST(max(event_id) AS BIGINT) AS max_event_id
+  FROM events GROUP BY 2
+"""
+
+_FEED_ORACLE = (
+    _FEED_AGG.format(fmt="csv")
+    + "UNION ALL\n"
+    + _FEED_AGG.format(fmt="jsonl")
+)
+
+
+@query("q81_text_feed_roundtrip", oracle=_FEED_ORACLE)
+def q81_text_feed_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CSV + JSONL ingest parity: stage events in both text formats,
+    read back through ``sources/formats.py`` (declared schema,
+    PERMISSIVE quarantine — zero rejects expected on clean data),
+    aggregate per format. Both rows must match the parquet-derived
+    oracle exactly."""
+    import os
+    import tempfile
+
+    from ..sources.formats import (
+        read_csv_feed,
+        read_jsonl_feed,
+        split_rejects,
+    )
+
+    raw = _events(spark, sf_dir)
+    ev = raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        _epoch_seconds(raw, "ts").alias("ts_sec"),
+    )
+    tmp = tempfile.mkdtemp(prefix="q81_")
+    csv_dir = os.path.join(tmp, "csv")
+    json_dir = os.path.join(tmp, "jsonl")
+    ev.write.option("header", "true").csv(csv_dir)
+    ev.write.json(json_dir)
+
+    schema = ev.schema
+    parts = []
+    for fmt, df in (
+        ("csv", read_csv_feed(spark, csv_dir, schema)),
+        ("jsonl", read_jsonl_feed(spark, json_dir, schema)),
+    ):
+        clean, rejects = split_rejects(df)
+        parts.append(
+            clean.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+                F.min("event_id").cast("long").alias("min_event_id"),
+                F.max("event_id").cast("long").alias("max_event_id"),
+            ).select(F.lit(fmt).alias("fmt"), "*")
+        )
+    out = parts[0].unionByName(parts[1])
+    return out
