@@ -416,3 +416,92 @@ def q57_rolling_7day_volume(
         "n",
         F.sum("n").over(w).cast("long").alias("rolling_7d"),
     )
+
+
+# ---------------------------------------------------------------- q82
+
+_WINSOR_ORACLE = f"""
+WITH {_EV_CTE},
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+pcts AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n_rows,
+         max(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END)
+           AS p05_cents,
+         max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END)
+           AS p95_cents
+  FROM ranked GROUP BY 1
+)
+SELECT r.event_type, p.n_rows, p.p05_cents, p.p95_cents,
+       CAST(sum(least(greatest(r.cents, p.p05_cents), p.p95_cents))
+         AS BIGINT) AS winsorized_sum_cents,
+       CAST(sum(CASE WHEN r.cents < p.p05_cents THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN r.cents > p.p95_cents THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_clipped_high
+FROM ranked r JOIN pcts p USING (event_type)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@query("q82_winsorized_stats", oracle=_WINSOR_ORACLE)
+def q82_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (percentile-clipped) robust aggregates per group:
+    exact p05/p95 by rank selection (q36's all-integer technique),
+    broadcast the tiny per-group stats back, clip with
+    least/greatest, re-aggregate — the canonical
+    compute-stats-then-rewrite-the-data shape every outlier-robust
+    training pipeline needs. One window shuffle on event_type, one
+    broadcast join; at 100 TB with heavy group skew swap the exact
+    rank pass for q78's mergeable histogram quantiles (same clip
+    path, sketch-bounded stats pass)."""
+    from pyspark.sql import Window
+
+    ev = _typed_events(spark, sf_dir).select(
+        "event_type", "event_id", "cents"
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    cw = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    ranked = ranked.localCheckpoint(eager=True)  # reused: pcts + clip
+    t05 = F.expr("(n * 5 + 99) DIV 100")
+    t95 = F.expr("(n * 95 + 99) DIV 100")
+    pcts = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.max(F.when(F.col("rn") == t05, F.col("cents"))).alias(
+            "p05_cents"
+        ),
+        F.max(F.when(F.col("rn") == t95, F.col("cents"))).alias(
+            "p95_cents"
+        ),
+    )
+    clipped = ranked.join(F.broadcast(pcts), "event_type").select(
+        "event_type",
+        "n_rows",
+        "p05_cents",
+        "p95_cents",
+        F.least(
+            F.greatest(F.col("cents"), F.col("p05_cents")),
+            F.col("p95_cents"),
+        ).alias("wc"),
+        (F.col("cents") < F.col("p05_cents")).cast("long").alias("lo"),
+        (F.col("cents") > F.col("p95_cents")).cast("long").alias("hi"),
+    )
+    return clipped.groupBy(
+        "event_type", "n_rows", "p05_cents", "p95_cents"
+    ).agg(
+        F.sum("wc").cast("long").alias("winsorized_sum_cents"),
+        F.sum("lo").cast("long").alias("n_clipped_low"),
+        F.sum("hi").cast("long").alias("n_clipped_high"),
+    )
