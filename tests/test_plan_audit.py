@@ -1,0 +1,81 @@
+"""Plan auditor: anti-pattern detection + the engine-wide invariant
+that NO registered query plans a cartesian product or row-Python."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from samba_tv_ingest_etl_spark import queries as Q
+from samba_tv_ingest_etl_spark.plans.audit import (
+    assert_scale_clean,
+    audit_plan,
+)
+
+from .conftest import SF_DIR
+
+# Streaming parity queries execute a full stream inside the query fn
+# (minutes each) just to produce the DataFrame to audit; their
+# *returned* plan is a trivial parquet read-back. Skip the cost.
+_SKIP = {
+    "q31_streaming_sessionization",
+    "q66_streaming_dedup_window_counts",
+    "q70_stream_stream_attribution",
+    "q72_streaming_session_window",
+    # DAG-replay queries: rebuild a scratch warehouse (~60-90 s) to
+    # return a read-back; covered by their own oracle rows.
+    "q61_incremental_equals_backfill",
+    "q69_incremental_partitioned_backend",
+}
+
+
+def test_detects_cartesian_product(spark):
+    # both sides must exceed the broadcast threshold or the planner
+    # quietly upgrades the cross join to BroadcastNestedLoopJoin
+    a = spark.range(3_000_000)
+    b = spark.range(3_000_000).withColumnRenamed("id", "id2")
+    bad = a.crossJoin(b)  # neither side broadcast -> cartesian
+    codes = {f.code for f in audit_plan(bad) if f.level == "error"}
+    assert "cartesian_product" in codes
+    with pytest.raises(AssertionError):
+        assert_scale_clean(bad)
+
+
+def test_detects_row_python_udf(spark):
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    bad = spark.range(100).select(slow("id").alias("y"))
+    codes = {f.code for f in audit_plan(bad) if f.level == "error"}
+    assert "row_python_udf" in codes
+
+
+def test_broadcast_nlj_is_warning_not_error(spark):
+    a = spark.range(10_000)
+    tiny = spark.range(3).withColumnRenamed("id", "id2")
+    df = a.crossJoin(F.broadcast(tiny))
+    findings = audit_plan(df)
+    assert not [f for f in findings if f.level == "error"]
+    assert "broadcast_nested_loop" in {
+        f.code for f in findings if f.level == "warn"
+    }
+
+
+def test_clean_plan_passes(spark):
+    df = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 7).alias("g"))
+        .agg(F.sum("id").alias("s"))
+    )
+    assert_scale_clean(df)
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n in Q.registry() if n not in _SKIP),
+)
+def test_no_registered_query_has_scale_errors(spark, name):
+    """Engine-wide invariant: zero cartesian products and zero
+    row-at-a-time Python across the whole query surface."""
+    df = Q.registry()[name](spark, SF_DIR)
+    assert_scale_clean(df)
