@@ -1937,3 +1937,78 @@ def q79_hashed_linear_classifier(
         weights=derived_weights(_CLS_D),
         intercept=_CLS_INTERCEPT,
     )
+
+
+# ---------------------------------------------------------------- q83
+
+_BPE_TOP = 20
+
+_BPE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+           x -> x <> '')) AS word
+  FROM documents
+),
+wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1
+),
+pairs AS (
+  SELECT substr(word, CAST(t.i AS INT), 2) AS pair, freq
+  FROM wf, unnest(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2
+),
+pc AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+  FROM pairs GROUP BY 1
+)
+SELECT pair, n_occurrences, rank FROM (
+  SELECT pair, n_occurrences,
+         CAST(row_number() OVER (
+           ORDER BY n_occurrences DESC, pair) AS BIGINT) AS rank
+  FROM pc)
+WHERE rank <= {_BPE_TOP}
+"""
+
+
+@query("q83_bpe_pair_merges", oracle=_BPE_ORACLE)
+def q83_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of BPE tokenizer training: corpus -> word
+    frequency table (the ONE corpus-grain shuffle), then adjacent
+    symbol-pair counts weighted by word frequency computed on the
+    VOCAB (|distinct words| rows, not corpus rows) — the reason BPE
+    training scales: after wordcount, every Spark stage is
+    vocab-sized. Top candidates ranked with a deterministic
+    (count desc, pair) tie-break; iterating the real training loop
+    re-derives the vocab with the winning pair merged."""
+    from ..operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pairs = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substr(word, i, 2))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return (
+        pairs.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rank") <= _BPE_TOP)
+    )
