@@ -64,11 +64,11 @@ def main() -> None:
         # throughput. clearCache drops persisted intermediates so the
         # timed run is a full recomputation, not a cache read.
         registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # best-of-2 timed runs: single-run numbers swing 2-3x under
-        # GC/scheduler noise on a shared box; min-of-2 reports the
+        # best-of-3 timed runs: single-run numbers swing 2-3x under
+        # GC/scheduler noise on a shared box; the min reports the
         # engine's actual steady-state throughput.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -267,3 +267,83 @@ def q80_session_transitions(
         )
         .drop("_tot")
     )
+
+
+# ---------------------------------------------------------------- q85
+
+_COOC_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+  FROM b GROUP BY 1
+),
+co AS (
+  SELECT a.event_type AS type_a, c.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_co
+  FROM b a JOIN b c
+    ON a.user_id = c.user_id AND a.event_type < c.event_type
+  GROUP BY 1, 2
+)
+SELECT co.type_a, co.type_b, co.n_co,
+       CAST(floor(1000000 * CAST(co.n_co AS DOUBLE) /
+            sqrt(CAST(na.n_users AS DOUBLE) *
+                 CAST(nb.n_users AS DOUBLE))) AS BIGINT)
+         AS cos_scaled
+FROM co
+JOIN n na ON na.event_type = co.type_a
+JOIN n nb ON nb.event_type = co.type_b
+"""
+
+
+@query("q85_item_cooccurrence", oracle=_COOC_ORACLE)
+def q85_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence cosine over user baskets (the
+    collaborative-filtering similarity core): distinct (user, item)
+    baskets, self-join on user_id for pair counts, per-item totals
+    broadcast back, scaled-integer cosine. The user_id self-join is
+    the standard plan while per-user basket width is bounded (here
+    |event types|); for catalog-scale baskets switch to
+    collect_set-per-user + bounded pair explode so the shuffle
+    carries pair rows, not a user-keyed cross product."""
+    b = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    b = b.localCheckpoint(eager=True)  # reused 3x: pairs (both sides) + totals
+    n = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    a = b.select("user_id", F.col("event_type").alias("type_a"))
+    c = b.select("user_id", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(c, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+    )
+    na = F.broadcast(n.select(F.col("event_type").alias("type_a"),
+                              F.col("n_users").alias("_na")))
+    nb = F.broadcast(n.select(F.col("event_type").alias("type_b"),
+                              F.col("n_users").alias("_nb")))
+    return (
+        co.join(na, "type_a")
+        .join(nb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_co",
+            F.floor(
+                F.lit(1_000_000)
+                * F.col("n_co").cast("double")
+                / F.sqrt(
+                    F.col("_na").cast("double")
+                    * F.col("_nb").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("cos_scaled"),
+        )
+    )

@@ -2012,3 +2012,88 @@ def q83_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------- q84
+
+_POSTINGS_K = 10
+
+_POSTINGS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+           x -> x <> '')) AS term
+  FROM documents
+),
+td AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM t GROUP BY 1, 2
+),
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM td GROUP BY 1
+),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM td
+),
+post AS (
+  SELECT term,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings_head
+  FROM ranked WHERE rn <= {_POSTINGS_K} GROUP BY 1
+)
+SELECT term, df, total_tf, postings_head
+FROM stats JOIN post USING (term)
+"""
+
+
+@query("q84_inverted_index_postings", oracle=_POSTINGS_ORACLE)
+def q84_inverted_index_postings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retrieval-index build: term -> (document frequency, total term
+    frequency, head of the sorted postings list). The scale
+    discipline is CAP-BEFORE-COLLECT: posting heads are rank-filtered
+    with a window BEFORE any collect_list, so no executor ever
+    materializes a hot term's full posting list in one aggregation
+    buffer (a full index write would instead keep (term, doc_id, tf)
+    rows clustered by term — the flat layout IS the index; the
+    capped head here is the driver-contract-sized summary)."""
+    from pyspark.sql import Window
+
+    from ..operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    td = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    td = td.localCheckpoint(eager=True)  # reused: stats + postings head
+    stats = td.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    post = (
+        td.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _POSTINGS_K)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+    )
+    return stats.join(post, "term").select(
+        "term", "df", "total_tf", "postings_head"
+    )
