@@ -486,3 +486,82 @@ def q78_histogram_quantile_sketch(
     return per.select(
         "event_type", "n_rows", *[p[0] for p in probs]
     ).unionByName(total)
+
+
+# ---------------------------------------------------------------- q86
+
+_ANOMALY_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, day, n_events,
+         count(*) OVER (PARTITION BY event_type) AS nd,
+         SUM(n_events) OVER (PARTITION BY event_type) AS s,
+         SUM(n_events * n_events) OVER (PARTITION BY event_type) AS sq
+  FROM daily
+)
+SELECT event_type, day, n_events,
+       CAST(CASE WHEN (nd * n_events - s) * (nd * n_events - s)
+                      > 4 * (nd * sq - s * s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM stats
+"""
+
+
+@query("q86_daily_volume_anomalies", oracle=_ANOMALY_ORACLE)
+def q86_daily_volume_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Volume-anomaly flags: a day is anomalous when its count sits
+    more than 2 sigma from its type's mean — evaluated in EXACT
+    integer arithmetic ((n*x - s)^2 > k^2 * (n*sq - s^2), the
+    sigma test cleared of divisions), so the flag is bit-stable
+    across engines, unlike any float mean/stddev pipeline. Two-grain
+    plan: one event-grain aggregate to day counts, then stats
+    windows over day-grain rows only. The monitoring primitive for
+    feed-health checks on the ingest DAG."""
+    from .core import _epoch_seconds
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.select(
+            "event_type",
+            _epoch_seconds(ev, "ts").alias("ts_sec"),
+        )
+        .select(
+            "event_type", F.expr("ts_sec DIV 86400").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("nd"),
+        F.sum("n_events").over(w).alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("sq"),
+    )
+    dev = F.col("nd") * F.col("n_events") - F.col("s")
+    return stats.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.when(
+            dev * dev > 4 * (F.col("nd") * F.col("sq") - F.col("s") * F.col("s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_anomaly"),
+    )
