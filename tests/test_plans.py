@@ -280,3 +280,10 @@ def test_classifier_scoring_is_narrow_jvm_map(spark, registry):
     assert "Exchange" not in plan
     assert "Python" not in plan
     assert "Join" not in plan
+
+
+def test_curriculum_rank_no_single_partition_window(spark, registry):
+    """q87: the global total order comes from the two-phase cumsum —
+    no Exchange SinglePartition anywhere in the plan."""
+    plan = plan_of(registry["q87_curriculum_order"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan, plan
