@@ -302,3 +302,95 @@ def q77_scd2_user_tier_history(
     return out.select(
         "user_id", "tier", "version", "valid_from", "valid_to"
     )
+
+
+# ---------------------------------------------------------------- q89
+
+_PIT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS tier
+  FROM events
+),
+lagged AS (
+  SELECT *, LAG(tier) OVER (
+           PARTITION BY user_id ORDER BY ts_sec, event_id
+         ) AS prev_tier
+  FROM ev
+),
+runs AS (
+  SELECT user_id, tier, ts_sec FROM lagged
+  WHERE prev_tier IS DISTINCT FROM tier
+),
+hist AS (
+  SELECT user_id, tier,
+         CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY ts_sec) AS BIGINT) AS version,
+         ts_sec AS valid_from,
+         LEAD(ts_sec) OVER (
+           PARTITION BY user_id ORDER BY ts_sec) AS valid_to
+  FROM runs
+),
+live AS (
+  SELECT * FROM hist WHERE valid_to IS NULL OR valid_from < valid_to
+)
+SELECT e.event_id, e.user_id, e.ts_sec,
+       h.tier AS tier_at_event, h.version AS tier_version
+FROM ev e JOIN live h
+  ON e.user_id = h.user_id
+ AND e.ts_sec >= h.valid_from
+ AND (h.valid_to IS NULL OR e.ts_sec < h.valid_to)
+"""
+
+
+@query("q89_point_in_time_features", oracle=_PIT_ORACLE)
+def q89_point_in_time_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time feature attachment (the feature-store
+    correctness primitive): every event gets the attribute version
+    that was VALID AT ITS TIMESTAMP — no leakage from the future.
+    Composes the engine's SCD2 build (q77) with the union+window
+    as-of join (q39): history rows with empty [from, to) intervals
+    (two same-second transitions) are dropped so the as-of match is
+    exactly interval containment, and the oracle checks it against a
+    literal interval join. Two shuffles total, both on user_id."""
+    from ..operators.asof import asof_join
+    from ..operators.scd import scd2_history
+
+    ev = _events(spark, sf_dir)
+    src = ev.select(
+        "user_id",
+        "event_id",
+        _epoch_seconds(ev, "ts").alias("ts_sec"),
+        (F.get_json_object("props", "$.k").cast("long") / 25)
+        .cast("long")
+        .alias("tier"),
+    )
+    hist = scd2_history(
+        src, keys=["user_id"], ts_col="ts_sec", attrs=["tier"],
+        tiebreak=["event_id"],
+    )
+    live = hist.filter(
+        F.col("valid_to").isNull()
+        | (F.col("valid_from") < F.col("valid_to"))
+    ).select(
+        "user_id",
+        F.col("valid_from"),
+        F.col("tier").alias("tier_at_event"),
+        F.col("version").alias("tier_version"),
+    )
+    out = asof_join(
+        src.select("user_id", "event_id", "ts_sec"),
+        live,
+        on=["user_id"],
+        left_ts="ts_sec",
+        right_ts="valid_from",
+        how="inner",
+        matched_ts_alias="_from",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_sec", "tier_at_event",
+        "tier_version",
+    )
