@@ -651,3 +651,77 @@ def q88_referential_integrity_audit(
     for e in edges[1:]:
         out = out.unionByName(e)
     return out
+
+
+# ---------------------------------------------------------------- q90
+
+_MAU_K = 128
+_MAU_WINDOW = 28
+
+_MAU_ORACLE = f"""
+WITH ev AS (
+  SELECT DISTINCT
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         {_H60.format(col="user_id")} AS h
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ev),
+win AS (
+  SELECT d.day AS target_day, e.h
+  FROM days d JOIN ev e
+    ON e.day BETWEEN d.day - {_MAU_WINDOW - 1} AND d.day
+),
+dedup AS (SELECT DISTINCT target_day, h FROM win),
+ranked AS (
+  SELECT target_day, h,
+         row_number() OVER (PARTITION BY target_day ORDER BY h) AS rn
+  FROM dedup
+)
+SELECT target_day,
+       CAST(count(*) AS BIGINT) AS sketch_size,
+       CAST(max(h) AS BIGINT) AS kth_min_hash
+FROM ranked WHERE rn <= {_MAU_K}
+GROUP BY 1
+"""
+
+
+@query("q90_rolling_active_user_sketch", oracle=_MAU_ORACLE)
+def q90_rolling_active_user_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 28-day active-user sketches (the MAU curve): build ONE
+    KMV sketch per day from raw events, then every day's trailing
+    window is a pure SKETCH MERGE — 28 tiny sorted-hash arrays, no
+    second scan of the event table, and merging is exact (q41's
+    property), so the oracle can compute each window directly from
+    raw data and still hash-match. This is how rolling distinct
+    survives 100 TB: the event-grain work is one day-keyed sketch
+    pass; the sliding window runs over days x k longs."""
+    from ..operators import sketch as SK
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .core import _epoch_seconds
+
+    ue = (
+        ev.select(
+            _epoch_seconds(ev, "ts").alias("ts_sec"), "user_id"
+        )
+        .select(
+            F.expr("ts_sec DIV 86400").alias("day"), "user_id"
+        )
+    )
+    daily = SK.kmv_sketch(ue, keys=["day"], col="user_id", k=_MAU_K)
+    daily = daily.localCheckpoint(eager=True)  # reused 28x; days x k longs
+    days = daily.select(F.col("day").alias("target_day")).distinct()
+    fan = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.lit(_MAU_WINDOW - 1)
+            )
+        ).alias("target_day"),
+        "sketch",
+    ).join(F.broadcast(days), "target_day")  # clip to observed days
+    merged = SK.kmv_merge(fan, keys=["target_day"], k=_MAU_K)
+    return merged.select(
+        "target_day", "sketch_size", "kth_min_hash"
+    )
