@@ -129,3 +129,49 @@ def test_histogram_negative_values_floor_bin(spark):
         for r in SK.histogram_sketch(ev, [], "cents", 50).collect()
     }
     assert rows == {-1: 2, 0: 2}
+
+
+def test_histogram_quantile_property():
+    """Hypothesis: for arbitrary integer data and bin widths, the
+    estimate is always the floor-bin edge of the exact rank value."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from .conftest import SF_DIR  # noqa: F401  (fixture parity import)
+
+    @st.composite
+    def cases(draw):
+        vals = draw(
+            st.lists(
+                st.integers(min_value=-500, max_value=500),
+                min_size=1,
+                max_size=60,
+            )
+        )
+        w = draw(st.sampled_from([1, 7, 50]))
+        return vals, w
+
+    from samba_tv_ingest_etl_spark.operators import sketch as SK
+    from samba_tv_ingest_etl_spark.session import get_spark
+
+    spark = get_spark("tests")
+
+    @settings(max_examples=10, deadline=None)
+    @given(cases())
+    def inner(case):
+        vals, w = case
+        ev = spark.createDataFrame([(v,) for v in vals], "cents long")
+        hist = SK.histogram_sketch(ev, [], "cents", bin_width=w)
+        out = SK.histogram_quantile_bins(
+            hist, [], w, [("p50", 1, 2), ("p90", 9, 10)]
+        ).collect()[0]
+        sv = sorted(vals)
+        for alias, num, den in [("p50", 1, 2), ("p90", 9, 10)]:
+            exact = sv[math.ceil(len(sv) * num / den) - 1]
+            est = out[alias]
+            # estimate = lower edge of the exact value's bin
+            assert est == (exact // w) * w, (alias, est, exact, w)
+
+    inner()
