@@ -38,6 +38,8 @@ HEADLINE = [
     "q46_top_characteristic_terms",
     "q48_dedup_components",
     "q58_training_data_prep",
+    "q76_semdedup_drops",
+    "q87_curriculum_order",
 ]
 
 

@@ -708,7 +708,7 @@ def _ivf_dist_sql(qa: str, qc: str) -> str:
     )
 
 
-def _ivf_assign_parts() -> list[str]:
+def _ivf_assign_parts(k: int = _IVF_K) -> list[str]:
     """Shared oracle prefix: unrolled deterministic k-means (init = k
     lowest SAMPLED vec_ids, 2 Lloyd steps over the hash sample,
     floor-average centroids) ending in the full-corpus assignment CTE
@@ -730,7 +730,7 @@ tquant AS (
 cents0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
          q AS cq
-  FROM (SELECT vec_id, q FROM tquant ORDER BY vec_id LIMIT {_IVF_K})
+  FROM (SELECT vec_id, q FROM tquant ORDER BY vec_id LIMIT {k})
 )""",
     ]
     for it in range(_IVF_ITERS + 1):
@@ -820,11 +820,16 @@ def q32_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- q76
 
+# SemDeDup wants MANY small clusters (bounded n_c -> bounded pair
+# candidates); the probe path (q32) wants few (nprobe covers recall).
+_SEM_K = 32
+
+
 def _semdedup_oracle() -> str:
     """Same trained index as q32 (``_ivf_assign_parts``), consumed by
     the SemDeDup prune: within-cluster pairs a<b at cosine >= tau;
     the dropped side aggregated per (vec_id, cluster)."""
-    parts = _ivf_assign_parts()
+    parts = _ivf_assign_parts(k=_SEM_K)
     last = _IVF_ITERS
     parts.append(f"""
 pairs AS (
@@ -861,7 +866,7 @@ def q76_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_drops(
         _embeddings_q(spark, sf_dir),
         threshold_pct=_COS_PCT,
-        n_centroids=_IVF_K,
+        n_centroids=_SEM_K,
         iters=_IVF_ITERS,
         dim=_DIM,
         train_sample=_IVF_SAMPLE,
