@@ -2162,3 +2162,73 @@ def q87_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_milli",
         (F.col("_rank0") + 1).cast("long").alias("curriculum_rank"),
     )
+
+
+# ---------------------------------------------------------------- q91
+
+_SURVIVOR_ORACLE = f"""
+WITH {_COPY_SQL},
+scored AS (
+  SELECT c.doc_id, sha256(c.text) AS grp,
+         {_CLS_INTERCEPT} + CAST(coalesce(list_sum(list_transform(
+           list_filter(regexp_split_to_array(lower(c.text),
+                       '{_TOKEN_RE}'), x -> x <> ''),
+           tok -> {_CLS_W_SQL})), 0) AS BIGINT) AS score_milli
+  FROM corpus c
+),
+ranked AS (
+  SELECT grp, doc_id, score_milli,
+         row_number() OVER (PARTITION BY grp
+           ORDER BY score_milli DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM scored
+)
+SELECT substr(grp, 1, 16) AS group_key,
+       CAST(n AS BIGINT) AS n_members,
+       doc_id AS keeper_doc_id,
+       score_milli AS keeper_score,
+       CAST(n - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1 AND n > 1
+"""
+
+
+@query("q91_dedup_survivorship", oracle=_SURVIVOR_ORACLE)
+def q91_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivorship: within each exact-duplicate
+    group (sha2 of the text), keep the HIGHEST-quality member by the
+    q79 classifier score (tiebreak: lowest doc_id) instead of q20's
+    arbitrary min-id — the curation policy real pipelines want
+    ('among copies, keep the best-scored one'). Shuffle carries
+    (hash, id, score); the duplicate text bytes never move. Identical
+    copies tie on score, so the id tiebreak decides deterministically;
+    near-dup groups (q76) plug into the same window."""
+    from pyspark.sql import Window
+
+    from ..operators.text import derived_weights, hashed_linear_score
+
+    corpus = _copy_corpus(spark, sf_dir)
+    scored = hashed_linear_score(
+        corpus, "doc_id", "text",
+        weights=derived_weights(_CLS_D), intercept=_CLS_INTERCEPT,
+    ).select("doc_id", "score_milli")
+    grouped = corpus.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("grp")
+    ).join(scored, "doc_id")
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id")
+    )
+    cw = Window.partitionBy("grp")
+    ranked = grouped.select(
+        "grp",
+        "doc_id",
+        "score_milli",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n") > 1)).select(
+        F.substring("grp", 1, 16).alias("group_key"),
+        F.col("n").cast("long").alias("n_members"),
+        F.col("doc_id").alias("keeper_doc_id"),
+        F.col("score_milli").alias("keeper_score"),
+        (F.col("n") - 1).cast("long").alias("n_dropped"),
+    )

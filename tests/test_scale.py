@@ -120,3 +120,54 @@ def test_salted_join_shuffles_on_key_and_salt(spark):
         ), parts
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime complement to the deterministic salting operators: with
+    AQE skew-join on, a sort-merge join whose left side piles onto one
+    hot key gets its oversized partition SPLIT at runtime (the final
+    adaptive plan marks the join skew=true). Thresholds are lowered so
+    the fixture-sized skew triggers the same code path a 100 TB hot
+    key would."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # half the rows on one key: the hot post-shuffle partition is
+        # ~4x the median, clearing the factor=2 detection bar
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 2 == 0, 0)
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        # cheap projection so the collect below moves counts, not rows
+        joined = (
+            left.join(right, "k")
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+        )
+        # execute THIS df's own QueryExecution (count()/noop would
+        # plan a fresh one and leave this plan isFinalPlan=false)
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
