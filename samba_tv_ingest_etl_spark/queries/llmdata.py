@@ -2232,3 +2232,181 @@ def q91_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_milli").alias("keeper_score"),
         (F.col("n") - 1).cast("long").alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------- q92
+
+def _shingle_chain_sql(prefix: str, src: str) -> str:
+    """toks -> shingles -> exploded chain over ``src``, CTE names
+    prefixed (the bipartite oracle needs the chain twice)."""
+    return rf"""
+{prefix}toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     t -> t <> '') AS toks
+  FROM {src}
+),
+{prefix}shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {_NGRAM} THEN
+           list_distinct(list_transform(range(1, len(toks) - {_NGRAM - 2}),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+         ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM {prefix}toks
+),
+{prefix}ex AS (
+  SELECT doc_id, len(shingles) AS set_size, unnest(shingles) AS shingle
+  FROM {prefix}shingled
+)"""
+
+
+_INC_DEDUP_ORACLE = f"""
+WITH hist AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 300000 AS doc_id, text FROM documents
+  WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 400000,
+         substr(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+  FROM documents WHERE doc_id % 40 = 7
+  UNION ALL
+  SELECT doc_id + 500000, reverse(text)
+  FROM documents WHERE doc_id % 30 = 11
+),
+exact AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM batch b JOIN hist h ON sha256(b.text) = sha256(h.text)
+  GROUP BY 1
+),
+rest AS (
+  SELECT * FROM batch
+  WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+),
+{_shingle_chain_sql('b', 'rest')},
+{_shingle_chain_sql('h', 'hist')},
+hot AS (
+  SELECT shingle FROM hex GROUP BY shingle
+  HAVING count(*) > {_STOP_SHINGLE_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS b_id, b.doc_id AS h_id
+  FROM bex a JOIN hex b ON a.shingle = b.shingle
+  WHERE a.shingle NOT IN (SELECT shingle FROM hot)
+),
+allp AS (
+  SELECT a.doc_id AS b_id, b.doc_id AS h_id,
+         a.set_size AS size_a, b.set_size AS size_b,
+         CAST(count(*) AS BIGINT) AS common
+  FROM bex a JOIN hex b ON a.shingle = b.shingle
+  GROUP BY 1, 2, 3, 4
+),
+near AS (
+  SELECT p.b_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM allp p JOIN cand c ON p.b_id = c.b_id AND p.h_id = c.h_id
+  WHERE p.common * 100 >= {_JACCARD_PCT}
+        * (p.size_a + p.size_b - p.common)
+  GROUP BY 1
+)
+SELECT doc_id, 'exact_dup' AS status, n_matches FROM exact
+UNION ALL
+SELECT doc_id, 'near_dup', n_matches FROM near
+UNION ALL
+SELECT doc_id, 'new', CAST(0 AS BIGINT) FROM rest
+WHERE doc_id NOT IN (SELECT doc_id FROM near)
+"""
+
+
+@query("q92_incremental_dedup", oracle=_INC_DEDUP_ORACLE)
+def q92_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the production shape:
+    a new drop is checked against the historical corpus WITHOUT ever
+    re-pairing the corpus with itself, so per-drop cost scales with
+    the batch, not the archive. Exact phase: sha2 equi-join (shuffle
+    carries hashes). Near phase: BIPARTITE shingle join batch x
+    history with the hot-shingle candidacy cap (history-side df >
+    {_STOP_SHINGLE_DF} excluded — same skew posture as q21);
+    verification stays exact over full shingle sets. Each batch doc
+    reports exact_dup / near_dup / new."""
+    from ..operators.dedup import shingle_docs
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    hist = docs
+    batch = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 7).select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            F.expr(
+                "substr(text, 1, CAST(floor(length(text) * 0.8) AS INT))"
+            ).alias("text"),
+        )
+    ).unionByName(
+        # genuinely novel content (reversed text tokenizes to unseen
+        # words) — exercises the 'new' verdict
+        docs.filter(F.col("doc_id") % 30 == 11).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.reverse(F.col("text")).alias("text"),
+        )
+    )
+    bh = batch.withColumn("sha", F.sha2("text", 256))
+    hh = hist.select(F.sha2("text", 256).alias("sha"))
+    exact = (
+        bh.join(hh, "sha")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+        .select("doc_id", F.lit("exact_dup").alias("status"), "n_matches")
+    )
+    exact = exact.localCheckpoint(eager=True)  # reused: output + anti-join
+    rest = batch.join(
+        exact.select("doc_id"), "doc_id", "left_anti"
+    )
+    bex = shingle_docs(rest).select(
+        F.col("doc_id").alias("b_id"),
+        F.col("set_size").alias("size_a"),
+        F.explode("shingles").alias("shingle"),
+    )
+    hex_ = shingle_docs(hist).select(
+        F.col("doc_id").alias("h_id"),
+        F.col("set_size").alias("size_b"),
+        F.explode("shingles").alias("shingle"),
+    )
+    hex_ = hex_.localCheckpoint(eager=True)  # reused: hot + two joins
+    hot = (
+        hex_.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _STOP_SHINGLE_DF)
+        .select("shingle")
+    )
+    cand = (
+        bex.join(hex_, "shingle")
+        .join(F.broadcast(hot), "shingle", "left_anti")
+        .select("b_id", "h_id")
+        .distinct()
+    )
+    allp = (
+        bex.join(hex_, "shingle")
+        .groupBy("b_id", "h_id", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    near = (
+        allp.join(cand, ["b_id", "h_id"], "left_semi")
+        .filter(
+            F.col("common") * 100
+            >= F.lit(_JACCARD_PCT)
+            * (F.col("size_a") + F.col("size_b") - F.col("common"))
+        )
+        .groupBy("b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+        .select(
+            F.col("b_id").alias("doc_id"),
+            F.lit("near_dup").alias("status"),
+            "n_matches",
+        )
+    )
+    near = near.localCheckpoint(eager=True)  # reused: output + anti-join
+    new = rest.join(near.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit("new").alias("status"),
+        F.lit(0).cast("long").alias("n_matches"),
+    )
+    return exact.unionByName(near).unionByName(new)
