@@ -1587,3 +1587,93 @@ def q81_text_feed_roundtrip(
         )
     out = parts[0].unionByName(parts[1])
     return out
+
+
+# ------------------------------------------------------------- q93
+# Stream-static enrichment: a live event stream joined per-microbatch
+# to a STATIC dimension (the standard lookup-enrichment shape —
+# Spark re-plans the static side each batch, so a broadcast dim costs
+# one broadcast per batch and no stream-side state at all, unlike
+# stream-stream joins). Pinned to the equivalent batch join oracle.
+
+_STREAM_ENRICH_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+dim AS (
+  SELECT c.c_custkey AS user_id, n.n_name AS nation
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT d.nation, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(e.cents) AS BIGINT) AS cents
+FROM ev e JOIN dim d USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("q93_stream_static_enrichment", oracle=_STREAM_ENRICH_ORACLE)
+def q93_stream_static_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static join: staged event stream enriched with the
+    customer->nation dimension inside the micro-batch (broadcast
+    lookup, zero streaming state), aggregated in complete mode and
+    drained with availableNow. Draining the full stream must equal
+    the batch join+aggregate — the oracle is that batch query."""
+    import os
+    import tempfile
+
+    from ..streaming.ingest import read_feed_stream
+
+    raw = _events(spark, sf_dir)
+    ev = raw.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="q93_")
+    stage = os.path.join(tmp, "stage")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    ev.coalesce(2).write.parquet(stage)
+
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"), "c_nationkey"
+        )
+        .join(
+            F.broadcast(
+                spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("user_id", "nation")
+    )
+
+    stream = read_feed_stream(spark, stage, ev.schema)
+    enriched = stream.join(F.broadcast(dim), "user_id")  # per-batch lookup
+    agg = enriched.groupBy("nation", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    (
+        agg.writeStream.format("memory")
+        .queryName("q93_enriched")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    ).awaitTermination()
+    result = spark.table("q93_enriched").select(
+        "nation", "event_type", "n_events", "cents"
+    )
+    # memory sink is session-scoped scratch; materialize and detach
+    rows = result.collect()
+    spark.catalog.dropTempView("q93_enriched")
+    return spark.createDataFrame(rows, result.schema)

@@ -22,6 +22,7 @@ _SKIP = {
     "q66_streaming_dedup_window_counts",
     "q70_stream_stream_attribution",
     "q72_streaming_session_window",
+    "q93_stream_static_enrichment",
     # DAG-replay queries: rebuild a scratch warehouse (~60-90 s) to
     # return a read-back; covered by their own oracle rows.
     "q61_incremental_equals_backfill",
