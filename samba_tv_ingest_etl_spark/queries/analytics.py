@@ -725,3 +725,79 @@ def q90_rolling_active_user_sketch(
     return merged.select(
         "target_day", "sketch_size", "kth_min_hash"
     )
+
+
+# ---------------------------------------------------------------- q95
+
+_LIFT_ORACLE = """
+WITH dim AS (
+  SELECT c.c_custkey AS user_id, n.n_name AS nation
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+cells AS (
+  SELECT d.nation, e.event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events e JOIN dim d ON e.user_id = d.user_id
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT nation, event_type, n,
+         SUM(n) OVER (PARTITION BY nation) AS row_tot,
+         SUM(n) OVER (PARTITION BY event_type) AS col_tot,
+         SUM(n) OVER () AS total
+  FROM cells
+)
+SELECT nation, event_type, n,
+       CAST((n * total * 1000000) // (row_tot * col_tot) AS BIGINT)
+         AS lift_ppm
+FROM m
+"""
+
+
+@query("q95_joint_lift_cells", oracle=_LIFT_ORACLE)
+def q95_joint_lift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint-distribution lift audit: observed (nation x event_type)
+    counts vs the independence expectation from the marginals, as
+    integer ppm (1e6 = independent, higher = over-represented) — the
+    mix-shift / bias-detection primitive for corpus and audience
+    composition. Event-grain work is one broadcast-dim join + one
+    aggregate; all three marginals come from windows over the
+    |nations| x |types| cell table."""
+    from pyspark.sql import Window
+
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+        .join(
+            F.broadcast(
+                spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("user_id", "nation")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type"
+    )
+    cells = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("nation", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    m = cells.select(
+        "nation",
+        "event_type",
+        "n",
+        F.sum("n").over(Window.partitionBy("nation")).alias("row_tot"),
+        F.sum("n").over(Window.partitionBy("event_type")).alias("col_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    return m.select(
+        "nation",
+        "event_type",
+        "n",
+        F.expr("n * total * 1000000 DIV (row_tot * col_tot)")
+        .cast("long")
+        .alias("lift_ppm"),
+    )

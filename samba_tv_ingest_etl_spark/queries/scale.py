@@ -505,3 +505,70 @@ def q82_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lo").cast("long").alias("n_clipped_low"),
         F.sum("hi").cast("long").alias("n_clipped_high"),
     )
+
+
+# ---------------------------------------------------------------- q94
+
+_OHLC_ORACLE = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+d AS (
+  SELECT event_type, ts_sec // 86400 AS day, ts_sec, event_id, cents
+  FROM ev
+),
+ranked AS (
+  SELECT event_type, day, cents,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts_sec, event_id) AS rn_open,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts_sec DESC, event_id DESC)
+           AS rn_close
+  FROM d
+)
+SELECT event_type, day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(CASE WHEN rn_open = 1 THEN cents END) AS open_cents,
+       max(CASE WHEN rn_close = 1 THEN cents END) AS close_cents,
+       max(cents) AS high_cents,
+       min(cents) AS low_cents
+FROM ranked GROUP BY 1, 2
+"""
+
+
+@query("q94_daily_ohlc", oracle=_OHLC_ORACLE)
+def q94_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-by-time aggregation (the OHLC shape): open = value
+    of the EARLIEST event in the (type, day) group, close = latest,
+    plus min/max — all in ONE hash aggregate using ordered-struct
+    min/max (min of (ts, id, cents) structs picks the open row), no
+    ranking window over the events at all. The oracle computes the
+    same rows with explicit rank windows, pinning the struct
+    tie-break semantics. At 100 TB this is the difference between a
+    map-side-combinable aggregate and a full sort per group."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .core import _epoch_seconds
+
+    d = ev.select(
+        "event_id",
+        "event_type",
+        _epoch_seconds(ev, "ts").alias("ts_sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).select(
+        "event_type",
+        F.expr("ts_sec DIV 86400").alias("day"),
+        "ts_sec",
+        "event_id",
+        "cents",
+    )
+    open_s = F.struct("ts_sec", "event_id", "cents")
+    return d.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(open_s)["cents"].alias("open_cents"),
+        F.max(open_s)["cents"].alias("close_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+    )
