@@ -2410,3 +2410,86 @@ def q92_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("n_matches"),
     )
     return exact.unionByName(near).unionByName(new)
+
+
+# ---------------------------------------------------------------- q96
+
+_H60_SQL = "('0x' || substr(sha256(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+
+_LEAKAGE_ORACLE = f"""
+WITH {_COPY_SQL},
+g AS (
+  SELECT doc_id, sha256(text) AS grp,
+         CASE WHEN {_H60_SQL.format(col='doc_id')} % 100 < 90
+              THEN 'train'
+              WHEN {_H60_SQL.format(col='doc_id')} % 100 < 95
+              THEN 'val' ELSE 'test' END AS split_by_id,
+         CASE WHEN {_H60_SQL.format(col='sha256(text)')} % 100 < 90
+              THEN 'train'
+              WHEN {_H60_SQL.format(col='sha256(text)')} % 100 < 95
+              THEN 'val' ELSE 'test' END AS split_by_content
+  FROM corpus
+),
+dup AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(count(DISTINCT split_by_id) AS BIGINT) AS k_id,
+         CAST(count(DISTINCT split_by_content) AS BIGINT) AS k_content
+  FROM g GROUP BY 1 HAVING count(*) > 1
+)
+SELECT 'by_doc_id' AS split_key,
+       CAST(count(*) AS BIGINT) AS n_dup_groups,
+       CAST(sum(CASE WHEN k_id > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddling
+FROM dup
+UNION ALL
+SELECT 'by_content_hash',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN k_content > 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM dup
+"""
+
+
+@query("q96_split_leakage_audit", oracle=_LEAKAGE_ORACLE)
+def q96_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit for train/test splits: count duplicate
+    groups whose members land in DIFFERENT splits. Keyed on doc_id,
+    verbatim copies straddle the boundary (the classic inflated-eval
+    bug); keyed on the content hash, straddling is structurally zero
+    — the same exact_dedup discipline (q20) applied to the split key.
+    The query reports both, so the artifact shows the leak AND the
+    fix."""
+    from ..operators.sampling import hash_split
+
+    corpus = _copy_corpus(spark, sf_dir).withColumn(
+        "grp", F.sha2("text", 256)
+    )
+    split_id = hash_split(
+        corpus, "doc_id", {"train": 90, "val": 5, "test": 5},
+        split_col="split_by_id",
+    )
+    both = hash_split(
+        split_id, "grp", {"train": 90, "val": 5, "test": 5},
+        split_col="split_by_content",
+    )
+    dup = (
+        both.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("split_by_id").cast("long").alias("k_id"),
+            F.countDistinct("split_by_content")
+            .cast("long")
+            .alias("k_content"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+    dup = dup.localCheckpoint(eager=True)  # reused for both summary rows
+    row = lambda label, kcol: dup.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n_dup_groups"),
+        F.sum(F.when(F.col(kcol) > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_straddling"),
+    ).select(F.lit(label).alias("split_key"), "n_dup_groups", "n_straddling")
+    return row("by_doc_id", "k_id").unionByName(
+        row("by_content_hash", "k_content")
+    )
