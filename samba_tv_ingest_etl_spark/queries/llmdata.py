@@ -2493,3 +2493,75 @@ def q96_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row("by_doc_id", "k_id").unionByName(
         row("by_content_hash", "k_content")
     )
+
+
+# ---------------------------------------------------------------- q97
+
+_CHUNK_C = 32   # tokens per chunk
+_CHUNK_S = 24   # stride (8-token overlap)
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sized AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+ch AS (
+  SELECT doc_id, toks, n, CAST(s.start AS BIGINT) AS start
+  FROM sized, unnest(range(1, n + 1, {_CHUNK_S})) AS s(start)
+)
+SELECT doc_id,
+       CAST((start - 1) // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+       start AS start_tok,
+       CAST(least({_CHUNK_C}, n - start + 1) AS BIGINT)
+         AS n_chunk_tokens,
+       toks[CAST(start AS INT)] AS first_tok,
+       toks[CAST(start + least({_CHUNK_C}, n - start + 1) - 1 AS INT)]
+         AS last_tok
+FROM ch
+"""
+
+
+@query("q97_doc_chunking", oracle=_CHUNK_ORACLE)
+def q97_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingest chunking: every document split into {_CHUNK_C}-token
+    windows at stride {_CHUNK_S} (8-token overlap), emitted as
+    (doc_id, chunk_idx, bounds, first/last token). Pure narrow
+    generate — tokenize once, explode the stride sequence, index into
+    the materialized token array; no shuffle at all, so chunking
+    100 TB is a map pass that parallelizes with the input splits.
+    Complements q67's packing (concat-then-chunk across docs) with
+    the per-doc overlapping variant retrieval indexes need."""
+    from ..operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks").cast("long"))
+    ch = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(1).cast("long"), F.col("n"), F.lit(_CHUNK_S)
+            )
+        ).alias("start"),
+    )
+    chunk_n = F.least(
+        F.lit(_CHUNK_C), F.col("n") - F.col("start") + 1
+    ).cast("long")
+    return ch.select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_S).cast("long").alias("chunk_idx"),
+        F.col("start").alias("start_tok"),
+        chunk_n.alias("n_chunk_tokens"),
+        F.element_at("toks", F.col("start").cast("int")).alias(
+            "first_tok"
+        ),
+        F.element_at(
+            "toks", (F.col("start") + chunk_n - 1).cast("int")
+        ).alias("last_tok"),
+    )
