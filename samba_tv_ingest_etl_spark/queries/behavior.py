@@ -347,3 +347,61 @@ def q85_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------- q98
+
+_DECAY_HALF_LIFE_DAYS = 7
+
+_DECAY_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+anchor AS (SELECT max(day) AS now_day FROM ev),
+w AS (
+  SELECT user_id,
+         cents // (1 << CAST(least((a.now_day - day)
+                      // {_DECAY_HALF_LIFE_DAYS}, 62) AS INT))
+           AS decayed
+  FROM ev, anchor a
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(decayed) AS BIGINT) AS decayed_cents
+FROM w GROUP BY 1
+"""
+
+
+@query("q98_decayed_engagement", oracle=_DECAY_ORACLE)
+def q98_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement scoring with an EXACT integer
+    decay: value halves every {_DECAY_HALF_LIFE_DAYS} days via a bit
+    shift (cents >> floor(age / half_life)) — step-wise exponential
+    decay with none of the float pow() drift that breaks
+    cross-engine reproducibility. The anchor 'now' is the corpus max
+    day (a 1-row scalar), so the score is a pure function of the
+    data. One shuffle: the per-user aggregate."""
+    from .core import _epoch_seconds
+
+    raw = _events(spark, sf_dir)
+    ev = raw.select(
+        "user_id",
+        _epoch_seconds(raw, "ts").alias("ts_sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).select(
+        "user_id", F.expr("ts_sec DIV 86400").alias("day"), "cents"
+    )
+    now_day = ev.agg(F.max("day")).collect()[0][0]
+    # cents >= 0 in this corpus, so Spark's truncating DIV equals the
+    # oracle's floor division
+    decayed = F.expr(
+        f"cents DIV shiftleft(1L, CAST(least((({int(now_day)} - day) DIV "
+        f"{_DECAY_HALF_LIFE_DAYS}), 62) AS INT))"
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(decayed).cast("long").alias("decayed_cents"),
+    )
