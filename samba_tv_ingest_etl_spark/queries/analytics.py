@@ -801,3 +801,54 @@ def q95_joint_lift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lift_ppm"),
     )
+
+
+# ---------------------------------------------------------------- q100
+
+_PSEUDO_SALT = "v1"
+
+_PSEUDO_ORACLE = f"""
+WITH p AS (
+  SELECT event_type, user_id,
+         sha256('{_PSEUDO_SALT}:' || CAST(user_id AS VARCHAR))
+           AS pseudo_id
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT pseudo_id) AS BIGINT) AS n_pseudonyms,
+       min(pseudo_id) AS sample_pseudonym
+FROM p GROUP BY 1
+"""
+
+
+@query("q100_pseudonymized_rollup", oracle=_PSEUDO_ORACLE)
+def q100_pseudonymized_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Privacy-preserving ID handling: salted-hash pseudonymization
+    (sha256 over salt:user_id) applied as a narrow map before any
+    aggregation — the downstream pipeline never sees raw IDs, yet
+    joins/distincts still work because the mapping is deterministic
+    per salt epoch. The checked output pins n_users == n_pseudonyms
+    (injectivity on this corpus) and a deterministic sample
+    pseudonym; rotating the salt unlinks epochs without touching the
+    pipeline."""
+    p = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "user_id",
+        F.sha2(
+            F.concat(
+                F.lit(f"{_PSEUDO_SALT}:"),
+                F.col("user_id").cast("string"),
+            ),
+            256,
+        ).alias("pseudo_id"),
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct("pseudo_id").cast("long").alias("n_pseudonyms"),
+        F.min("pseudo_id").alias("sample_pseudonym"),
+    )
