@@ -2565,3 +2565,57 @@ def q97_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toks", (F.col("start") + chunk_n - 1).cast("int")
         ).alias("last_tok"),
     )
+
+
+# ---------------------------------------------------------------- q102
+
+_WSAMPLE_K = 50
+
+_WSAMPLE_ORACLE = f"""
+WITH pri AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           // CAST(n_chars AS BIGINT) AS priority
+  FROM documents
+  WHERE n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, weight, priority,
+         CAST(row_number() OVER (ORDER BY priority, doc_id)
+           AS BIGINT) AS rank
+  FROM pri
+)
+SELECT doc_id, weight, priority, rank
+FROM ranked WHERE rank <= {_WSAMPLE_K}
+"""
+
+
+@query("q102_weighted_sample", oracle=_WSAMPLE_ORACLE)
+def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via sequential Poisson
+    sampling (Ohlsson): priority = u / weight with u a uniform hash,
+    keep the k smallest priorities — inclusion probability ~
+    proportional to weight, yet fully deterministic (hash-derived u,
+    integer division, id tie-break), so the sample survives retries,
+    repartitioning and engine swaps, unlike any rand()-based
+    reservoir. Priorities are a narrow map; selection is a top-k over
+    (priority, id) — at scale a per-partition top-k before the final
+    k-merge."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("n_chars") > 0
+    )
+    pri = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.expr(
+            "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256),"
+            " 1, 15), 16, 10) AS BIGINT) DIV CAST(n_chars AS BIGINT)"
+        ).alias("priority"),
+    )
+    w = Window.orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _WSAMPLE_K)
+    )

@@ -612,3 +612,71 @@ def q99_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_even_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------- q101
+
+_DENSE_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY 1, 2
+),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+grid AS (
+  SELECT t.event_type, CAST(d.day AS BIGINT) AS day
+  FROM (SELECT DISTINCT event_type FROM ev) t,
+       span s, unnest(range(s.lo, s.hi + 1)) AS d(day)
+)
+SELECT g.event_type, g.day,
+       CAST(coalesce(dl.n_events, 0) AS BIGINT) AS n_events,
+       CAST(CASE WHEN dl.n_events IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_gap
+FROM grid g LEFT JOIN daily dl
+  ON g.event_type = dl.event_type AND g.day = dl.day
+"""
+
+
+@query("q101_calendar_densification", oracle=_DENSE_ORACLE)
+def q101_calendar_densification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gap-filled daily series: every (type, day) cell of the
+    observed calendar span exists, zeros where no events landed —
+    what every downstream window/forecast consumer assumes. The grid
+    is types x days (tiny — built from two scalars and the distinct
+    type list, broadcast into the left join); the event-grain work
+    remains the one daily aggregate. The is_gap flag doubles as the
+    missing-feed-day monitor next to q86's volume anomalies."""
+    from .core import _epoch_seconds
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        "event_type", _epoch_seconds(raw, "ts").alias("ts_sec")
+    ).select("event_type", F.expr("ts_sec DIV 86400").alias("day"))
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    lo, hi = ev.agg(F.min("day"), F.max("day")).collect()[0]
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(int(lo), int(hi) + 1).select(
+                F.col("id").alias("day")
+            )
+        )
+    )
+    return grid.join(F.broadcast(daily), ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("n_events").isNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_gap"),
+    )
