@@ -1,0 +1,105 @@
+"""Operational CLI — the reference's task surface as commands.
+
+    python -m samba_tv_ingest_etl_spark backfill    --sf-dir D --warehouse W
+    python -m samba_tv_ingest_etl_spark incremental --sf-dir D --warehouse W
+    python -m samba_tv_ingest_etl_spark query --name q13_session_ids --sf-dir D
+    python -m samba_tv_ingest_etl_spark list
+
+``backfill`` = the reference's one-shot DDL chain
+(``etl-ddl-backfill.sql``); ``incremental`` = one daily DAG pass
+(``etl-dag.sql``) — watermark reads, affected-key recompute and
+control-table update included, idempotent to re-runs. ``query`` runs
+any registered query from the engine's registry and prints rows —
+the switch-over surface for a reference user. ``--scale-layout``
+opts the warehouse into the hive-partitioned storage design.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cpus: int | None):
+    from .session import get_spark
+
+    return get_spark("samba-cli", cpus=cpus)
+
+
+def _feeds(spark, sf_dir: str):
+    from .queries.core import _samba_feeds
+
+    return _samba_feeds(spark, sf_dir)
+
+
+def _warehouse(spark, root: str, scale_layout: bool):
+    from .plans.backfill import Warehouse
+
+    layout = Warehouse.SCALE_LAYOUT if scale_layout else None
+    return Warehouse(spark, root, layout=layout)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="samba_tv_ingest_etl_spark")
+    p.add_argument("--cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name in ("backfill", "incremental"):
+        s = sub.add_parser(name)
+        s.add_argument("--sf-dir", required=True)
+        s.add_argument("--warehouse", required=True)
+        s.add_argument("--scale-layout", action="store_true")
+
+    q = sub.add_parser("query")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", required=True)
+    q.add_argument("--limit", type=int, default=20)
+
+    sub.add_parser("list")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "list":
+        from . import queries as Q
+
+        for name in sorted(Q.registry()):
+            print(name)
+        return 0
+
+    spark = _spark(args.cpus)
+
+    if args.cmd == "query":
+        from . import queries as Q
+
+        reg = Q.registry()
+        if args.name not in reg:
+            print(f"unknown query {args.name!r}; try 'list'",
+                  file=sys.stderr)
+            return 2
+        reg[args.name](spark, args.sf_dir).show(
+            args.limit, truncate=False
+        )
+        return 0
+
+    wh = _warehouse(spark, args.warehouse, args.scale_layout)
+    acr, stb, geo = _feeds(spark, args.sf_dir)
+
+    if args.cmd == "backfill":
+        from .plans.backfill import backfill
+
+        backfill(wh, acr, stb, geo)
+        print(f"backfill complete -> {args.warehouse}")
+        return 0
+
+    if args.cmd == "incremental":
+        from .plans.incremental import run_incremental
+
+        stats = run_incremental(wh, acr, stb, geo)
+        print(f"incremental pass complete -> {args.warehouse}: {stats}")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
