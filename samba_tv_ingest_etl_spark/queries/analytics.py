@@ -852,3 +852,62 @@ def q100_pseudonymized_rollup(
         F.countDistinct("pseudo_id").cast("long").alias("n_pseudonyms"),
         F.min("pseudo_id").alias("sample_pseudonym"),
     )
+
+
+# ---------------------------------------------------------------- q103
+
+_GROUP_SPLIT_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, event_id,
+         CASE WHEN {_H60.format(col="user_id")} % 100 < 80
+              THEN 'train'
+              WHEN {_H60.format(col="user_id")} % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM events
+),
+per AS (
+  SELECT split,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM s GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS total_users
+  FROM s
+)
+SELECT p.split, p.n_events, p.n_users,
+       CAST((SELECT sum(n_users) FROM per) - t.total_users AS BIGINT)
+         AS n_straddling_users
+FROM per p, tot t
+"""
+
+
+@query("q103_group_aware_split", oracle=_GROUP_SPLIT_ORACLE)
+def q103_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: EVENTS are split by their
+    USER's hash, so every user's history lands in exactly one split —
+    the grouped-data discipline that prevents per-user leakage
+    (q96's content-hash lesson at entity grain). The artifact pins
+    n_straddling_users == 0: summed per-split distinct users equals
+    the global distinct count. Split assignment is a narrow map; the
+    check is two small aggregates."""
+    from ..operators.sampling import hash_split
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id"
+    )
+    s = hash_split(
+        ev, "user_id", {"train": 80, "val": 10, "test": 10}
+    )
+    per = s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    per = per.localCheckpoint(eager=True)  # reused: rows + straddle sum
+    total = ev.select("user_id").distinct().count()
+    straddle = per.agg(
+        (F.sum("n_users") - F.lit(int(total))).cast("long").alias("v")
+    ).collect()[0]["v"]
+    return per.withColumn(
+        "n_straddling_users", F.lit(int(straddle)).cast("long")
+    )
