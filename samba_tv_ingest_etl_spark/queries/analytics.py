@@ -911,3 +911,86 @@ def q103_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.withColumn(
         "n_straddling_users", F.lit(int(straddle)).cast("long")
     )
+
+
+# ---------------------------------------------------------------- q104
+
+_PARETO_ORACLE = """
+WITH s AS (
+  SELECT o_custkey AS user_id,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT user_id, cents,
+         CAST(row_number() OVER (ORDER BY cents DESC, user_id)
+           AS BIGINT) AS rank,
+         SUM(cents) OVER (ORDER BY cents DESC, user_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cents,
+         SUM(cents) OVER () AS total
+  FROM s
+)
+SELECT user_id, cents, rank,
+       CAST(cum_cents * 1000000 // total AS BIGINT) AS cum_share_ppm,
+       CAST(CASE WHEN (cum_cents - cents) * 5 < total * 4
+                 THEN 1 ELSE 0 END AS BIGINT) AS in_top80
+FROM r
+"""
+
+
+@query("q104_revenue_concentration", oracle=_PARETO_ORACLE)
+def q104_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pareto / concentration curve: customers ranked by revenue,
+    cumulative share in integer ppm, and the 'top 80%' flag (a
+    customer is in the head while the revenue BEFORE it is under
+    80% of total). The event-grain work is one per-customer
+    aggregate; ranking windows run over customers, and at true scale
+    the global order comes from the two-phase cumsum (q87) instead
+    of the single-partition window — the small-table shortcut is the
+    deliberate choice here and the swap is one call."""
+    from pyspark.sql import Window
+
+    s = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("user_id"))
+    cum = (
+        Window.orderBy(F.col("cents").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy()
+    r = s.select(
+        "user_id",
+        "cents",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("cents").over(cum).alias("cum_cents"),
+        F.sum("cents").over(tot).alias("total"),
+    )
+    return r.select(
+        "user_id",
+        "cents",
+        "rank",
+        F.expr("cum_cents * 1000000 DIV total")
+        .cast("long")
+        .alias("cum_share_ppm"),
+        F.when(
+            (F.col("cum_cents") - F.col("cents")) * 5
+            < F.col("total") * 4,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("in_top80"),
+    )
