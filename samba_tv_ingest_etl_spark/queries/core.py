@@ -1677,3 +1677,91 @@ def q93_stream_static_enrichment(
     rows = result.collect()
     spark.catalog.dropTempView("q93_enriched")
     return spark.createDataFrame(rows, result.schema)
+
+
+# ------------------------------------------------------------- q105
+
+_SHADOW_DIFF_SQL = f"""{_SESSION_IDS_SQL},
+ref AS (
+  SELECT user_id, event_type,
+         CAST(max(session_id) AS BIGINT) AS n_sessions_ref
+  FROM ids GROUP BY 1, 2
+),
+lagged2 AS (
+  SELECT user_id, event_type, start_ts,
+         LAG(start_ts) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY start_ts, event_id) AS prev_start
+  FROM base
+),
+ids2 AS (
+  SELECT user_id, event_type,
+         CAST(SUM(CASE WHEN prev_start IS NULL
+                       OR start_ts - prev_start >= {GAP_SECONDS}
+                       THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY start_ts, prev_start) AS BIGINT) AS sid
+  FROM lagged2
+),
+builtin AS (
+  SELECT user_id, event_type,
+         CAST(max(sid) AS BIGINT) AS n_sessions_builtin
+  FROM ids2 GROUP BY 1, 2
+)
+SELECT r.user_id, r.event_type, r.n_sessions_ref,
+       b.n_sessions_builtin,
+       CAST(CASE WHEN r.n_sessions_ref <> b.n_sessions_builtin
+                 THEN 1 ELSE 0 END AS BIGINT) AS differs
+FROM ref r JOIN builtin b
+  ON r.user_id = b.user_id AND r.event_type = b.event_type
+"""
+
+
+@query("q105_shadow_sessionizer_diff", oracle=_SHADOW_DIFF_SQL)
+def q105_shadow_sessionizer_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shadow-pipeline validation (the migration pattern): run the
+    ENGINE's reference-semantics sessionizer (gap vs previous END,
+    break strictly above 300 s) and Spark's BUILT-IN batch
+    ``session_window`` (start-to-start, break at >= gap) over the
+    same events, and diff the per-key session counts. The two
+    semantics genuinely differ (q72's documented contrast); the diff
+    table quantifies exactly where, which is what a migration
+    sign-off needs — per-key evidence, not an eyeballed total."""
+    ev = viewing_events(spark, sf_dir)
+    ids = with_session_ids(
+        ev,
+        SESSION_KEYS,
+        order_col="start_ts",
+        end_col="end_ts",
+        gap_seconds=GAP_SECONDS,
+        tiebreak_cols=["event_id"],
+    )
+    ref = ids.groupBy("user_id", "event_type").agg(
+        F.max("session_id").cast("long").alias("n_sessions_ref")
+    )
+    builtin = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.timestamp_seconds("start_ts").alias("t"),
+        )
+        .groupBy(
+            "user_id",
+            "event_type",
+            F.session_window("t", f"{GAP_SECONDS} seconds"),
+        )
+        .count()
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions_builtin"))
+    )
+    return ref.join(builtin, ["user_id", "event_type"]).select(
+        "user_id",
+        "event_type",
+        "n_sessions_ref",
+        "n_sessions_builtin",
+        (F.col("n_sessions_ref") != F.col("n_sessions_builtin"))
+        .cast("long")
+        .alias("differs"),
+    )
