@@ -2145,11 +2145,30 @@ def q87_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights=derived_weights(_CLS_D), intercept=_CLS_INTERCEPT,
     ).select("doc_id", "score_milli")
     # unique monotone order key: (score, doc_id) -> one long.
-    # offset keeps it positive; doc_id < 10^7 on the fixture corpus
-    # (assert cheaply via the multiplier overflow guard below).
+    # Correctness precondition: 0 <= doc_id < 10^7 (else two docs can
+    # collide on _ord / ranks corrupt silently) and score_milli >=
+    # -2^21 (else the offset goes negative). Guarded PER ROW in the
+    # same stage — no extra pass, no collect: out-of-range input
+    # fails the job instead of mis-ranking. At >10^7 docs, widen the
+    # multiplier (or switch the key to (score, doc_id) as a struct
+    # order, which global_cumsum also supports via a packed key).
+    checked_id = F.when(
+        F.col("doc_id").between(0, 10_000_000 - 1)
+        & (F.col("score_milli") >= -(1 << 21)),
+        F.col("doc_id"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q87 order-key out of range: doc_id="),
+                F.col("doc_id").cast("string"),
+                F.lit(" score_milli="),
+                F.col("score_milli").cast("string"),
+            )
+        )
+    )
     key = (
         (F.col("score_milli") + F.lit(1 << 21)) * F.lit(10_000_000)
-        + F.col("doc_id")
+        + checked_id
     ).alias("_ord")
     ranked = global_cumsum(
         scored.select("doc_id", "score_milli", key, F.lit(1).alias("_one")),

@@ -647,11 +647,16 @@ def q101_calendar_densification(
 ) -> DataFrame:
     """Gap-filled daily series: every (type, day) cell of the
     observed calendar span exists, zeros where no events landed —
-    what every downstream window/forecast consumer assumes. The grid
-    is types x days (tiny — built from two scalars and the distinct
-    type list, broadcast into the left join); the event-grain work
-    remains the one daily aggregate. The is_gap flag doubles as the
-    missing-feed-day monitor next to q86's volume anomalies."""
+    what every downstream window/forecast consumer assumes. The
+    event-grain work is the one daily aggregate; the join that
+    densifies it broadcasts the DAILY side, and that is safe at any
+    corpus size: daily is the aggregate at exactly (type, day) grain,
+    so its row count is bounded by the grid's |types| x |days| — the
+    broadcast never grows with raw event volume. (Broadcasting the
+    grid instead is not an option Catalyst accepts here: the grid is
+    the preserved side of the left-outer join, and BroadcastHashJoin
+    only builds the non-preserved side.) The is_gap flag doubles as
+    the missing-feed-day monitor next to q86's volume anomalies."""
     from .core import _epoch_seconds
 
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -256,15 +256,16 @@ lagged AS (
   FROM ev
 ),
 runs AS (
-  SELECT user_id, tier, ts_sec FROM lagged
+  SELECT user_id, tier, ts_sec, event_id FROM lagged
   WHERE prev_tier IS DISTINCT FROM tier
 )
 SELECT user_id, tier,
        CAST(row_number() OVER (
-         PARTITION BY user_id ORDER BY ts_sec) AS BIGINT) AS version,
+         PARTITION BY user_id ORDER BY ts_sec, event_id
+       ) AS BIGINT) AS version,
        ts_sec AS valid_from,
        LEAD(ts_sec) OVER (
-         PARTITION BY user_id ORDER BY ts_sec) AS valid_to
+         PARTITION BY user_id ORDER BY ts_sec, event_id) AS valid_to
 FROM runs
 """
 
@@ -320,16 +321,18 @@ lagged AS (
   FROM ev
 ),
 runs AS (
-  SELECT user_id, tier, ts_sec FROM lagged
+  SELECT user_id, tier, ts_sec, event_id FROM lagged
   WHERE prev_tier IS DISTINCT FROM tier
 ),
 hist AS (
   SELECT user_id, tier,
          CAST(row_number() OVER (
-           PARTITION BY user_id ORDER BY ts_sec) AS BIGINT) AS version,
+           PARTITION BY user_id ORDER BY ts_sec, event_id
+         ) AS BIGINT) AS version,
          ts_sec AS valid_from,
          LEAD(ts_sec) OVER (
-           PARTITION BY user_id ORDER BY ts_sec) AS valid_to
+           PARTITION BY user_id ORDER BY ts_sec, event_id
+         ) AS valid_to
   FROM runs
 ),
 live AS (

@@ -7,14 +7,25 @@ MERGE into a warehouse, JDBC, object-store copy) through
 ``foreachBatch`` is at-least-once by default: after a crash between
 "batch written" and "offsets committed", the restarted query replays
 the batch. The standard fix is transactional idempotence keyed on
-``batchId`` — the micro-batch twin of the file-level load ledger
-(``sources/ledger.py``): skip any batch id the ledger already has,
-record the id only after the write commits.
+``(application id, batchId)`` — the micro-batch twin of the
+file-level load ledger (``sources/ledger.py``), and the same shape as
+Delta Lake's ``txnAppId``/``txnVersion`` idempotent-writer contract:
+skip any (app, batch) the ledger already has, record it only after
+the write commits.
+
+Why the app id is part of the key: ``batchId`` restarts from 0 for
+every fresh checkpoint, so a ledger keyed on ``batchId`` alone would
+silently drop batch 0..N of any *new* query pointed at an output path
+some earlier query had already written. Callers that intentionally
+replay the same logical pipeline (checkpoint reset, backfill rerun)
+pass the same ``app_id`` and get dedup; a genuinely different
+pipeline passes its own ``app_id`` and its batches land untouched.
 
 The write itself appends to a hive-partitioned directory keyed by
-``_batch_id``, so a replayed half-written batch is also physically
-replaced (dynamic partition overwrite of that one batch partition) —
-idempotence holds even when the crash hit mid-append.
+``(_txn_app_id, _batch_id)``, so a replayed half-written batch is
+also physically replaced (dynamic partition overwrite of that one
+batch partition) — idempotence holds even when the crash hit
+mid-append.
 """
 
 from __future__ import annotations
@@ -26,22 +37,37 @@ __all__ = ["ExactlyOnceForeachBatch"]
 
 
 class ExactlyOnceForeachBatch:
-    """``writeStream.foreachBatch(ExactlyOnceForeachBatch(path))``:
-    idempotent per-batch parquet append. Batch ids live as hive
+    """``writeStream.foreachBatch(ExactlyOnceForeachBatch(path, app_id))``:
+    idempotent per-batch parquet append. (app, batch) ids live as hive
     partition values under the output path itself — no extra state
     store: the data directory IS the ledger (listing
-    ``_batch_id=N`` directories answers "seen?"), so the dedup
-    decision and the data can never disagree."""
+    ``_txn_app_id=A/_batch_id=N`` directories answers "seen?"), so the
+    dedup decision and the data can never disagree.
 
-    def __init__(self, path: str):
+    ``app_id`` is the stable logical-pipeline identity (Delta's
+    ``txnAppId``): reuse it across checkpoint resets of the *same*
+    pipeline; give each distinct pipeline writing to a shared path its
+    own value.
+    """
+
+    def __init__(self, path: str, app_id: str = "default"):
+        if "/" in app_id or "=" in app_id:
+            raise ValueError(
+                f"app_id {app_id!r} must be a plain partition-safe token"
+            )
         self.path = path
+        self.app_id = app_id
+
+    def _batch_dir(self, batch_id: int) -> str:
+        return (
+            self.path.rstrip("/")
+            + f"/_txn_app_id={self.app_id}/_batch_id={batch_id}"
+        )
 
     def _seen(self, spark, batch_id: int) -> bool:
         sc = spark.sparkContext
         jvm = sc._jvm
-        sub = jvm.org.apache.hadoop.fs.Path(
-            self.path.rstrip("/") + f"/_batch_id={batch_id}"
-        )
+        sub = jvm.org.apache.hadoop.fs.Path(self._batch_dir(batch_id))
         fs = sub.getFileSystem(sc._jsc.hadoopConfiguration())
         if not fs.exists(sub):
             return False
@@ -59,26 +85,24 @@ class ExactlyOnceForeachBatch:
         spark = batch_df.sparkSession
         if self._seen(spark, batch_id):
             return  # replayed batch: already durably committed
-        out = batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
-        conf_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(conf_key, None)
-        spark.conf.set(conf_key, "dynamic")
-        try:
-            # dynamic overwrite replaces ONLY this batch's partition:
-            # a half-written previous attempt is replaced, sibling
-            # batches untouched
-            out.write.mode("overwrite").partitionBy("_batch_id").parquet(
-                self.path
-            )
-        finally:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
+        out = batch_df.withColumn(
+            "_txn_app_id", F.lit(self.app_id)
+        ).withColumn("_batch_id", F.lit(int(batch_id)))
+        # per-write option (not session conf): dynamic overwrite
+        # replaces ONLY this batch's partition — a half-written
+        # previous attempt is replaced, sibling batches and other
+        # apps' partitions untouched — without flipping a
+        # session-wide conf that concurrent writers could observe
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_txn_app_id", "_batch_id")
+            .parquet(self.path)
+        )
         sc = spark.sparkContext
         jvm = sc._jvm
         marker = jvm.org.apache.hadoop.fs.Path(
-            self.path.rstrip("/") + f"/_batch_id={batch_id}/_COMMITTED"
+            self._batch_dir(batch_id) + "/_COMMITTED"
         )
         fs = marker.getFileSystem(sc._jsc.hadoopConfiguration())
         fs.create(marker, True).close()

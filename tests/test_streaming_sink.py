@@ -13,8 +13,8 @@ from samba_tv_ingest_etl_spark.streaming.sink import (
 )
 
 
-def _run_stream(spark, stage, out, ckpt, schema):
-    sink = ExactlyOnceForeachBatch(out)
+def _run_stream(spark, stage, out, ckpt, schema, app_id="default"):
+    sink = ExactlyOnceForeachBatch(out, app_id=app_id)
     q = (
         read_feed_stream(spark, stage, schema)
         .writeStream.foreachBatch(sink)
@@ -64,8 +64,29 @@ def test_half_written_batch_is_replaced(spark, tmp_path):
     src.coalesce(1).write.parquet(stage)
     # fake a crashed first attempt: batch dir with data but NO
     # _COMMITTED marker
-    crashed = os.path.join(out, "_batch_id=0")
+    crashed = os.path.join(out, "_txn_app_id=default", "_batch_id=0")
     spark.range(7).select(F.col("id")).write.parquet(crashed)
     _run_stream(spark, stage, out, ckpt, src.schema)
     got = spark.read.parquet(out)
     assert got.count() == 20  # the 7 half-written rows are gone
+
+
+def test_distinct_apps_share_one_path(spark, tmp_path):
+    """batchId restarts at 0 per checkpoint: a DIFFERENT pipeline
+    writing to the same path must not have its batch 0 mistaken for
+    app A's already-committed batch 0 (the batchId-only-ledger bug)."""
+    base = str(tmp_path)
+    out = os.path.join(base, "out")
+    for app, n in (("appa", 30), ("appb", 40)):
+        stage = os.path.join(base, f"stage_{app}")
+        ckpt = os.path.join(base, f"ckpt_{app}")
+        src = spark.range(n).select(F.col("id"))
+        src.coalesce(1).write.parquet(stage)
+        _run_stream(spark, stage, out, ckpt, src.schema, app_id=app)
+    got = spark.read.parquet(out)
+    assert got.count() == 70  # appb's batch 0 was NOT skipped
+    per_app = {
+        r["_txn_app_id"]: r["n"]
+        for r in got.groupBy("_txn_app_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_app == {"appa": 30, "appb": 40}
