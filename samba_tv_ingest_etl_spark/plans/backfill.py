@@ -47,15 +47,27 @@ class Warehouse:
     and ``viewing_sessions`` partitions on ``panel_monday`` so the
     incremental DELETE+INSERT rewrites only the touched Mondays
     (``overwrite_partitions``) instead of swapping the whole table.
-    Tradeoff, stated: the default (no layout) keeps the per-table
-    atomic swap; the partitioned backend has per-partition atomicity
-    (the standard Spark/Hive contract — the reference delegates the
-    equivalent to Snowflake DML).
+
+    ``manifest`` opts tables into the manifest-committed backend
+    (``sources/manifest.py``): still hive-shaped parquet, but commits
+    go through an immutable manifest + ``_CURRENT`` pointer swap, so
+    a multi-partition rewrite is ATOMIC across partitions and readers
+    get snapshot isolation + time travel. A manifest table must also
+    appear in ``layout`` with exactly one partition column.
+
+    Tradeoffs, stated: the default (no layout) keeps the per-table
+    atomic swap but rewrites everything each pass; the partitioned
+    backend rewrites only touched partitions but commits them one
+    directory at a time (the standard Spark/Hive contract); the
+    manifest backend has both scoped rewrites and cross-partition
+    atomicity, at the cost of a vacuum obligation for superseded
+    versions. The reference delegates the equivalent to Snowflake DML.
     """
 
     spark: SparkSession
     root: str
     layout: dict[str, list[str]] | None = None
+    manifest: frozenset[str] | set[str] | None = None
 
     # the scale defaults; pass layout=SCALE_LAYOUT to opt in
     SCALE_LAYOUT = {
@@ -63,6 +75,9 @@ class Warehouse:
         "weighted_events": ["metadata_date"],
         "viewing_sessions": ["panel_monday"],
     }
+    # the ACID upgrade of SCALE_LAYOUT: the one table the incremental
+    # DAG rewrites across multiple partitions per pass
+    MANIFEST_TABLES = frozenset({"viewing_sessions"})
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -70,19 +85,59 @@ class Warehouse:
     def partitioning(self, table: str) -> list[str] | None:
         return (self.layout or {}).get(table)
 
+    def is_manifest(self, table: str) -> bool:
+        return table in (self.manifest or ())
+
+    def manifest_table(self, table: str):
+        from ..sources.manifest import ManifestTable
+
+        cols = self.partitioning(table)
+        if not cols or len(cols) != 1:
+            raise ValueError(
+                f"manifest table {table!r} needs exactly one layout "
+                f"partition column, got {cols!r}"
+            )
+        return ManifestTable(self.spark, self.path(table), cols[0])
+
     def read(self, table: str) -> DataFrame:
+        if self.is_manifest(table):
+            return self.manifest_table(table).read()
         return self.spark.read.parquet(self.path(table))
+
+    def read_partitions(self, table: str, values: list) -> DataFrame:
+        """Read only the listed partition values. Manifest backend:
+        pruned at the manifest BEFORE any directory listing; hive
+        backend: partition-pruned filter (directories pruned by the
+        scan, after listing)."""
+        if self.is_manifest(table):
+            return self.manifest_table(table).read(
+                partitions=[str(v) for v in values]
+            )
+        col = (self.partitioning(table) or [None])[0]
+        if col is None:
+            raise ValueError(f"{table!r} has no partition column")
+        return self.read(table).filter(F.col(col).isin(list(values)))
 
     def write(self, df: DataFrame, table: str,
               partition_by: list[str] | None = None) -> None:
+        if self.is_manifest(table):
+            self.manifest_table(table).commit_dataframe(df, full=True)
+            return
         atomic_overwrite(
             df, self.path(table), partition_by or self.partitioning(table)
         )
 
     def append(self, df: DataFrame, table: str) -> None:
+        if self.is_manifest(table):
+            raise NotImplementedError(
+                "manifest backend covers rewritten tables; insert-only "
+                "tables use the plain append backend"
+            )
         writer_append(df, self.path(table), self.partitioning(table))
 
     def exists(self, table: str) -> bool:
+        if self.is_manifest(table):
+            return self.manifest_table(table).exists()
         sc = self.spark.sparkContext
         p = sc._jvm.org.apache.hadoop.fs.Path(self.path(table))
         return bool(p.getFileSystem(sc._jsc.hadoopConfiguration()).exists(p))

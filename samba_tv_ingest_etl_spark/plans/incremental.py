@@ -159,7 +159,7 @@ def update_viewing_sessions(wh: Warehouse) -> int:
     sessions -> re-sessionize those groups from ALL their weighted
     events -> INSERT.
 
-    Two storage strategies, selected by the Warehouse layout:
+    Three storage strategies, selected by the Warehouse layout:
 
     - default: DELETE + INSERT commit together as ONE atomic table
       swap — stronger than the reference's two statements, same
@@ -174,6 +174,11 @@ def update_viewing_sessions(wh: Warehouse) -> int:
       no extra scan of the sessions table. At 100 TB this turns the
       daily pass from a full-table rewrite into a handful of
       directory rewrites.
+    - additionally listed in ``Warehouse.manifest``
+      (``MANIFEST_TABLES``): same scoped rewrite, but committed
+      through ``sources/manifest.py`` — every touched Monday flips
+      in ONE ``_CURRENT`` pointer swap, restoring the
+      cross-partition atomicity the plain hive backend trades away.
     """
     wm = read_watermark(wh, "raw_events_update")
     if not wh.exists("weighted_events"):
@@ -223,7 +228,15 @@ def _update_sessions_partitioned(
     Mondays. Mondays whose every session belonged to an affected
     group and got none back are cleared explicitly
     (``expected_partitions``) — dynamic overwrite alone cannot
-    delete a partition it writes no rows to."""
+    delete a partition it writes no rows to.
+
+    On the manifest backend the same plan commits through ONE
+    manifest swap: all touched Mondays flip together (or not at
+    all — a crash mid-commit leaves readers on the previous
+    version), and because the commit writes fresh immutable
+    directories, the survivors' self-read needs no
+    ``localCheckpoint`` lineage cut — the files it reads are never
+    replaced, only de-referenced."""
     from ..sources.writer import overwrite_partitions
 
     mondays = sorted(
@@ -233,18 +246,21 @@ def _update_sessions_partitioned(
     )
     if not mondays:
         return 0
-    existing = wh.read("viewing_sessions").filter(
-        F.col("panel_monday").isin(mondays)
-    )
+    existing = wh.read_partitions("viewing_sessions", mondays)
     survivors = delete_by_keys(existing, keys, AFFECTED_KEYS)
     out = survivors.unionByName(new_sessions)
     n_new = new_sessions.count()
-    overwrite_partitions(
-        out,
-        wh.path("viewing_sessions"),
-        ["panel_monday"],
-        expected_partitions=mondays,
-    )
+    if wh.is_manifest("viewing_sessions"):
+        wh.manifest_table("viewing_sessions").commit_dataframe(
+            out, expected_partitions=mondays
+        )
+    else:
+        overwrite_partitions(
+            out,
+            wh.path("viewing_sessions"),
+            ["panel_monday"],
+            expected_partitions=mondays,
+        )
     return n_new
 
 

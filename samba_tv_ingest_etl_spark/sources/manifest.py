@@ -31,11 +31,17 @@ Spark ever lists a directory, which replaces hive partition pruning
 from __future__ import annotations
 
 import json
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .writer import _fs
+
+# Spark's own directory name for a NULL partition value — reusing it
+# means `commit_dataframe`'s partitionBy output needs no renaming and
+# the manifest key space matches hive layouts bit-for-bit.
+NULL_KEY = "__HIVE_DEFAULT_PARTITION__"
 
 
 class ManifestTable:
@@ -107,11 +113,14 @@ class ManifestTable:
         BEFORE any filesystem listing. ``version`` time-travels."""
         fs, _ = _fs(self.spark, self.path)
         v = self._current_version(fs) if version is None else version
-        manifest = self._manifest(v)
+        full = self._manifest(v)
+        manifest = full
         if partitions is not None:
-            wanted = {str(p) for p in partitions}
-            manifest = {k: d for k, d in manifest.items() if k in wanted}
-        if not manifest:
+            wanted = {
+                NULL_KEY if p is None else str(p) for p in partitions
+            }
+            manifest = {k: d for k, d in full.items() if k in wanted}
+        if not full:
             raise ValueError(
                 f"manifest read of {self.path}: no live partitions"
             )
@@ -119,10 +128,26 @@ class ManifestTable:
 
         from pyspark.sql import functions as F
 
+        if not manifest:
+            # pruned to nothing: a typed empty frame built exactly
+            # like a live slice (schema incl. nullability matches a
+            # full read; limit(0) short-circuits before file reads)
+            key, entry = next(iter(sorted(full.items())))
+            return (
+                self.spark.read.parquet(entry["dir"])
+                .withColumn(
+                    self.partition_col,
+                    F.lit(None if key == NULL_KEY else key).cast(
+                        entry["type"]
+                    ),
+                )
+                .limit(0)
+            )
+
         parts = [
             self.spark.read.parquet(entry["dir"]).withColumn(
                 self.partition_col,
-                F.lit(key).cast(entry["type"]),
+                F.lit(None if key == NULL_KEY else key).cast(entry["type"]),
             )
             for key, entry in sorted(manifest.items())
         ]
@@ -139,7 +164,7 @@ class ManifestTable:
         manifest = dict(self._manifest(base))
         col = self.partition_col
         for value, df in updates.items():
-            key = str(value)
+            key = NULL_KEY if value is None else str(value)
             if df is None:
                 manifest.pop(key, None)
                 continue
@@ -152,7 +177,58 @@ class ManifestTable:
             dtype = dict(df.dtypes)[col]
             df.drop(col).write.parquet(dest)
             manifest[key] = {"dir": dest, "type": dtype}
-        nxt = base + 1
+        return self._commit_manifest(fs, base, manifest)
+
+    def commit_dataframe(
+        self,
+        df: DataFrame,
+        *,
+        full: bool = False,
+        expected_partitions: list | None = None,
+    ) -> int:
+        """Commit every partition present in ``df`` in ONE Spark job
+        (``partitionBy`` into a fresh immutable batch directory), then
+        publish atomically. This is the scale path ``commit`` (one
+        filtered job per partition) trades away: the input is scanned
+        once no matter how many partitions it touches.
+
+        ``full=True``: partitions absent from ``df`` are DROPPED (table
+        overwrite semantics). ``expected_partitions``: values the
+        caller logically rewrote — any listed value ``df`` wrote no
+        rows for is dropped (the every-row-deleted case dynamic
+        overwrite cannot express; same contract as
+        ``writer.overwrite_partitions``). Readers hold the previous
+        manifest until the ``_CURRENT`` swap, so a crash anywhere
+        before the swap leaves the table at its old version and only
+        orphans the batch directory (reclaimed by ``vacuum``)."""
+        fs, _ = _fs(self.spark, self.path)
+        base = self._current_version(fs)
+        manifest = {} if full else dict(self._manifest(base))
+        col = self.partition_col
+        dtype = dict(df.dtypes)[col]
+        dest = f"{self.path}/data/_commit_{uuid.uuid4().hex[:12]}"
+        df.write.partitionBy(col).parquet(dest)
+        # discover written partition values from the fresh batch dir:
+        # one bounded LIST of a directory this job just created
+        for st in fs.listStatus(self._jpath(dest)):
+            name = st.getPath().getName()
+            if not name.startswith(f"{col}="):
+                continue  # _SUCCESS etc.
+            key = urllib.parse.unquote(name[len(col) + 1:])
+            manifest[key] = {"dir": f"{dest}/{name}", "type": dtype}
+        for value in expected_partitions or []:
+            key = NULL_KEY if value is None else str(value)
+            if manifest.get(key, {}).get("dir", "").startswith(dest):
+                continue  # rewritten above
+            manifest.pop(key, None)  # logically emptied: drop
+        return self._commit_manifest(fs, base, manifest)
+
+    def _commit_manifest(self, fs, base: int, manifest: dict) -> int:
+        """Write the next immutable manifest, then swap ``_CURRENT``.
+        The version is allocated PAST any orphaned manifest a crashed
+        commit left behind (a manifest is dead until the pointer names
+        it), so retries never collide with wreckage."""
+        nxt = max(base, self._max_manifest_version(fs)) + 1
         mdir = self._jpath(f"{self.path}/_manifests")
         if not fs.exists(mdir):
             fs.mkdirs(mdir)
@@ -167,10 +243,30 @@ class ManifestTable:
         self._write_text_atomic(fs, f"{self.path}/_CURRENT", str(nxt))
         return nxt
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def _max_manifest_version(self, fs) -> int:
+        mdir = self._jpath(f"{self.path}/_manifests")
+        if not fs.exists(mdir):
+            return 0
+        vs = [0]
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.startswith("manifest_") and name.endswith(".json"):
+                vs.append(
+                    int(name.removeprefix("manifest_").removesuffix(".json"))
+                )
+        return max(vs)
+
+    def vacuum(self, keep_versions: int = 1, orphans: bool = True) -> list[str]:
         """Drop data directories referenced ONLY by manifests older
         than the ``keep_versions`` most recent (and those manifests).
-        Never touches directories any kept version references."""
+        Never touches directories any kept version references.
+
+        ``orphans=True`` additionally sweeps data directories no
+        manifest references at all — the leftovers of a commit that
+        crashed before its manifest/pointer landed. Single-writer
+        discipline: do NOT vacuum concurrently with an in-flight
+        commit, whose just-written-not-yet-published directories look
+        exactly like crash orphans."""
         fs, _ = _fs(self.spark, self.path)
         cur = self._current_version(fs)
         keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
@@ -192,4 +288,36 @@ class ManifestTable:
                         removed.append(d)
                         live.add(d)  # don't double-delete
                 fs.delete(st.getPath(), False)
+        if orphans:
+            removed.extend(self._sweep_orphans(fs, live))
         return sorted(set(removed))
+
+    def _sweep_orphans(self, fs, live: set) -> list[str]:
+        """Delete data dirs under ``data/`` that no kept manifest
+        references: whole ``_commit_*`` batch dirs (commit_dataframe
+        crashes) and unreferenced uuid dirs under ``<col>=<key>``
+        (per-partition commit crashes)."""
+        removed = []
+        data = self._jpath(f"{self.path}/data")
+        if not fs.exists(data):
+            return removed
+        for st in fs.listStatus(data):
+            top = st.getPath()
+            tpath = f"{self.path}/data/{top.getName()}"
+            if top.getName().startswith("_commit_"):
+                if any(d.startswith(tpath) for d in live):
+                    continue
+                if not fs.delete(top, True):
+                    raise RuntimeError(f"vacuum orphan sweep failed: {tpath}")
+                removed.append(tpath)
+            elif "=" in top.getName() and st.isDirectory():
+                for child in fs.listStatus(top):
+                    cpath = f"{tpath}/{child.getPath().getName()}"
+                    if cpath in live or not child.isDirectory():
+                        continue
+                    if not fs.delete(child.getPath(), True):
+                        raise RuntimeError(
+                            f"vacuum orphan sweep failed: {cpath}"
+                        )
+                    removed.append(cpath)
+        return removed
