@@ -328,6 +328,28 @@ def _assign_join(quantized: DataFrame, cdf: DataFrame,
     )
 
 
+def derived_cluster_count(
+    n: int, kmin: int, target_cluster_size: int
+) -> int:
+    """Corpus-size-derived cluster count: ``max(kmin, ceil(n /
+    target_cluster_size))``. A FIXED k is the silent scale bug of
+    cluster-then-pair designs (SemDeDup, IVF): per-cluster membership
+    n/k grows with the corpus, so within-cluster pair candidates grow
+    O((n/k)^2) per cluster — unbounded at 100 TB. Deriving k from n
+    pins the MEAN cluster size at <= target_cluster_size forever;
+    per-cluster candidate work stays bounded in expectation and total
+    pair candidates grow O(n * target) instead of O(n^2 / k).
+
+    Integer-exact on purpose: a SQL oracle reproduces it verbatim as
+    ``GREATEST(kmin, (n + target - 1) // target)`` — no float sqrt
+    whose rounding could diverge across engines."""
+    if n < 0:
+        raise ValueError(f"negative corpus size {n}")
+    if kmin < 1 or target_cluster_size < 1:
+        raise ValueError("kmin and target_cluster_size must be >= 1")
+    return max(kmin, -(-n // target_cluster_size))
+
+
 def kmeans_centroids(
     quantized: DataFrame,
     k: int = 8,

@@ -691,7 +691,16 @@ def q26_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-_IVF_K = 8
+# Cluster counts DERIVE from corpus size (operators.similarity
+# .derived_cluster_count): k = max(kmin, ceil(n / target)), keeping
+# mean cluster membership <= target at any scale — a fixed k would
+# let per-cluster pair candidates grow O((n/k)^2) (unbounded at
+# 100 TB). The oracle computes the SAME integer formula from
+# count(*), so Spark and DuckDB derive identical k at every sf.
+# Targets are chosen so the historical constants (IVF k=8, SemDeDup
+# k=32) are reproduced exactly at the n=500 fixture corpora.
+_IVF_KMIN = 8
+_IVF_TARGET = 64  # probing path: fewer, larger clusters (nprobe=2)
 _IVF_ITERS = 2
 _IVF_NPROBE = 2
 # bounded-sample training: Lloyd steps see hash_bucket(vec_id, 4) < 1
@@ -708,29 +717,40 @@ def _ivf_dist_sql(qa: str, qc: str) -> str:
     )
 
 
-def _ivf_assign_parts(k: int = _IVF_K) -> list[str]:
+def _ivf_assign_parts(
+    kmin: int = _IVF_KMIN, target: int = _IVF_TARGET
+) -> list[str]:
     """Shared oracle prefix: unrolled deterministic k-means (init = k
     lowest SAMPLED vec_ids, 2 Lloyd steps over the hash sample,
     floor-average centroids) ending in the full-corpus assignment CTE
     ``m{_IVF_ITERS}`` (vec_id, q, norm2, c). Training reads ``tquant``
     (the deterministic ~num/den hash sample mirroring
     ``operators.sampling.hash_bucket``); the final assignment reads
-    the full ``quant``. Reused by the q32 (IVF probe) and q76
-    (SemDeDup prune) oracles — one trained index, two consumers."""
+    the full ``quant``. k is DERIVED from the corpus count inside the
+    SQL (``kp`` CTE) with the same integer formula as
+    ``operators.similarity.derived_cluster_count``. Reused by the q32
+    (IVF probe) and q76 (SemDeDup prune) oracles — one trained index,
+    two consumers."""
     num, den = _IVF_SAMPLE
     parts = [
         _QUANT_SQL,
+        f"""
+kp AS (
+  SELECT GREATEST({kmin}, (count(*) + {target} - 1) // {target}) AS k
+  FROM quant
+)""",
         f"""
 tquant AS (
   SELECT * FROM quant
   WHERE CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15))
              AS BIGINT) % {den} < {num}
 )""",
-        f"""
+        """
 cents0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
          q AS cq
-  FROM (SELECT vec_id, q FROM tquant ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id, q FROM tquant ORDER BY vec_id
+        LIMIT (SELECT k FROM kp))
 )""",
     ]
     for it in range(_IVF_ITERS + 1):
@@ -803,16 +823,21 @@ ranked AS (
 @query("q32_ann_topk_ivf", oracle=_ivf_oracle())
 def q32_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-index ANN: IVF coarse quantizer from a deterministic
-    integer k-means (k=8, 2 Lloyd steps), nprobe=2. The data-adaptive
-    counterpart to q26's fixed hyperplanes — at fleet scale the
-    cluster id is the corpus partition key and a query touches nprobe
-    partitions instead of the whole corpus."""
-    from ..operators.similarity import topk_ivf
+    integer k-means (k derived from corpus size — mean cluster
+    membership stays <= {_IVF_TARGET}; 2 Lloyd steps), nprobe=2. The
+    data-adaptive counterpart to q26's fixed hyperplanes — at fleet
+    scale the cluster id is the corpus partition key and a query
+    touches nprobe partitions instead of the whole corpus."""
+    from ..operators.similarity import derived_cluster_count, topk_ivf
 
+    # metadata-only parquet count: no column decode, no shuffle
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     q = _embeddings_q(spark, sf_dir)
     out = topk_ivf(
         q, q.filter(F.col("vec_id") < 10),
-        k=10, n_centroids=_IVF_K, iters=_IVF_ITERS,
+        k=10,
+        n_centroids=derived_cluster_count(n, _IVF_KMIN, _IVF_TARGET),
+        iters=_IVF_ITERS,
         nprobe=_IVF_NPROBE, dim=_DIM, train_sample=_IVF_SAMPLE,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
@@ -822,14 +847,16 @@ def q32_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # SemDeDup wants MANY small clusters (bounded n_c -> bounded pair
 # candidates); the probe path (q32) wants few (nprobe covers recall).
-_SEM_K = 32
+# Hence the smaller target membership; both derive from corpus size.
+_SEM_KMIN = 32
+_SEM_TARGET = 16
 
 
 def _semdedup_oracle() -> str:
     """Same trained index as q32 (``_ivf_assign_parts``), consumed by
     the SemDeDup prune: within-cluster pairs a<b at cosine >= tau;
     the dropped side aggregated per (vec_id, cluster)."""
-    parts = _ivf_assign_parts(k=_SEM_K)
+    parts = _ivf_assign_parts(kmin=_SEM_KMIN, target=_SEM_TARGET)
     last = _IVF_ITERS
     parts.append(f"""
 pairs AS (
@@ -859,14 +886,16 @@ def q76_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop any doc with a lower-id near-dup (cos >= tau=0.35) in its
     cluster. Returns the dropped docs with evidence columns. The
     scale win over q24's all-pairs: candidates are bounded per
-    cluster and the pair join is co-located on the index's partition
-    key."""
-    from ..operators.similarity import semdedup_drops
+    cluster (k derives from corpus size, pinning mean membership at
+    <= {_SEM_TARGET}) and the pair join is co-located on the index's
+    partition key."""
+    from ..operators.similarity import derived_cluster_count, semdedup_drops
 
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     return semdedup_drops(
         _embeddings_q(spark, sf_dir),
         threshold_pct=_COS_PCT,
-        n_centroids=_SEM_K,
+        n_centroids=derived_cluster_count(n, _SEM_KMIN, _SEM_TARGET),
         iters=_IVF_ITERS,
         dim=_DIM,
         train_sample=_IVF_SAMPLE,

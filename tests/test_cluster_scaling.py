@@ -1,0 +1,88 @@
+"""Corpus-size-derived cluster counts (VERDICT r2 #4): SemDeDup/IVF
+k must scale with n so per-cluster pair candidates stay bounded, and
+the SQL oracle must derive the IDENTICAL k from count(*)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from samba_tv_ingest_etl_spark.operators.similarity import (
+    derived_cluster_count,
+    ivf_assign,
+    kmeans_centroids,
+)
+from samba_tv_ingest_etl_spark.queries.llmdata import (
+    _IVF_KMIN,
+    _IVF_SAMPLE,
+    _IVF_TARGET,
+    _SEM_KMIN,
+    _SEM_TARGET,
+    _embeddings_q,
+)
+
+from .conftest import SF_DIR
+
+
+def test_formula_matches_sql_exactly():
+    """The Python derivation and the oracle's GREATEST/intdiv SQL must
+    agree on every n — integer-exact, no float sqrt divergence."""
+    con = duckdb.connect()
+    for kmin, target in [(_IVF_KMIN, _IVF_TARGET), (_SEM_KMIN, _SEM_TARGET), (1, 1), (5, 7)]:
+        for n in [0, 1, target - 1, target, target + 1, 2 * target,
+                  499, 500, 501, 2000, 123_456, 10**9]:
+            sql = con.execute(
+                f"SELECT GREATEST({kmin}, ({n} + {target} - 1) // {target})"
+            ).fetchone()[0]
+            assert derived_cluster_count(n, kmin, target) == sql, (n, kmin, target)
+
+
+def test_formula_bounds_and_backcompat():
+    # mean cluster size <= target is guaranteed: k * target >= n
+    for n in [1, 100, 500, 2000, 10**6, 10**12]:
+        k = derived_cluster_count(n, _SEM_KMIN, _SEM_TARGET)
+        assert k * _SEM_TARGET >= n
+        assert k >= _SEM_KMIN
+    # monotone in n (more data never means fewer clusters)
+    ks = [derived_cluster_count(n, _IVF_KMIN, _IVF_TARGET)
+          for n in range(0, 5000, 37)]
+    assert ks == sorted(ks)
+    # the historical fixture constants are reproduced at n=500, so the
+    # derivation changes nothing at the driver's sf0.01 corpora
+    assert derived_cluster_count(500, _IVF_KMIN, _IVF_TARGET) == 8
+    assert derived_cluster_count(500, _SEM_KMIN, _SEM_TARGET) == 32
+    # ...and grows at sf0.1 (n=2000)
+    assert derived_cluster_count(2000, _IVF_KMIN, _IVF_TARGET) == 32
+    assert derived_cluster_count(2000, _SEM_KMIN, _SEM_TARGET) == 125
+    with pytest.raises(ValueError):
+        derived_cluster_count(-1, 8, 64)
+    with pytest.raises(ValueError):
+        derived_cluster_count(10, 0, 64)
+
+
+def test_per_cluster_candidates_bounded(spark):
+    """Empirical bound on the engine's own assignment: with derived k
+    the within-cluster pair-candidate total must collapse versus
+    all-pairs (the SemDeDup scale claim), and the mean cluster size
+    must respect the target."""
+    q = _embeddings_q(spark, SF_DIR)
+    n = q.count()
+    k = derived_cluster_count(n, _SEM_KMIN, _SEM_TARGET)
+    cents = kmeans_centroids(
+        q, k=k, iters=2, dim=64, train_sample=_IVF_SAMPLE
+    )
+    sizes = [
+        r["c"]
+        for r in ivf_assign(q, cents)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert sum(sizes) == n
+    assert sum(sizes) / len(sizes) <= _SEM_TARGET  # guaranteed by k
+    # pair candidates: sum nc*(nc-1)/2 far below all-pairs n*(n-1)/2.
+    # k-means clusters skew, so per-cluster sizes vary — the bound
+    # that must hold structurally is on the TOTAL candidate mass.
+    cand = sum(s * (s - 1) // 2 for s in sizes)
+    assert cand <= (n * (n - 1) // 2) // 4
