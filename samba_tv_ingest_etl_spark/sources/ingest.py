@@ -93,3 +93,46 @@ def ingest_feed(
     )
     ledger.record(feed, new)
     return IngestResult(feed, len(new), rows)
+
+
+# The reference schedules all three ingest tasks at 00:04 LOCAL New
+# York time (ingest-dag.sql:3,58,114) while the ETL DAG root runs at
+# 05:00 UTC (etl-dag.sql:3). Under EDT (UTC-4) ingest fires 04:04 UTC
+# — 56 min before the ETL root; under EST (UTC-5) it fires 05:04 UTC
+# — 4 min AFTER it, so the winter ETL pass processes yesterday's
+# files. A reference quirk worth preserving verbatim, not fixing;
+# tests/test_plans.py::test_ingest_dag_timezones pins both instants
+# across a DST boundary.
+INGEST_CRON = "4 0 * * *"
+INGEST_TZ = "America/New_York"
+
+
+def build_ingest_dag(
+    spark: SparkSession,
+    stage_base: str,
+    warehouse_root: str,
+    ledger_path: str,
+):
+    """The three independent COPY-INTO tasks of ``ingest-dag.sql``
+    (STB/ACR/GEO_WEIGHTS), each on the reference's New-York daily
+    cron, all resumed — no edges between them, matching the
+    reference's flat task set."""
+    import os
+
+    from ..plans.dag import TaskDag
+
+    dag = TaskDag()
+    for feed, subdir in (
+        ("STB", "STB"), ("ACR", "ACR"), ("GEO_WEIGHTS", "Geo-Weights")
+    ):
+        dag.add(
+            f"{feed.lower()}_ingest",
+            (lambda f=feed, s=subdir: ingest_feed(
+                spark, stage_base, f,
+                os.path.join(warehouse_root, f.lower()),
+                ledger_path, subdir=s,
+            )),
+            schedule=INGEST_CRON,
+            timezone=INGEST_TZ,
+        )
+    return dag

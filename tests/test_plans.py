@@ -287,3 +287,58 @@ def test_curriculum_rank_no_single_partition_window(spark, registry):
     no Exchange SinglePartition anywhere in the plan."""
     plan = plan_of(registry["q87_curriculum_order"](spark, SF_DIR))
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_ingest_dag_timezones(spark, tmp_path):
+    """Dual-timezone cron fidelity (ingest-dag.sql:3 America/New_York
+    vs etl-dag.sql:3 UTC): the two DAGs' daily fires must drift with
+    US DST — 56 min of ingest->ETL headroom under EDT, and the ingest
+    fire landing 4 min AFTER the ETL root under EST (a preserved
+    reference quirk)."""
+    import datetime as dt
+
+    from samba_tv_ingest_etl_spark.plans.dag import (
+        TaskDag,
+        resolve_daily_fire,
+    )
+    from samba_tv_ingest_etl_spark.sources.ingest import (
+        INGEST_CRON,
+        INGEST_TZ,
+        build_ingest_dag,
+    )
+
+    utc = dt.timezone.utc
+    # US DST ended 2025-11-02: the day before is EDT, the day after EST
+    summer = dt.date(2025, 11, 1)
+    winter = dt.date(2025, 11, 3)
+    ing_s = resolve_daily_fire(INGEST_CRON, INGEST_TZ, summer)
+    ing_w = resolve_daily_fire(INGEST_CRON, INGEST_TZ, winter)
+    etl_s = resolve_daily_fire("0 5 * * *", "UTC", summer)
+    etl_w = resolve_daily_fire("0 5 * * *", "UTC", winter)
+    assert ing_s == dt.datetime(2025, 11, 1, 4, 4, tzinfo=utc)
+    assert ing_w == dt.datetime(2025, 11, 3, 5, 4, tzinfo=utc)
+    # the same local minute resolves 4h vs 5h after local midnight UTC
+    assert (etl_s - ing_s) == dt.timedelta(minutes=56)
+    assert (ing_w - etl_w) == dt.timedelta(minutes=4)  # ETL beats ingest!
+
+    # the builder carries the zone as a typed field, reference-flat
+    dag = build_ingest_dag(
+        spark, str(tmp_path / "stage"), str(tmp_path / "wh"),
+        str(tmp_path / "ledger"),
+    )
+    shown = {t["name"]: t for t in dag.show()}
+    assert set(shown) == {"stb_ingest", "acr_ingest", "geo_weights_ingest"}
+    for t in shown.values():
+        assert t["schedule"] == "4 0 * * *"
+        assert t["timezone"] == "America/New_York"
+        assert t["after"] == []
+
+    # Snowflake-style inline-zone strings split into the typed field
+    d2 = TaskDag()
+    t = d2.add("root", lambda: None, schedule="0 5 * * * UTC")
+    assert (t.schedule, t.timezone) == ("0 5 * * *", "UTC")
+    with pytest.raises(ValueError, match="embeds zone"):
+        d2.add("x", lambda: None, schedule="0 5 * * * UTC",
+               timezone="America/New_York")
+    with pytest.raises(ValueError, match="fixed daily"):
+        resolve_daily_fire("*/5 * * * *", "UTC", summer)
