@@ -158,16 +158,38 @@ def test_multimodal_stub_and_plumbing(spark, docs):
             M.decode_payload(b"xx", "image")
 
 
-def test_multimodal_real_image_codec(spark):
-    """Real-codec path: exercised only where PIL is installed (not in
-    this container — the stub boundary is then the tested path)."""
-    Image = pytest.importorskip("PIL.Image")
-    import io
+def test_vendored_fixtures_are_wellformed():
+    """Runs in EVERY environment (no codec libs needed): the vendored
+    pure-Python PNG/WAV fixture bytes must be structurally valid, so
+    the real-codec tests below never skip for lack of a fixture —
+    only for lack of a decoder."""
+    import struct
+    import zlib
 
-    img = Image.new("L", (4, 4), color=7)
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    payload = buf.getvalue()
+    from .media_fixtures import PNG_MAGIC, WAV_MAGIC, tiny_png, tiny_wav
+
+    png = tiny_png(4, 4, gray=7)
+    assert png.startswith(PNG_MAGIC) and png.endswith(
+        b"IEND" + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+    )
+    w, h, depth, ctype = struct.unpack(">IIBB", png[16:26])
+    assert (w, h, depth, ctype) == (4, 4, 8, 0)
+    wav = tiny_wav(list(range(-8, 8)))
+    assert wav.startswith(WAV_MAGIC) and wav[8:12] == b"WAVE"
+    assert struct.unpack("<I", wav[4:8])[0] == len(wav) - 8
+    n = struct.unpack("<I", wav[-32 - 4:-32])[0]
+    assert n == 32  # 16 samples * 2 bytes
+
+
+def test_multimodal_real_image_codec(spark):
+    """Real-codec path, decoding the VENDORED (independently encoded)
+    PNG — exercised wherever PIL is installed; in this container the
+    stub boundary is the tested path instead."""
+    pytest.importorskip("PIL.Image")
+
+    from .media_fixtures import tiny_png
+
+    payload = tiny_png(4, 4, gray=7)
     feats = M.decode_payload(payload, "image")
     # uniform gray 7: every resized pixel is 7 -> row sums are exact
     assert feats == [7 * M.FEATURE_DIM] * M.FEATURE_DIM
@@ -179,17 +201,14 @@ def test_multimodal_real_image_codec(spark):
 
 
 def test_multimodal_real_audio_codec():
-    sf_mod = pytest.importorskip("soundfile")
-    import io
+    pytest.importorskip("soundfile")
 
-    import numpy as np
+    from .media_fixtures import tiny_wav
 
-    buf = io.BytesIO()
-    data = np.arange(-8, 8, dtype="int16")
-    sf_mod.write(buf, data, 16000, format="WAV", subtype="PCM_16")
-    feats = M.decode_payload(buf.getvalue(), "audio")
+    samples = list(range(-8, 8))
+    feats = M.decode_payload(tiny_wav(samples), "audio")
     assert len(feats) == M.FEATURE_DIM
-    assert sum(feats) == int(np.abs(data.astype("int64")).sum())
+    assert sum(feats) == sum(abs(s) for s in samples)
 
 
 def test_language_id_on_clear_text(spark):
@@ -240,11 +259,11 @@ def test_resize_images_real_codec(spark):
     Image = pytest.importorskip("PIL.Image")
     import io
 
-    img = Image.new("L", (64, 64), color=9)
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
+    from .media_fixtures import tiny_png
+
+    payload = tiny_png(64, 64, gray=9)
     media = spark.createDataFrame(
-        [(1, buf.getvalue(), "image", len(buf.getvalue()))], M.MEDIA_SCHEMA
+        [(1, payload, "image", len(payload))], M.MEDIA_SCHEMA
     )
     out = M.resize_images(media, 8, 8, fake=False).collect()[0]
     back = Image.open(io.BytesIO(bytes(out["payload"])))
