@@ -2,16 +2,25 @@
 
     python -m samba_tv_ingest_etl_spark backfill    --sf-dir D --warehouse W
     python -m samba_tv_ingest_etl_spark incremental --sf-dir D --warehouse W
+    python -m samba_tv_ingest_etl_spark metrics --warehouse W [--reach]
     python -m samba_tv_ingest_etl_spark query --name q13_session_ids --sf-dir D
     python -m samba_tv_ingest_etl_spark list
 
 ``backfill`` = the reference's one-shot DDL chain
 (``etl-ddl-backfill.sql``); ``incremental`` = one daily DAG pass
 (``etl-dag.sql``) — watermark reads, affected-key recompute and
-control-table update included, idempotent to re-runs. ``query`` runs
-any registered query from the engine's registry and prints rows —
-the switch-over surface for a reference user. ``--scale-layout``
-opts the warehouse into the hive-partitioned storage design.
+control-table update included, idempotent to re-runs; ``--as-of D``
+replays a historical day (event feeds restricted to
+``metadata_date <= D``; the geo dimension stays whole, matching the
+reference's weighting join over the full GEO_WEIGHTS table).
+``metrics`` is the consumption surface: ``v_audience_metrics`` (or
+the reach/frequency rollup with ``--reach``) over a BUILT warehouse —
+what a reference user SELECTs after the DAG ran. ``query`` runs any
+registered query from the engine's registry and prints rows.
+``--scale-layout`` opts the warehouse into the hive-partitioned
+storage design; ``--manifest`` additionally commits
+``viewing_sessions`` through the manifest backend (multi-partition
+atomic commits + time travel).
 """
 
 from __future__ import annotations
@@ -32,11 +41,17 @@ def _feeds(spark, sf_dir: str):
     return _samba_feeds(spark, sf_dir)
 
 
-def _warehouse(spark, root: str, scale_layout: bool):
+def _warehouse(spark, root: str, scale_layout: bool,
+               manifest: bool = False):
     from .plans.backfill import Warehouse
 
+    if manifest and not scale_layout:
+        raise SystemExit("--manifest requires --scale-layout")
     layout = Warehouse.SCALE_LAYOUT if scale_layout else None
-    return Warehouse(spark, root, layout=layout)
+    return Warehouse(
+        spark, root, layout=layout,
+        manifest=Warehouse.MANIFEST_TABLES if manifest else None,
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -49,6 +64,20 @@ def main(argv: list[str] | None = None) -> int:
         s.add_argument("--sf-dir", required=True)
         s.add_argument("--warehouse", required=True)
         s.add_argument("--scale-layout", action="store_true")
+        s.add_argument("--manifest", action="store_true")
+        if name == "incremental":
+            s.add_argument("--as-of", default=None,
+                           help="replay: event feeds restricted to "
+                                "metadata_date <= AS_OF (YYYY-MM-DD)")
+
+    m = sub.add_parser("metrics")
+    m.add_argument("--warehouse", required=True)
+    m.add_argument("--scale-layout", action="store_true")
+    m.add_argument("--manifest", action="store_true")
+    m.add_argument("--reach", action="store_true",
+                   help="reach/frequency rollup instead of the "
+                        "per-session metrics view")
+    m.add_argument("--limit", type=int, default=20)
 
     q = sub.add_parser("query")
     q.add_argument("--name", required=True)
@@ -68,6 +97,31 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = _spark(args.cpus)
 
+    if args.cmd == "metrics":
+        from .operators.metrics import reach_frequency
+        from .plans.backfill import v_audience_metrics
+
+        wh = _warehouse(
+            spark, args.warehouse, args.scale_layout, args.manifest
+        )
+        if not wh.exists("viewing_sessions"):
+            print(
+                f"no viewing_sessions in {args.warehouse}; run "
+                "backfill/incremental first", file=sys.stderr,
+            )
+            return 2
+        view = v_audience_metrics(wh)
+        if args.reach:
+            view = reach_frequency(
+                view,
+                group_cols=["title", "network"],
+                hh_col="hh_id",
+                view_weight_col="weighted_view",
+                hh_weight_col="weighted_hh",
+            )
+        view.show(args.limit, truncate=False)
+        return 0
+
     if args.cmd == "query":
         from . import queries as Q
 
@@ -81,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
-    wh = _warehouse(spark, args.warehouse, args.scale_layout)
+    wh = _warehouse(spark, args.warehouse, args.scale_layout, args.manifest)
     acr, stb, geo = _feeds(spark, args.sf_dir)
 
     if args.cmd == "backfill":
@@ -92,8 +146,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "incremental":
+        from pyspark.sql import functions as F
+
         from .plans.incremental import run_incremental
 
+        if args.as_of:
+            import datetime as dt
+
+            cut = dt.date.fromisoformat(args.as_of)
+            le = F.col("metadata_date") <= F.lit(cut)
+            acr, stb = acr.filter(le), stb.filter(le)
         stats = run_incremental(wh, acr, stb, geo)
         print(f"incremental pass complete -> {args.warehouse}: {stats}")
         return 0
