@@ -342,7 +342,16 @@ def derived_cluster_count(
 
     Integer-exact on purpose: a SQL oracle reproduces it verbatim as
     ``GREATEST(kmin, (n + target - 1) // target)`` — no float sqrt
-    whose rounding could diverge across engines."""
+    whose rounding could diverge across engines.
+
+    Known cost of k ∝ n: brute-force nearest-centroid assignment is
+    O(n·k) = O(n²/target) — visible already as a fixture-scale
+    constant (~+0.9 s at sf0.1 for SemDeDup k 32→125) and the real
+    bottleneck long before 100 TB. The standard fix keeps this
+    formula and changes the ASSIGNMENT: two-level IVF (cluster the
+    centroids, route each vector through √k coarse cells → O(n·√k))
+    or an ANN lookup into the centroid set. The pair-join bound this
+    formula buys is what makes that investment worthwhile."""
     if n < 0:
         raise ValueError(f"negative corpus size {n}")
     if kmin < 1 or target_cluster_size < 1:

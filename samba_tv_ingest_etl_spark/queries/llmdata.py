@@ -996,10 +996,17 @@ def q46_top_characteristic_terms(
     )
     # tf feeds two different exchanges (hash(doc_id,token) for the
     # join, hash(token) for dfreq) so ReusedExchange can't apply and
-    # the subtree computes twice. Measured: persist() is a net LOSS
-    # here (cache materialization > recompute of a scan+explode+agg);
-    # at 100 TB prefer checkpointing tf to parquet if it's reused by
-    # more than these two consumers.
+    # the subtree would compute twice. Measured at sf0.1 (10
+    # alternating trials each, r3): lazy localCheckpoint median
+    # 0.82 s vs recompute 0.89 s vs persist() 1.20 s — persist loses
+    # to both (CacheManager materialization costs more than the
+    # scan+explode+agg it saves), checkpoint wins because blocks are
+    # written once and owned by the RDD (GC-cleaned, no CacheManager
+    # entry). Single-machine call: on a multi-executor cluster,
+    # localCheckpoint truncates lineage (an executor loss fails the
+    # job) — there, recompute or a parquet checkpoint of tf is the
+    # right shape if more consumers appear.
+    tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
