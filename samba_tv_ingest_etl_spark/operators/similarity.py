@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 QUANT = 1000  # milliunit quantization of float32 embeddings
 
@@ -313,19 +314,60 @@ def _join_dist() -> Column:
     )
 
 
-def _assign_join(quantized: DataFrame, cdf: DataFrame,
-                 keep: list[str]) -> DataFrame:
-    """Nearest-centroid assignment via broadcast cross join + min
-    (dist, id) struct — same tie-break as ``_assign_expr``. ``keep``
-    columns ride through the groupBy via first() (they are
-    functionally dependent on vec_id)."""
-    scored = quantized.crossJoin(F.broadcast(cdf)).withColumn(
-        "d", _join_dist()
+def _assign_pandas(
+    quantized: DataFrame, cents: dict[int, list[int]], keep: list[str]
+) -> DataFrame:
+    """Exact nearest-centroid assignment as one vectorized Arrow map
+    pass: each batch computes the full int64 distance matrix
+    ``D = norm2 - 2*Q@C^T + |C|^2`` with numpy and takes the per-row
+    argmin. Arithmetic and tie-break are identical to the
+    broadcast-join form this replaced (``_join_dist`` + ``min(struct
+    (d, c))``): centroid columns are ordered by ascending centroid
+    id, so numpy's first-minimum argmin IS the lowest-id tie-break,
+    and every value is exact int64 (quantized inputs bound
+    ``|q_i| <= QUANT`` so ``|D| <= 4*dim*QUANT^2 < 2^39``) — the
+    unrolled-SQL oracle reproduces assignments bit-for-bit.
+
+    Why not the broadcast join: with derived k (k ∝ n, the bound
+    that keeps per-cluster pair candidates flat), assignment is
+    O(n*k) dot products either way — but the join form evaluates one
+    interpreted higher-order-function dot per (row, centroid) pair,
+    which measured 71 s for n=20k, k=313 at sf1 vs ~1 s for the same
+    arithmetic as a numpy matmul. No shuffle either way: this pass
+    is map-side, and the only data movement is the k x dim centroid
+    matrix riding the serialized closure (k = n/target centroids x
+    64 dims x 8 B ~ 160 KB at sf1)."""
+    import numpy as np
+    import pandas as pd
+
+    ids = sorted(cents)
+    C = np.asarray([cents[i] for i in ids], dtype=np.int64)
+    cn = (C * C).sum(axis=1)
+    id_arr = np.asarray(ids, dtype=np.int64)
+    cols = ["vec_id", "cluster", *keep]
+    in_fields = {f.name: f for f in quantized.schema.fields}
+    out_schema = T.StructType(
+        [in_fields["vec_id"], T.StructField("cluster", T.LongType())]
+        + [in_fields[k] for k in keep]
     )
-    return scored.groupBy("vec_id").agg(
-        F.min(F.struct(F.col("d"), F.col("c")))["c"].alias("cluster"),
-        *[F.first(k).alias(k) for k in keep],
-    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q_mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            d = (
+                pdf["norm2"].to_numpy().astype(np.int64)[:, None]
+                - 2 * (q_mat @ C.T)
+                + cn[None, :]
+            )
+            out = pd.DataFrame({"vec_id": pdf["vec_id"]})
+            out["cluster"] = id_arr[np.argmin(d, axis=1)]
+            for k in keep:
+                out[k] = pdf[k]
+            yield out[cols]
+
+    return quantized.mapInPandas(assign, schema=out_schema)
 
 
 def derived_cluster_count(
@@ -387,11 +429,11 @@ def kmeans_centroids(
     and unpersisted before returning (training is eager — the
     centroids leave as plain Python ints, nothing lazy escapes).
 
-    Each Lloyd step assigns via broadcast join against the centroid
-    table (``_assign_join``), not the literal expression: the join's
-    generated code is centroid-value-free, so whole-stage codegen is
-    compiled once and reused across iterations (the literal form
-    paid a fresh multi-second Janino compile per step)."""
+    Each Lloyd step assigns via the vectorized Arrow pass
+    (``_assign_pandas``), not the literal expression: nothing is
+    codegen'd per iteration (the literal form paid a fresh
+    multi-second Janino compile per step), and the O(sample*k) dot
+    products run as one numpy matmul per batch."""
     from .sampling import stratified_sample
 
     spark = quantized.sparkSession
@@ -403,9 +445,7 @@ def kmeans_centroids(
     seed = train.orderBy("vec_id").limit(k).select("q").collect()
     cents = {i: [int(v) for v in r["q"]] for i, r in enumerate(seed)}
     for _ in range(iters):
-        assigned = _assign_join(
-            train, _centroid_df(spark, cents), keep=["q"]
-        )
+        assigned = _assign_pandas(train, cents, keep=["q"])
         rows = (
             assigned.select(
                 "cluster", F.posexplode("q").alias("i", "v")
@@ -455,10 +495,11 @@ def topk_ivf(
     distribution instead of fixed hyperplanes, so recall holds on
     clustered corpora where sign-bit buckets fragment.
 
-    Assignment and probing both go through the broadcast centroid
-    table (see ``_join_dist``) so nothing here re-codegens per run;
-    the literal map-side ``ivf_assign`` remains the partition-key
-    writer for a persisted 100 TB index."""
+    Corpus assignment runs as the vectorized Arrow matmul pass
+    (``_assign_pandas``); the tiny query side probes through the
+    broadcast centroid table (``_join_dist``). Nothing here
+    re-codegens per run; the literal map-side ``ivf_assign`` remains
+    the partition-key writer for a persisted 100 TB index."""
     from pyspark.sql import Window
 
     spark = corpus_q.sparkSession
@@ -470,7 +511,7 @@ def topk_ivf(
         train_sample=train_sample,
     )
     cdf = _centroid_df(spark, cents)
-    c = _assign_join(corpus_q, cdf, keep=["q", "norm2"]).select(
+    c = _assign_pandas(corpus_q, cents, keep=["q", "norm2"]).select(
         F.col("vec_id").alias("cand_id"),
         F.col("q").alias("q_c"),
         F.col("norm2").alias("n_c"),
@@ -586,9 +627,7 @@ def semdedup_drops(
         quantized, k=n_centroids, iters=iters, dim=dim,
         train_sample=train_sample,
     )
-    assigned = _assign_join(
-        quantized, _centroid_df(spark, cents), keep=["q", "norm2"]
-    )
+    assigned = _assign_pandas(quantized, cents, keep=["q", "norm2"])
     a = assigned.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_a"),

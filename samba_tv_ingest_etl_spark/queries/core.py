@@ -1673,8 +1673,16 @@ def q93_stream_static_enrichment(
     result = spark.table("q93_enriched").select(
         "nation", "event_type", "n_events", "cents"
     )
-    # memory sink is session-scoped scratch; materialize and detach
+    # memory sink is session-scoped scratch; materialize and detach.
+    # This collect is bounded by the grouping-key space |nations| x
+    # |event_types| (25 x 5 = 125 rows) — NOT event volume. The guard
+    # keeps a future edit from silently widening the key space into an
+    # unbounded driver pull.
     rows = result.collect()
+    assert len(rows) <= 25 * 5, (
+        f"q93 memory-sink result {len(rows)} rows exceeds the "
+        "nation x event_type bound; grouping keys widened?"
+    )
     spark.catalog.dropTempView("q93_enriched")
     return spark.createDataFrame(rows, result.schema)
 
