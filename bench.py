@@ -57,7 +57,19 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    load_before = os.getloadavg()
+
+    def _timed_runs(name: str, runs: int) -> list[float]:
+        samples = []
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        return samples
+
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
         # warm run first: whole-stage-codegen compilation of the big
         # generated classes (wide signature arrays etc.) is a one-time
@@ -68,21 +80,31 @@ def main() -> None:
         registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         # best-of-3 timed runs: single-run numbers swing 2-3x under
         # GC/scheduler noise on a shared box; the min reports the
-        # engine's actual steady-state throughput.
-        best = float("inf")
-        for _ in range(3):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        # engine's actual steady-state throughput. Contention guard
+        # (BENCH_r03 post-mortem: the committed artifact was polluted
+        # ~1.3-3.7x by a busy box): if the max/min spread of the three
+        # samples exceeds 2x, the box is contended — take 3 more
+        # samples so the min has a better chance of landing in a quiet
+        # window, and report the spread so readers can judge the number.
+        samples = _timed_runs(name, 3)
+        if max(samples) / max(min(samples), 1e-9) > 2.0:
+            samples += _timed_runs(name, 3)
+        timings[name] = round(min(samples), 4)
+        spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
 
+    load_after = os.getloadavg()
     out = {
         "metric": "headline_queries_wall_clock",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # contention context: loadavg around the run and per-query
+        # max/min sample spread. spread >2 after the retry pass means
+        # the best-of number may still overstate the engine's cost.
+        "loadavg_1m_before": round(load_before[0], 2),
+        "loadavg_1m_after": round(load_after[0], 2),
+        "spread": spreads,
     }
     print(json.dumps(out))
 
