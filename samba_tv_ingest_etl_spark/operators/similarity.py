@@ -370,6 +370,186 @@ def _assign_pandas(
     return quantized.mapInPandas(assign, schema=out_schema)
 
 
+# Coarse-routing Lloyd steps over the centroid set (tiny: k rows).
+# One recompute step is enough for routing cells — the cells only
+# need to partition the centroids sensibly, not converge.
+COARSE_ITERS = 1
+
+
+def derived_coarse_count(k: int) -> int:
+    """Number of coarse routing cells for a k-centroid index: the
+    smallest ``m >= 1`` with ``m*m >= k`` (integer ceil-sqrt). With
+    ``k ∝ n`` (``derived_cluster_count``) this makes two-level
+    assignment cost O(n·(√k + rw·k/√k)) = O(n·√k) instead of the
+    flat O(n·k) — the engine's previously self-documented scale
+    bottleneck.
+
+    Integer-exact on purpose (``math.isqrt``, no float): the SQL
+    oracle reproduces it as ``s = floor(sqrt(k))`` fixed up with an
+    integer CASE over {s-1, s, s+1}, so a correctly-rounded-but-
+    off-by-one double sqrt can never diverge the two engines."""
+    import math
+
+    if k < 1:
+        raise ValueError(f"centroid count must be >= 1, got {k}")
+    s = math.isqrt(k)
+    return s if s * s >= k else s + 1
+
+
+def coarse_route(
+    cents: dict[int, list[int]]
+) -> tuple[dict[int, list[int]], dict[int, int]]:
+    """Driver-side two-level routing structure over a trained
+    centroid set: cluster the k centroids into ``derived_coarse_count
+    (k)`` cells with the SAME deterministic integer Lloyd recipe as
+    ``kmeans_centroids`` (init = the ``mc`` lowest-id centroids,
+    ``COARSE_ITERS`` floor-average recompute steps, exact int64
+    squared-L2, ties -> lowest cell id, empty cells dropped).
+
+    Returns ``(coarse, cell_of)``: ``coarse`` maps each LIVE cell id
+    to its cell-centroid vector (live = owns >= 1 member in the final
+    assignment, so routing a vector to any returned cell always
+    yields candidates), ``cell_of`` maps every fine centroid id to
+    its cell. Everything is exact integer or correctly-rounded IEEE
+    arithmetic over plain ints, so a SQL oracle reproduces the
+    routing bit-for-bit (same discipline as ``derived_cluster_count``
+    — see ``queries/llmdata.py::_ivf_assign_parts``).
+
+    Cost: O(k·mc) = O(k^1.5) dot products over k rows — driver-side
+    numpy on data that already fits in the driver (the centroids
+    themselves ride the task closure either way)."""
+    import math
+    import numpy as np
+
+    ids = sorted(cents)
+    C = np.asarray([cents[i] for i in ids], dtype=np.int64)
+    mc = derived_coarse_count(len(ids))
+    G = C[:mc].copy()  # init: mc lowest-id centroids, cell g=0..mc-1
+    g_ids = np.arange(mc, dtype=np.int64)
+
+    def _assign(G: np.ndarray, g_ids: np.ndarray) -> np.ndarray:
+        # exact int64 ||c - g||^2; np.argmin first-min == lowest g
+        # because rows of G are ordered by ascending cell id
+        d = (
+            (C * C).sum(axis=1)[:, None]
+            - 2 * (C @ G.T)
+            + (G * G).sum(axis=1)[None, :]
+        )
+        return g_ids[np.argmin(d, axis=1)]
+
+    for _ in range(COARSE_ITERS):
+        a = _assign(G, g_ids)
+        live = np.unique(a)  # ascending; empty cells dropped
+        # floor(sum/count) per dim via IEEE double divide — the same
+        # op the Spark/SQL recompute uses, so all engines agree
+        G = np.stack(
+            [
+                np.floor(
+                    C[a == g].sum(axis=0).astype(np.float64)
+                    / float((a == g).sum())
+                ).astype(np.int64)
+                for g in live
+            ]
+        )
+        g_ids = live
+    final = _assign(G, g_ids)
+    cell_of = {int(ids[i]): int(final[i]) for i in range(len(ids))}
+    live_cells = sorted(set(cell_of.values()))
+    pos = {int(g): j for j, g in enumerate(g_ids.tolist())}
+    coarse = {g: [int(v) for v in G[pos[g]]] for g in live_cells}
+    return coarse, cell_of
+
+
+def _assign_pandas_routed(
+    quantized: DataFrame,
+    cents: dict[int, list[int]],
+    route: tuple[dict[int, list[int]], dict[int, int]],
+    route_width: int,
+    keep: list[str],
+) -> DataFrame:
+    """Two-level nearest-centroid assignment as one vectorized Arrow
+    map pass: each vector first scores the ``mc ~ √k`` coarse cells
+    (one n×mc int64 matmul), routes to its ``route_width`` nearest
+    cells (ties -> lowest cell id: stable argsort over ascending-id
+    columns), then takes the exact argmin over only the fine
+    centroids owned by those cells (ties -> lowest centroid id). Same
+    output contract as ``_assign_pandas``; the result differs from
+    exact argmin only when the true nearest centroid lives in a cell
+    the vector did not route to — an approximation the SQL oracle
+    reproduces exactly because every step is deterministic integer /
+    correctly-rounded IEEE arithmetic.
+
+    Scale shape: O(√k + rw·k/√k) = O(√k) dots per vector vs O(k) for
+    the flat pass — with k ∝ n (``derived_cluster_count``) that turns
+    total assignment cost from O(n²/target) into O(n^1.5/√target).
+    Still map-side only: the k×dim fine matrix plus the mc×dim coarse
+    matrix ride the closure; no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    coarse, cell_of = route
+    ids = sorted(cents)
+    id_arr = np.asarray(ids, dtype=np.int64)
+    C = np.asarray([cents[i] for i in ids], dtype=np.int64)
+    cn = (C * C).sum(axis=1)
+    g_ids = sorted(coarse)
+    G = np.asarray([coarse[g] for g in g_ids], dtype=np.int64)
+    gn = (G * G).sum(axis=1)
+    members = [
+        np.asarray(
+            [j for j, cid in enumerate(ids) if cell_of[cid] == g],
+            dtype=np.int64,
+        )
+        for g in g_ids
+    ]
+    rw = min(route_width, len(g_ids))
+    cols = ["vec_id", "cluster", *keep]
+    in_fields = {f.name: f for f in quantized.schema.fields}
+    out_schema = T.StructType(
+        [in_fields["vec_id"], T.StructField("cluster", T.LongType())]
+        + [in_fields[k] for k in keep]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q_mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            n2 = pdf["norm2"].to_numpy().astype(np.int64)
+            dg = n2[:, None] - 2 * (q_mat @ G.T) + gn[None, :]
+            # top-rw cells by (dist, cell id): stable sort ties ->
+            # lowest column index == lowest cell id (g_ids ascending)
+            routed = np.argsort(dg, axis=1, kind="stable")[:, :rw]
+            best_d = np.full(len(pdf), np.iinfo(np.int64).max)
+            best_c = np.full(len(pdf), np.iinfo(np.int64).max)
+            for j in range(len(g_ids)):
+                rows = np.nonzero((routed == j).any(axis=1))[0]
+                if not len(rows):
+                    continue
+                mem = members[j]
+                d = (
+                    n2[rows, None]
+                    - 2 * (q_mat[rows] @ C[mem].T)
+                    + cn[mem][None, :]
+                )
+                am = np.argmin(d, axis=1)  # first min == lowest id
+                dj = d[np.arange(len(rows)), am]
+                cj = id_arr[mem[am]]
+                better = (dj < best_d[rows]) | (
+                    (dj == best_d[rows]) & (cj < best_c[rows])
+                )
+                upd = rows[better]
+                best_d[upd] = dj[better]
+                best_c[upd] = cj[better]
+            out = pd.DataFrame({"vec_id": pdf["vec_id"]})
+            out["cluster"] = best_c
+            for k in keep:
+                out[k] = pdf[k]
+            yield out[cols]
+
+    return quantized.mapInPandas(assign, schema=out_schema)
+
+
 def derived_cluster_count(
     n: int, kmin: int, target_cluster_size: int
 ) -> int:
@@ -387,13 +567,14 @@ def derived_cluster_count(
     whose rounding could diverge across engines.
 
     Known cost of k ∝ n: brute-force nearest-centroid assignment is
-    O(n·k) = O(n²/target) — visible already as a fixture-scale
-    constant (~+0.9 s at sf0.1 for SemDeDup k 32→125) and the real
-    bottleneck long before 100 TB. The standard fix keeps this
-    formula and changes the ASSIGNMENT: two-level IVF (cluster the
-    centroids, route each vector through √k coarse cells → O(n·√k))
-    or an ANN lookup into the centroid set. The pair-join bound this
-    formula buys is what makes that investment worthwhile."""
+    O(n·k) = O(n²/target). The fix keeps this formula and changes
+    the ASSIGNMENT: two-level routing (``coarse_route`` +
+    ``_assign_pandas_routed`` — cluster the centroids into
+    ``derived_coarse_count(k) = ⌈√k⌉`` cells, route each vector
+    through its nearest cells → O(n·√k)), enabled via the
+    ``route_width`` parameter of ``topk_ivf`` / ``semdedup_drops``.
+    The pair-join bound this formula buys is what makes that
+    investment worthwhile."""
     if n < 0:
         raise ValueError(f"negative corpus size {n}")
     if kmin < 1 or target_cluster_size < 1:
@@ -486,6 +667,7 @@ def topk_ivf(
     nprobe: int = 2,
     dim: int = 64,
     train_sample: tuple[int, int] | None = None,
+    route_width: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: train a deterministic k-means coarse
     quantizer, partition the corpus by nearest centroid, and probe
@@ -495,11 +677,14 @@ def topk_ivf(
     distribution instead of fixed hyperplanes, so recall holds on
     clustered corpora where sign-bit buckets fragment.
 
-    Corpus assignment runs as the vectorized Arrow matmul pass
-    (``_assign_pandas``); the tiny query side probes through the
-    broadcast centroid table (``_join_dist``). Nothing here
-    re-codegens per run; the literal map-side ``ivf_assign`` remains
-    the partition-key writer for a persisted 100 TB index."""
+    Corpus assignment runs as the vectorized Arrow matmul pass:
+    flat O(n·k) (``_assign_pandas``) by default, or — with
+    ``route_width`` set — two-level O(n·√k) routing
+    (``coarse_route`` + ``_assign_pandas_routed``), the scale path
+    once k derives from corpus size. The tiny query side probes
+    through the broadcast centroid table (``_join_dist``). Nothing
+    here re-codegens per run; the literal map-side ``ivf_assign``
+    remains the partition-key writer for a persisted 100 TB index."""
     from pyspark.sql import Window
 
     spark = corpus_q.sparkSession
@@ -511,7 +696,14 @@ def topk_ivf(
         train_sample=train_sample,
     )
     cdf = _centroid_df(spark, cents)
-    c = _assign_pandas(corpus_q, cents, keep=["q", "norm2"]).select(
+    if route_width is not None:
+        assigned = _assign_pandas_routed(
+            corpus_q, cents, coarse_route(cents), route_width,
+            keep=["q", "norm2"],
+        )
+    else:
+        assigned = _assign_pandas(corpus_q, cents, keep=["q", "norm2"])
+    c = assigned.select(
         F.col("vec_id").alias("cand_id"),
         F.col("q").alias("q_c"),
         F.col("norm2").alias("n_c"),
@@ -606,6 +798,7 @@ def semdedup_drops(
     iters: int = 2,
     dim: int = 64,
     train_sample: tuple[int, int] | None = None,
+    route_width: int | None = None,
 ) -> DataFrame:
     """Semantic dedup via cluster-then-prune (the SemDeDup recipe,
     Abbas et al., arXiv:2303.09540): train the coarse quantizer on a
@@ -620,14 +813,23 @@ def semdedup_drops(
     shuffle once on ``cluster`` (at fleet size the persisted index's
     partition key, making the join co-located), and k grows with the
     corpus so n_c stays bounded. Training cost is capped by
-    ``train_sample`` exactly as in ``topk_ivf``. Deterministic
-    end-to-end -> the full trained pipeline is oracle-checkable."""
+    ``train_sample`` exactly as in ``topk_ivf``; assignment cost by
+    ``route_width`` (two-level O(n·√k) routing — with k ∝ n the
+    flat pass is O(n²/target), THE scale bottleneck of
+    cluster-then-prune). Deterministic end-to-end -> the full
+    trained pipeline is oracle-checkable, routing included."""
     spark = quantized.sparkSession
     cents = kmeans_centroids(
         quantized, k=n_centroids, iters=iters, dim=dim,
         train_sample=train_sample,
     )
-    assigned = _assign_pandas(quantized, cents, keep=["q", "norm2"])
+    if route_width is not None:
+        assigned = _assign_pandas_routed(
+            quantized, cents, coarse_route(cents), route_width,
+            keep=["q", "norm2"],
+        )
+    else:
+        assigned = _assign_pandas(quantized, cents, keep=["q", "norm2"])
     a = assigned.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_a"),

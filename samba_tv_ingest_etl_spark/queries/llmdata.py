@@ -707,6 +707,18 @@ _IVF_NPROBE = 2
 # (~25% of the corpus); assignment & probing stay full-corpus. The
 # rule is a pure function of vec_id -> the oracle reproduces it.
 _IVF_SAMPLE = (1, 4)
+# two-level routed assignment: with k ∝ n the flat nearest-centroid
+# pass is O(n·k) = O(n²/target) — the engine's named scale
+# bottleneck. Vectors route through the 4 nearest of ⌈√k⌉ coarse
+# cells (cells = a 1-step integer Lloyd over the centroids
+# themselves), then argmin only over those cells' centroids:
+# O(n·√k). Every step is exact-int / correctly-rounded IEEE, so the
+# oracle unrolls the routing too (operators.similarity.coarse_route).
+# Width 4 measured at sf0.1 (k=125, 12 cells): exact-argmin agreement
+# 0.67/0.81/0.90 at rw 2/3/4 for ~(1+rw)√k dots vs k — rw=4 keeps
+# ~7x the flat cost at k=1250 while holding 90% exactness; extra
+# coarse Lloyd steps measured <2pp and were not worth a larger oracle.
+_ROUTE_WIDTH = 4
 
 
 def _ivf_dist_sql(qa: str, qc: str) -> str:
@@ -753,21 +765,19 @@ cents0 AS (
         LIMIT (SELECT k FROM kp))
 )""",
     ]
-    for it in range(_IVF_ITERS + 1):
-        # Lloyd steps (it < iters) assign the training sample; the
-        # last round (it == iters) is the full-corpus index assignment
-        src = "tquant" if it < _IVF_ITERS else "quant"
+    for it in range(_IVF_ITERS):
+        # Lloyd steps assign the training sample against cents{it},
+        # then recompute floor-average centroids
         parts.append(f"""
 a{it} AS (
   SELECT vec_id, q, norm2, c,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
   FROM (SELECT a.vec_id, a.q, a.norm2, s.c,
                {_ivf_dist_sql('a.q', 's.cq')} AS dist
-        FROM {src} a, cents{it} s)
+        FROM tquant a, cents{it} s)
 ),
 m{it} AS (SELECT vec_id, q, norm2, c FROM a{it} WHERE rn = 1)""")
-        if it < _IVF_ITERS:
-            parts.append(f"""
+        parts.append(f"""
 cents{it + 1} AS (
   SELECT c, list(av ORDER BY i) AS cq
   FROM (SELECT c, t.i,
@@ -777,6 +787,87 @@ cents{it + 1} AS (
         GROUP BY c, t.i)
   GROUP BY c
 )""")
+    # full-corpus index assignment goes through two-level routing
+    # (operators.similarity.coarse_route / _assign_pandas_routed):
+    # mc = ceil-sqrt of the LIVE centroid count (integer-exact via a
+    # floor(sqrt) fixed up with an integer CASE — an off-by-one double
+    # sqrt cannot diverge the engines), cells = 1-step integer Lloyd
+    # over the centroids (init = mc lowest-id centroids, floor-average
+    # recompute, ties -> lowest cell id, empty cells dropped), each
+    # vector routes to its _ROUTE_WIDTH nearest LIVE cells and argmins
+    # over only their member centroids.
+    last = _IVF_ITERS
+    parts.append(f"""
+mcp AS (
+  SELECT GREATEST(1, CASE
+           WHEN s - 1 >= 1 AND (s - 1) * (s - 1) >= k THEN s - 1
+           WHEN s * s >= k THEN s
+           ELSE s + 1 END) AS mc
+  FROM (SELECT k, CAST(floor(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS s
+        FROM (SELECT count(*) AS k FROM cents{last}))
+)""")
+    parts.append(f"""
+gc0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) AS g,
+         cq AS gq
+  FROM (SELECT c, cq FROM cents{last} ORDER BY c
+        LIMIT (SELECT mc FROM mcp))
+)""")
+    parts.append(f"""
+ga0 AS (
+  SELECT c, cq, g,
+         row_number() OVER (PARTITION BY c ORDER BY dist, g) AS rn
+  FROM (SELECT a.c, a.cq, s.g,
+               {_ivf_dist_sql('a.cq', 's.gq')} AS dist
+        FROM cents{last} a, gc0 s)
+),
+gm0 AS (SELECT c, cq, g FROM ga0 WHERE rn = 1)""")
+    parts.append(f"""
+gc1 AS (
+  SELECT g, list(av ORDER BY i) AS gq
+  FROM (SELECT g, t.i,
+               CAST(floor(CAST(SUM(cq[t.i]) AS DOUBLE) / COUNT(*))
+                 AS BIGINT) AS av
+        FROM gm0, unnest(range(1, {_DIM + 1})) AS t(i)
+        GROUP BY g, t.i)
+  GROUP BY g
+)""")
+    parts.append(f"""
+ga1 AS (
+  SELECT c, g,
+         row_number() OVER (PARTITION BY c ORDER BY dist, g) AS rn
+  FROM (SELECT a.c, s.g,
+               {_ivf_dist_sql('a.cq', 's.gq')} AS dist
+        FROM cents{last} a, gc1 s)
+),
+gm1 AS (SELECT c, g FROM ga1 WHERE rn = 1)""")
+    parts.append("""
+glive AS (
+  SELECT s.g, s.gq FROM gc1 s
+  WHERE s.g IN (SELECT g FROM gm1)
+)""")
+    parts.append(f"""
+vroute AS (
+  SELECT vec_id, q, norm2, g FROM (
+    SELECT vec_id, q, norm2, g,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, g) AS rn
+    FROM (SELECT a.vec_id, a.q, a.norm2, s.g,
+                 {_ivf_dist_sql('a.q', 's.gq')} AS dist
+          FROM quant a, glive s))
+  WHERE rn <= {_ROUTE_WIDTH}
+)""")
+    parts.append(f"""
+a{last} AS (
+  SELECT vec_id, q, norm2, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+  FROM (SELECT v.vec_id, v.q, v.norm2, s.c,
+               {_ivf_dist_sql('v.q', 's.cq')} AS dist
+        FROM vroute v
+        JOIN gm1 mem ON mem.g = v.g
+        JOIN cents{last} s ON s.c = mem.c)
+),
+m{last} AS (SELECT vec_id, q, norm2, c FROM a{last} WHERE rn = 1)""")
     return parts
 
 
@@ -839,6 +930,7 @@ def q32_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=derived_cluster_count(n, _IVF_KMIN, _IVF_TARGET),
         iters=_IVF_ITERS,
         nprobe=_IVF_NPROBE, dim=_DIM, train_sample=_IVF_SAMPLE,
+        route_width=_ROUTE_WIDTH,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -899,6 +991,7 @@ def q76_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_IVF_ITERS,
         dim=_DIM,
         train_sample=_IVF_SAMPLE,
+        route_width=_ROUTE_WIDTH,
     )
 
 

@@ -86,3 +86,87 @@ def test_per_cluster_candidates_bounded(spark):
     # that must hold structurally is on the TOTAL candidate mass.
     cand = sum(s * (s - 1) // 2 for s in sizes)
     assert cand <= (n * (n - 1) // 2) // 4
+
+# ---------------------------------------------------------------------
+# Two-level routed assignment (VERDICT r3 #2): with k ∝ n, the flat
+# nearest-centroid pass is O(n·k) = O(n²/target); routing through
+# ⌈√k⌉ coarse cells makes it O(n·√k) and must stay oracle-exact.
+
+
+def test_coarse_count_matches_sql_exactly():
+    """Python ``derived_coarse_count`` (math.isqrt) and the oracle's
+    floor(sqrt)+integer-CASE fixup must agree on every k."""
+    from samba_tv_ingest_etl_spark.operators.similarity import (
+        derived_coarse_count,
+    )
+
+    con = duckdb.connect()
+    ks = list(range(1, 200)) + [
+        313, 1250, 9999, 10_000, 10_001, 10**6, 10**6 + 1, 10**12,
+        10**12 + 1, (10**6 - 1) ** 2, (10**6 - 1) ** 2 + 1,
+    ]
+    for k in ks:
+        sql = con.execute(f"""
+            SELECT GREATEST(1, CASE
+                     WHEN s - 1 >= 1 AND (s - 1) * (s - 1) >= k THEN s - 1
+                     WHEN s * s >= k THEN s
+                     ELSE s + 1 END)
+            FROM (SELECT {k} AS k,
+                         CAST(floor(sqrt(CAST({k} AS DOUBLE))) AS BIGINT) AS s)
+        """).fetchone()[0]
+        got = derived_coarse_count(k)
+        assert got == sql, (k, got, sql)
+        assert got * got >= k and (got - 1) * (got - 1) < k
+    with pytest.raises(ValueError):
+        derived_coarse_count(0)
+
+
+def test_routed_assignment_totality_and_agreement(spark):
+    """Routed assignment must (a) assign EVERY vector to a live
+    cluster, (b) be deterministic, (c) degenerate to the exact flat
+    argmin when route_width covers every coarse cell."""
+    from samba_tv_ingest_etl_spark.operators.similarity import (
+        _assign_pandas,
+        _assign_pandas_routed,
+        coarse_route,
+        quantize,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = quantize(emb).filter(F.col("norm2") > 0).cache()
+    n = q.count()
+    k = derived_cluster_count(n, _SEM_KMIN, _SEM_TARGET)
+    cents = kmeans_centroids(
+        q, k=k, iters=2, dim=64, train_sample=_IVF_SAMPLE
+    )
+    from samba_tv_ingest_etl_spark.queries.llmdata import _ROUTE_WIDTH
+
+    route = coarse_route(cents)
+    routed = _assign_pandas_routed(q, cents, route, _ROUTE_WIDTH, keep=[])
+    rows = {r["vec_id"]: r["cluster"] for r in routed.collect()}
+    assert len(rows) == n  # total: nobody lost to an empty cell
+    assert set(rows.values()) <= set(cents)
+    rows2 = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_pandas_routed(
+            q, cents, route, _ROUTE_WIDTH, keep=[]
+        ).collect()
+    }
+    assert rows == rows2  # deterministic
+    # route everywhere -> exact flat argmin, bit for bit
+    full_rw = len(route[0])
+    wide = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_pandas_routed(
+            q, cents, route, full_rw, keep=[]
+        ).collect()
+    }
+    flat = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_pandas(q, cents, keep=[]).collect()
+    }
+    assert wide == flat
+    # rw=_ROUTE_WIDTH agrees with exact argmin on the vast majority
+    agree = sum(1 for v, c in rows.items() if flat[v] == c)
+    assert agree / n >= 0.9, f"routing agreement {agree}/{n}"
+    q.unpersist()
