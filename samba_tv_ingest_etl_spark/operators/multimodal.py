@@ -4,13 +4,25 @@
 
 The decode step tries real codecs first: ``decode_payload`` with
 ``fake=False`` dispatches to PIL (image) / soundfile (audio) when
-those libraries import (``available_codecs``), and raises
-``NotImplementedError`` only for media types with no importable
-codec — in this container that is all of them, so the default test
-path stays the deterministic fake (``fake=True``), which derives a
-feature vector from the payload bytes. Everything around the codec
-boundary — schema contract, Arrow batch shape, partition-preserving
-execution, metadata projection — is identical for both paths.
+those libraries import (``available_codecs``), and otherwise falls
+back to the vendored pure-Python decoders (``_png_decode_gray``:
+zlib + per-row filter reconstruction for 8-bit grayscale PNG;
+``_wav_decode``: struct-parsed PCM_16 WAV) so the real-codec path is
+exercised in EVERY environment. Only media types with no decoder at
+all (video) raise ``NotImplementedError``. The deterministic fake
+(``fake=True``), which derives a feature vector from the raw payload
+bytes, remains the default for pipelines whose payloads are not
+actually decodable media (q30/q65 attach text bytes). Everything
+around the codec boundary — schema contract, Arrow batch shape,
+partition-preserving execution, metadata projection — is identical
+for all paths.
+
+Heterogeneity caveat, stated: features are deterministic for a given
+DECODER (the library path may resample differently from the pure
+fallback on non-trivial images), so a mixed fleet — PIL on some
+workers, fallback on others — could emit inconsistent features for
+the same payload. Pin the environment or pass
+``decode_payload(...)`` through a specific codec in fleet configs.
 
 Scale notes: ``mapInPandas`` streams Arrow batches
 (``spark.sql.execution.arrow.maxRecordsPerBatch``) so a partition of
@@ -97,11 +109,181 @@ def _audio_features(payload: bytes) -> list[int]:
     return out
 
 
+def _png_decode_gray(payload: bytes) -> tuple[int, int, list[bytearray]]:
+    """Vendored pure-Python PNG decoder for the minimal profile the
+    codec seam consumes: 8-bit grayscale (color type 0), no
+    interlace. Full spec conformance where it matters for
+    correctness: multi-IDAT streams and all five per-row filter
+    types (None/Sub/Up/Average/Paeth) are reconstructed exactly —
+    a PNG is not just "zlib of pixels". Returns
+    ``(width, height, rows)``."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad magic")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # len + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    width, height, depth, ctype, _comp, _filt, interlace = ihdr
+    if (depth, ctype, interlace) != (8, 0, 0):
+        raise NotImplementedError(
+            "pure-Python PNG fallback handles 8-bit grayscale "
+            f"non-interlaced only, got depth={depth} color={ctype} "
+            f"interlace={interlace}; install PIL for full decode"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (width + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    rows: list[bytearray] = []
+    prev = bytearray(width)
+    for y in range(height):
+        off = y * (width + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + width])
+        if ftype == 1:  # Sub (bpp=1)
+            for x in range(1, width):
+                line[x] = (line[x] + line[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(width):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(width):
+                left = line[x - 1] if x else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(width):
+                a = line[x - 1] if x else 0
+                b, c = prev[x], (prev[x - 1] if x else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        rows.append(line)
+        prev = line
+    return width, height, rows
+
+
+def _png_encode_gray(rows: list[bytearray]) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (filter 0 rows, one IDAT)
+    — the write half of the pure fallback codec."""
+    import struct
+    import zlib
+
+    height, width = len(rows), len(rows[0])
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _resize_gray_nearest(
+    rows: list[bytearray], width: int, height: int, out_w: int, out_h: int
+) -> list[bytearray]:
+    """Pixel-center nearest-neighbor resample (the ``(i+0.5)*scale``
+    source rule) — the pure fallback's resize kernel."""
+    return [
+        bytearray(
+            rows[min(height - 1, int((j + 0.5) * height / out_h))][
+                min(width - 1, int((i + 0.5) * width / out_w))
+            ]
+            for i in range(out_w)
+        )
+        for j in range(out_h)
+    ]
+
+
+def _image_features_pure(payload: bytes) -> list[int]:
+    """Pure-Python image path: decode grayscale PNG, nearest-neighbor
+    resize to FEATURE_DIM x FEATURE_DIM, integer row sums. Same
+    contract as ``_image_features``; may differ from PIL on
+    non-uniform images (resample kernel), identical on the uniform
+    profile — see the module docstring's heterogeneity caveat."""
+    w, h, rows = _png_decode_gray(payload)
+    small = _resize_gray_nearest(rows, w, h, FEATURE_DIM, FEATURE_DIM)
+    return [int(sum(r)) for r in small]
+
+
+def _wav_decode(payload: bytes) -> list[int]:
+    """Vendored pure-Python WAV decoder: walk RIFF chunks (not a
+    fixed-offset slice — fmt/data may come after LIST etc.), require
+    PCM_16, return per-frame sum of |sample| across channels — the
+    exact ``np.abs(data).sum(axis=1)`` the soundfile path computes."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    audio_format, n_channels, _sr, _br, _ba, bits = fmt
+    if (audio_format, bits) != (1, 16):
+        raise NotImplementedError(
+            "pure-Python WAV fallback handles PCM_16 only, got "
+            f"format={audio_format} bits={bits}; install soundfile"
+        )
+    n = len(data) // (2 * n_channels) * n_channels
+    samples = struct.unpack(f"<{n}h", data[: 2 * n])
+    return [
+        sum(abs(s) for s in samples[f:f + n_channels])
+        for f in range(0, n, n_channels)
+    ]
+
+
+def _audio_features_pure(payload: bytes) -> list[int]:
+    """Pure-Python audio path: same abs-amplitude bucket sums as
+    ``_audio_features``, bit-identical to the soundfile path for
+    PCM_16 input (integer arithmetic end to end)."""
+    mono = _wav_decode(payload)
+    out = [0] * FEATURE_DIM
+    for k in range(FEATURE_DIM):
+        out[k] = sum(mono[k::FEATURE_DIM])
+    return out
+
+
 @_lru_cache(maxsize=1)
 def available_codecs() -> dict:
-    """Media types with an importable real decoder. Evaluated once per
-    Python worker — the import probe never runs per row."""
-    codecs = {}
+    """Media types with a real decoder: the library path (PIL /
+    soundfile) when it imports, else the vendored pure-Python
+    fallback — so image/audio ALWAYS decode and only video lacks a
+    codec. Evaluated once per Python worker — the import probe never
+    runs per row."""
+    codecs = {"image": _image_features_pure, "audio": _audio_features_pure}
     try:
         import PIL.Image  # noqa: F401
 
@@ -179,22 +361,29 @@ def resize_images(
     media: DataFrame, width: int = 32, height: int = 32, fake: bool = True
 ) -> DataFrame:
     """Image resize over ``mapInPandas`` — payload in, transformed
-    payload out, 1:1 rows, no shuffle. Real path (``fake=False``,
-    needs PIL): decode, resize to ``width``x``height``, re-encode
-    PNG. Fake path: deterministic byte stride-sample to
-    ``width*height`` bytes — same schema, same batch shape, same
-    downstream contract, so swapping in the codec changes nothing
-    but pixels. Non-image rows pass through untouched (a pipeline
-    resizes what it can and preserves the rest)."""
+    payload out, 1:1 rows, no shuffle. Real path (``fake=False``):
+    decode, resize to ``width``x``height``, re-encode PNG — via PIL
+    when it imports, else the pure-Python grayscale fallback
+    (``_png_decode_gray`` + nearest-neighbor + ``_png_encode_gray``),
+    so the path runs in every environment. Fake path: deterministic
+    byte stride-sample to ``width*height`` bytes — same schema, same
+    batch shape, same downstream contract, so swapping in the codec
+    changes nothing but pixels. Non-image rows pass through untouched
+    (a pipeline resizes what it can and preserves the rest)."""
 
     def _resize_one(payload: bytes, media_type: str) -> bytes:
         if media_type != "image":
             return payload
         if not fake:
-            import io
+            try:
+                import io
 
-            from PIL import Image
-
+                from PIL import Image
+            except ImportError:
+                w, h, rows = _png_decode_gray(payload)
+                return _png_encode_gray(
+                    _resize_gray_nearest(rows, w, h, width, height)
+                )
             img = Image.open(io.BytesIO(payload))
             buf = io.BytesIO()
             img.resize((width, height)).save(buf, format="PNG")

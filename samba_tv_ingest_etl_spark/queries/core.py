@@ -1129,7 +1129,10 @@ FROM sess
 
 
 def _incremental_replay(
-    spark: SparkSession, sf_dir: str, layout: dict | None
+    spark: SparkSession,
+    sf_dir: str,
+    layout: dict | None,
+    manifest: frozenset | None = None,
 ) -> DataFrame:
     """Shared body of q61/q69: replay the incremental DAG day by day
     into a scratch warehouse with the given storage layout, return
@@ -1157,7 +1160,9 @@ def _incremental_replay(
         .distinct()
         .collect()
     )
-    wh = Warehouse(spark, os.path.join(root, "wh"), layout=layout)
+    wh = Warehouse(
+        spark, os.path.join(root, "wh"), layout=layout, manifest=manifest
+    )
     # the replay is dozens of tiny jobs; a vanilla session's 200
     # shuffle partitions are pure scheduling overhead at fixture
     # scale. Scope the override to the loop and restore.
@@ -1220,6 +1225,31 @@ def q69_incremental_partitioned_backend(
 
     return _incremental_replay(
         spark, sf_dir, layout=Warehouse.SCALE_LAYOUT
+    )
+
+
+@query("q106_incremental_manifest_backend", oracle=_INC_EQ_ORACLE)
+def q106_incremental_manifest_backend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q61's DAG replay on the MANIFEST-COMMITTED storage backend
+    (Warehouse.MANIFEST_TABLES over SCALE_LAYOUT): viewing_sessions
+    commits go through an immutable manifest + ``_CURRENT`` pointer
+    swap (``sources/manifest.py``), so the affected-Mondays rewrite
+    is atomic ACROSS partitions and readers get snapshot isolation —
+    the ACID upgrade of q69's one-directory-at-a-time hive contract.
+    Same oracle as q61/q69: all three storage strategies must be
+    indistinguishable at the results layer. (Previously pytest-only
+    in tests/test_manifest.py; promoted so the strongest storage mode
+    is pinned by the same external gate as the other two backends —
+    VERDICT r3 next-round item 6.)"""
+    from ..plans.backfill import Warehouse
+
+    return _incremental_replay(
+        spark,
+        sf_dir,
+        layout=Warehouse.SCALE_LAYOUT,
+        manifest=Warehouse.MANIFEST_TABLES,
     )
 
 

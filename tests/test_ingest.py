@@ -118,3 +118,46 @@ def test_geo_weights_feed(spark, stage, tmp_path):
     out = read_feed_table(spark, target, "GEO_WEIGHTS")
     assert dict(out.dtypes)["geo_weight"] == "double"
     assert {r["hh_id"] for r in out.collect()} == {"hh_1", "hh_2"}
+
+
+def test_ingest_through_nonlocal_fs_scheme(spark, stage, tmp_path):
+    """The reference's front half is an OBJECT-STORE stage
+    (aws-s3-integration.sql:1-17); the sandbox has no live S3, but
+    the engine's whole ingest path — stage listing, COPY-pattern
+    discovery, load-ledger read/write, target write — must resolve
+    the filesystem FROM THE PATH'S SCHEME (Hadoop FS API), never
+    assume os.* locality. Run the full ingest through ``viewfs://``
+    (Hadoop's client-side mount-table FS: a real non-``file:``
+    scheme with its own FileSystem implementation and path
+    resolution, the closest object-store stand-in that needs no
+    server), so any hidden ``file:``/os.path assumption fails loudly.
+    Swapping viewfs -> s3a is then configuration, not code."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set(
+        "fs.viewfs.mounttable.ingestcell.link./warehouse",
+        (tmp_path / "vfs_root").as_uri(),
+    )
+    vbase = "viewfs://ingestcell/warehouse"
+    vstage = f"{vbase}/stage"
+    # land the stage THROUGH viewfs too (writer goes via the scheme)
+    spark.createDataFrame(
+        [("dev_1", 1000, 1100, 100, "t1", "ct_1"),
+         ("dev_2", 2000, 2200, 200, "t2", "ct_2")],
+        ["smba_id", "exposure_start_ts", "exposure_end_ts", "duration",
+         "title", "content_id"],
+    ).coalesce(1).write.parquet(f"{vstage}/STB/yyyy=2025/mm=06/dd=02")
+
+    files = discover_feed(spark, vstage, "STB")
+    assert files and all(f.startswith("viewfs://ingestcell/") for f in files)
+
+    target, ledger = f"{vbase}/raw_stb", f"{vbase}/ledger"
+    res = ingest_feed(spark, vstage, "STB", target, ledger)
+    assert res.files_loaded == 1 and res.rows_loaded == 2
+    # ledger idempotency holds across the non-local scheme
+    again = ingest_feed(spark, vstage, "STB", target, ledger)
+    assert again.files_loaded == 0 and again.rows_loaded == 0
+    out = read_feed_table(spark, target, "STB")
+    assert out.count() == 2
+    assert {r["metadata_date"].isoformat() for r in out.collect()} == {
+        "2025-06-02"
+    }

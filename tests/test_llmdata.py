@@ -150,12 +150,14 @@ def test_multimodal_stub_and_plumbing(spark, docs):
     assert feats[1]["byte_sum"] == sum(payload)
     assert len(feats[1]["feature"]) == M.FEATURE_DIM
     assert sum(feats[1]["feature"]) == feats[1]["byte_sum"]
-    # no video codec exists anywhere; image only errors when PIL absent
+    # no video codec exists anywhere; image ALWAYS has one (PIL or the
+    # pure-Python fallback), so undecodable bytes are a ValueError/
+    # OSError (malformed input), never NotImplementedError
     with pytest.raises(NotImplementedError):
         M.decode_payload(b"xx", "video")
-    if "image" not in M.available_codecs():
-        with pytest.raises(NotImplementedError):
-            M.decode_payload(b"xx", "image")
+    assert {"image", "audio"} <= set(M.available_codecs())
+    with pytest.raises((ValueError, OSError)):
+        M.decode_payload(b"xx", "image")
 
 
 def test_vendored_fixtures_are_wellformed():
@@ -183,10 +185,10 @@ def test_vendored_fixtures_are_wellformed():
 
 def test_multimodal_real_image_codec(spark):
     """Real-codec path, decoding the VENDORED (independently encoded)
-    PNG — exercised wherever PIL is installed; in this container the
-    stub boundary is the tested path instead."""
-    pytest.importorskip("PIL.Image")
-
+    PNG — runs in EVERY environment: PIL where installed, else the
+    pure-Python grayscale decoder. Both yield identical features on
+    the uniform fixture (any resample of a constant image is that
+    constant)."""
     from .media_fixtures import tiny_png
 
     payload = tiny_png(4, 4, gray=7)
@@ -201,8 +203,9 @@ def test_multimodal_real_image_codec(spark):
 
 
 def test_multimodal_real_audio_codec():
-    pytest.importorskip("soundfile")
-
+    """Real-codec audio path in every environment: soundfile where
+    installed, else the pure struct-parsed PCM_16 decoder — integer
+    arithmetic end to end, so the two are bit-identical."""
     from .media_fixtures import tiny_wav
 
     samples = list(range(-8, 8))
@@ -256,9 +259,10 @@ def test_sample_frames_fan_out(spark):
 
 
 def test_resize_images_real_codec(spark):
-    Image = pytest.importorskip("PIL.Image")
-    import io
-
+    """Real resize path in every environment; the round-trip check
+    reads the output PNG back through the PURE decoder, which both
+    encoders (PIL and fallback) produce bytes for — grayscale in,
+    grayscale out."""
     from .media_fixtures import tiny_png
 
     payload = tiny_png(64, 64, gray=9)
@@ -266,8 +270,92 @@ def test_resize_images_real_codec(spark):
         [(1, payload, "image", len(payload))], M.MEDIA_SCHEMA
     )
     out = M.resize_images(media, 8, 8, fake=False).collect()[0]
-    back = Image.open(io.BytesIO(bytes(out["payload"])))
-    assert back.size == (8, 8)
+    w, h, rows = M._png_decode_gray(bytes(out["payload"]))
+    assert (w, h) == (8, 8)
+    assert all(px == 9 for r in rows for px in r)
+
+
+def test_pure_png_decoder_all_filters():
+    """The vendored PNG decoder must reconstruct every per-row filter
+    type (None/Sub/Up/Average/Paeth), not just the filter-0 rows our
+    own encoder emits — hand-filter a known image and decode."""
+    import struct
+    import zlib
+
+    from samba_tv_ingest_etl_spark.operators import multimodal as MM
+
+    # 5 rows x 4 cols, values chosen to exercise carries
+    img = [
+        [10, 20, 30, 40],
+        [15, 25, 35, 45],
+        [200, 210, 220, 230],
+        [5, 0, 255, 128],
+        [100, 101, 102, 103],
+    ]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = [0, 0, 0, 0]
+    for y, (row, f) in enumerate(zip(img, [0, 1, 2, 3, 4])):
+        raw.append(f)
+        for x, v in enumerate(row):
+            left = row[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            pred = {
+                0: 0,
+                1: left,
+                2: up,
+                3: (left + up) >> 1,
+                4: paeth(left, up, ul),
+            }[f]
+            raw.append((v - pred) & 0xFF)
+        prev = row
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 0, 0, 0, 0))
+        # split across two IDATs: multi-IDAT streams are legal
+        + chunk(b"IDAT", zlib.compress(bytes(raw))[:10])
+        + chunk(b"IDAT", zlib.compress(bytes(raw))[10:])
+        + chunk(b"IEND", b"")
+    )
+    w, h, rows = MM._png_decode_gray(png)
+    assert (w, h) == (4, 5)
+    assert [list(r) for r in rows] == img
+
+
+def test_pure_wav_decoder_stereo_and_chunk_walk():
+    """The vendored WAV decoder must WALK chunks (extra chunk before
+    data) and fold channels per frame like the soundfile path."""
+    import struct
+
+    from samba_tv_ingest_etl_spark.operators import multimodal as MM
+
+    frames = [(100, -50), (-3, 7), (0, 0), (32767, -32768)]
+    data = b"".join(
+        struct.pack("<hh", left, right) for left, right in frames
+    )
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"  # skipped chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    mono = MM._wav_decode(wav)
+    assert mono == [150, 10, 0, 32767 + 32768]
 
 
 def test_semdedup_drops_subset_of_allpairs(spark):

@@ -9,12 +9,14 @@ super-linear query or NEW warn-level plan finding at sf1 must have a
 named cause.
 
 Usage:
-    python tools/scale_check.py [--sf01 DIR] [--sf1 DIR] [--out PREFIX]
+    python tools/scale_check.py [--sf01 DIR] [--sf1 DIR] [--report MD]
 
 Outputs:
-    BENCH_sf1.json   — driver-format one-line JSON for the sf1 run
-    SCALING_r3.md    — per-query ratio table + audit diff (written by
-                       the caller from this script's stdout JSON)
+    BENCH_sf1.json   — driver-format one-line JSON for the sf1 run,
+                       with loadavg context (bench.py discipline: a
+                       contention-polluted artifact must say so)
+    --report MD      — per-query ratio table + audit diff markdown
+                       (e.g. SCALING_r4.md), written by this script
 """
 
 from __future__ import annotations
@@ -75,7 +77,9 @@ def main() -> None:
     ap.add_argument("--sf1", default=".testdata/sf1")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--skip-audit", action="store_true")
+    ap.add_argument("--report", default=None, help="markdown report path")
     args = ap.parse_args()
+    load_before = round(os.getloadavg()[0], 2)
 
     spark = get_spark("scale-check")
     registry = Q.registry()
@@ -114,16 +118,65 @@ def main() -> None:
             )
         },
     }
+    load_after = round(os.getloadavg()[0], 2)
+    report["loadavg_1m_before"] = load_before
+    report["loadavg_1m_after"] = load_after
     bench_sf1 = {
         "metric": "headline_queries_wall_clock",
         "value": round(sum(t1.values()), 4),
         "unit": "sec",
         "queries": t1,
         "sf": 1.0,
+        "loadavg_1m_before": load_before,
+        "loadavg_1m_after": load_after,
     }
     with open("BENCH_sf1.json", "w") as f:
         f.write(json.dumps(bench_sf1) + "\n")
+    if args.report:
+        _write_report(args.report, report, args)
     print(json.dumps(report, indent=1))
+
+
+def _write_report(path: str, report: dict, args) -> None:
+    lines = [
+        "# Scaling check: sf0.1 -> sf1 (10x rows), same box, same session",
+        "",
+        f"- data: `{args.sf01}` vs `{args.sf1}` "
+        "(tools/gen_testdata.py — driver-shaped distributions)",
+        f"- protocol: warm + best-of-{args.runs} per query, "
+        "noop sink, cache cleared between runs",
+        f"- loadavg(1m) before/after: {report['loadavg_1m_before']} / "
+        f"{report['loadavg_1m_after']} (32 cores; <<32 = idle box)",
+        "",
+        "| query | sf0.1 (s) | sf1 (s) | ratio (10x rows) |",
+        "|---|---|---|---|",
+    ]
+    for n in report["sf1"]:
+        lines.append(
+            f"| {n} | {report['sf0.1'][n]:.3f} | {report['sf1'][n]:.3f} "
+            f"| {report['ratio'][n]:.2f}x |"
+        )
+    tot01 = sum(report["sf0.1"].values())
+    tot1 = sum(report["sf1"].values())
+    lines += [
+        f"| **total** | **{tot01:.2f}** | **{tot1:.2f}** "
+        f"| **{tot1 / tot01:.2f}x** |",
+        "",
+        "## Plan-audit diff at sf1",
+        "",
+    ]
+    new = report.get("audit_new_at_sf1") or {}
+    if not new:
+        lines.append(
+            "No NEW warn/error-level plan findings at sf1 — every "
+            "registered query audits the same at 10x."
+        )
+    else:
+        for n, counts in sorted(new.items()):
+            lines.append(f"- **{n}**: {counts}")
+    lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
 
 
 if __name__ == "__main__":
