@@ -106,6 +106,28 @@ def cosine_pairs(
     )
 
 
+def _imatmul(A, B):
+    """Exact int64 ``A @ B`` computed through float64 BLAS.
+
+    numpy's int64 matmul is a naive non-BLAS loop (measured 11.7 s
+    for a 5000x1250x64 assignment at sf1); DGEMM is ~50x faster and
+    BIT-EXACT here: with ``dim * max|A| * max|B| < 2^53`` every
+    elementwise product and every partial sum is an integer below
+    2^53, and float64 addition of such integers is exact regardless
+    of BLAS's summation order. The guard enforces the bound (QUANT =
+    1000 unit-norm vectors give dot <= 64e6, five orders of margin);
+    if it ever trips, the caller's data outgrew the quantization
+    contract and exactness — not speed — is the thing to fix."""
+    import numpy as np
+
+    ma = int(np.abs(A).max(initial=0))
+    mb = int(np.abs(B).max(initial=0))
+    assert A.shape[-1] * ma * mb < 2**53, (A.shape, ma, mb)
+    return np.rint(
+        A.astype(np.float64) @ B.astype(np.float64)
+    ).astype(np.int64)
+
+
 def cosine_pairs_blocked(
     quantized: DataFrame,
     threshold_pct: int = 80,
@@ -170,7 +192,7 @@ def cosine_pairs_blocked(
                 qb = np.array([np.asarray(v) for v in row.qs_b], dtype=np.int64)
                 na = np.asarray(row.ns_a, dtype=np.int64)
                 nb = np.asarray(row.ns_b, dtype=np.int64)
-                dot = qa @ qb.T  # exact int64
+                dot = _imatmul(qa, qb.T)  # exact int64 via f64 BLAS
                 # overflow guards for the integer threshold compare
                 assert abs(dot).max(initial=0) < 960_000_000
                 assert int(na.max(initial=0)) * int(nb.max(initial=0)) * pct2 < 2**62
@@ -358,7 +380,7 @@ def _assign_pandas(
             q_mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
             d = (
                 pdf["norm2"].to_numpy().astype(np.int64)[:, None]
-                - 2 * (q_mat @ C.T)
+                - 2 * _imatmul(q_mat, C.T)
                 + cn[None, :]
             )
             out = pd.DataFrame({"vec_id": pdf["vec_id"]})
@@ -432,7 +454,7 @@ def coarse_route(
         # because rows of G are ordered by ascending cell id
         d = (
             (C * C).sum(axis=1)[:, None]
-            - 2 * (C @ G.T)
+            - 2 * _imatmul(C, G.T)
             + (G * G).sum(axis=1)[None, :]
         )
         return g_ids[np.argmin(d, axis=1)]
@@ -516,7 +538,7 @@ def _assign_pandas_routed(
                 continue
             q_mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
             n2 = pdf["norm2"].to_numpy().astype(np.int64)
-            dg = n2[:, None] - 2 * (q_mat @ G.T) + gn[None, :]
+            dg = n2[:, None] - 2 * _imatmul(q_mat, G.T) + gn[None, :]
             # top-rw cells by (dist, cell id): stable sort ties ->
             # lowest column index == lowest cell id (g_ids ascending)
             routed = np.argsort(dg, axis=1, kind="stable")[:, :rw]
@@ -529,7 +551,7 @@ def _assign_pandas_routed(
                 mem = members[j]
                 d = (
                     n2[rows, None]
-                    - 2 * (q_mat[rows] @ C[mem].T)
+                    - 2 * _imatmul(q_mat[rows], C[mem].T)
                     + cn[mem][None, :]
                 )
                 am = np.argmin(d, axis=1)  # first min == lowest id
@@ -601,53 +623,56 @@ def kmeans_centroids(
     ``train_sample=(num, den)`` trains on the deterministic hash
     sample ``hash_bucket(vec_id, den) < num`` (``operators.sampling``)
     instead of the full corpus — the standard IVF recipe: centroid
-    quality needs only a bounded sample, so the Lloyd scans stop
+    quality needs only a bounded sample, so training cost stops
     growing with the corpus while assignment (the caller's job) stays
     fully distributed. The rule is a pure function of vec_id, so an
     oracle reproduces the sampled training bit-for-bit.
 
-    The training set is persisted for the duration of the Lloyd loop
-    and unpersisted before returning (training is eager — the
-    centroids leave as plain Python ints, nothing lazy escapes).
+    The BOUNDED training set is pulled to the driver once (one Arrow
+    collect) and the Lloyd loop runs as driver-side numpy — the shape
+    every production IVF trainer uses (sample -> train centrally ->
+    broadcast the codebook): one cluster scan total, no per-iteration
+    Spark job, no 80k-row recompute collect per step (the prior
+    distributed loop spent ~11 s/round at sf1 on scheduling +
+    row-collects for arithmetic that takes ~50 ms in BLAS). Every op
+    matches the distributed formulation bit-for-bit: exact int64
+    squared-L2 via ``_imatmul`` (ties -> lowest centroid id, empty
+    clusters dropped), recompute = per-dim ``floor(double(sum) /
+    count)``. At fleet size ``train_sample`` IS the driver-memory
+    contract — 10⁵ x 64 int64 is ~50 MB; callers without a sample are
+    toy-scale by construction."""
+    import numpy as np
 
-    Each Lloyd step assigns via the vectorized Arrow pass
-    (``_assign_pandas``), not the literal expression: nothing is
-    codegen'd per iteration (the literal form paid a fresh
-    multi-second Janino compile per step), and the O(sample*k) dot
-    products run as one numpy matmul per batch."""
     from .sampling import stratified_sample
 
-    spark = quantized.sparkSession
     train = quantized
     if train_sample is not None:
         num, den = train_sample
         train = stratified_sample(train, "vec_id", num, den)
-    train = train.persist()  # scanned once per Lloyd step
-    seed = train.orderBy("vec_id").limit(k).select("q").collect()
-    cents = {i: [int(v) for v in r["q"]] for i, r in enumerate(seed)}
+    pdf = train.select("vec_id", "q").toPandas()
+    order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+    Q = np.stack(pdf["q"].to_numpy())[order].astype(np.int64)
+    qn = (Q * Q).sum(axis=1)
+    C = Q[:k].copy()  # init: the k lowest-vec_id vectors, label = row
+    labels = np.arange(min(k, len(Q)), dtype=np.int64)
     for _ in range(iters):
-        assigned = _assign_pandas(train, cents, keep=["q"])
-        rows = (
-            assigned.select(
-                "cluster", F.posexplode("q").alias("i", "v")
-            )
-            .groupBy("cluster", "i")
-            .agg(
-                F.floor(
-                    F.sum("v").cast("double") / F.count(F.lit(1))
-                )
-                .cast("long")
-                .alias("av")
-            )
-            .collect()
+        d = qn[:, None] - 2 * _imatmul(Q, C.T) + (C * C).sum(axis=1)[None, :]
+        # first-min == lowest label: C rows are in ascending-label order
+        a = labels[np.argmin(d, axis=1)]
+        live = np.unique(a)  # ascending; empty clusters dropped
+        C = np.stack(
+            [
+                np.floor(
+                    Q[a == g].sum(axis=0).astype(np.float64)
+                    / float((a == g).sum())
+                ).astype(np.int64)
+                for g in live
+            ]
         )
-        cents = {}
-        for r in rows:
-            cents.setdefault(int(r["cluster"]), [0] * dim)[
-                int(r["i"])
-            ] = int(r["av"])
-    train.unpersist()
-    return cents
+        labels = live
+    return {
+        int(g): [int(v) for v in C[j]] for j, g in enumerate(labels)
+    }
 
 
 def ivf_assign(
@@ -809,15 +834,26 @@ def semdedup_drops(
     side: (vec_id, cluster, n_dominators, max_cos_scaled).
 
     Scale shape: the all-pairs O(n^2) of ``cosine_pairs`` becomes
-    O(sum n_c^2) with the corpus sharded by cluster — both join sides
-    shuffle once on ``cluster`` (at fleet size the persisted index's
-    partition key, making the join co-located), and k grows with the
-    corpus so n_c stays bounded. Training cost is capped by
+    O(sum n_c^2) with the corpus sharded by cluster — one shuffle on
+    ``cluster`` (at fleet size the persisted index's partition key,
+    making the group co-located), and k grows with the corpus so n_c
+    stays bounded. The within-cluster prune runs as ONE int64 numpy
+    matmul per cluster group (``applyInPandas``) that emits the
+    per-doc aggregate directly — no pair rows ever shuffle and no
+    per-pair interpreted expression runs (same kernel discipline as
+    ``cosine_pairs_blocked``; measured 12.8 s -> 6.1 s at sf1 vs the
+    pair-join formulation, with driver-side Lloyd training and the
+    BLAS matmul (``_imatmul``) contributing alongside). Training cost is capped by
     ``train_sample`` exactly as in ``topk_ivf``; assignment cost by
     ``route_width`` (two-level O(n·√k) routing — with k ∝ n the
     flat pass is O(n²/target), THE scale bottleneck of
     cluster-then-prune). Deterministic end-to-end -> the full
-    trained pipeline is oracle-checkable, routing included."""
+    trained pipeline is oracle-checkable, routing included: the
+    kernel's masks and floor(1e6·dot/sqrt(double(na)·double(nb)))
+    are the exact integer/IEEE ops of the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
     spark = quantized.sparkSession
     cents = kmeans_centroids(
         quantized, k=n_centroids, iters=iters, dim=dim,
@@ -830,38 +866,61 @@ def semdedup_drops(
         )
     else:
         assigned = _assign_pandas(quantized, cents, keep=["q", "norm2"])
-    a = assigned.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("id_a"),
-        F.col("q").alias("q_a"),
-        F.col("norm2").alias("n_a"),
+
+    pct2 = threshold_pct * threshold_pct
+    out_schema = (
+        "vec_id long, cluster long, n_dominators long, "
+        "max_cos_scaled long"
     )
-    b = assigned.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("id_b"),
-        F.col("q").alias("q_b"),
-        F.col("norm2").alias("n_b"),
-    )
-    dot = _dot(F.col("q_a"), F.col("q_b"))
-    pairs = (
-        a.join(b, on="cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", dot)
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.col("dot") * F.col("dot") * 10_000
-                >= F.lit(threshold_pct * threshold_pct)
-                * F.col("n_a")
-                * F.col("n_b")
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {c: [] for c in
+                 ["vec_id", "cluster", "n_dominators", "max_cos_scaled"]}
             )
+        # ascending-id order makes "lower-id dominator" = upper
+        # triangle of the dot matrix
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        n = pdf["norm2"].to_numpy(dtype=np.int64)
+        dot = _imatmul(Q, Q.T)  # exact int64 via f64 BLAS
+        # integer-threshold overflow guards (same discipline as
+        # cosine_pairs_blocked, with the exact bounds)
+        md = int(np.abs(dot).max(initial=0))
+        assert md * md * 10_000 < 2**63
+        assert int(n.max()) * int(n.max()) * pct2 < 2**62
+        mask = (
+            (dot > 0)
+            & (dot * dot * 10_000 >= pct2 * (n[:, None] * n[None, :]))
         )
-    )
-    return pairs.groupBy(
-        F.col("id_b").alias("vec_id"), F.col("cluster")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_dominators"),
-        F.max(
-            _cos_scaled(F.col("dot"), F.col("n_a"), F.col("n_b"))
-        ).alias("max_cos_scaled"),
+        mask &= np.tri(len(ids), k=-1, dtype=bool).T  # strict upper
+        i, j = np.nonzero(mask)
+        if not len(i):
+            return pd.DataFrame(
+                {c: [] for c in
+                 ["vec_id", "cluster", "n_dominators", "max_cos_scaled"]}
+            )
+        # double(na)*double(nb): the oracle's operand order exactly
+        nf = n.astype(np.float64)
+        cos = np.floor(
+            1_000_000.0 * dot[i, j].astype(np.float64)
+            / np.sqrt(nf[i] * nf[j])
+        ).astype(np.int64)
+        counts = np.bincount(j, minlength=len(ids))
+        maxcos = np.full(len(ids), np.iinfo(np.int64).min)
+        np.maximum.at(maxcos, j, cos)
+        sel = counts > 0
+        return pd.DataFrame(
+            {
+                "vec_id": ids[sel],
+                "cluster": np.full(sel.sum(), pdf["cluster"].iloc[0]),
+                "n_dominators": counts[sel].astype(np.int64),
+                "max_cos_scaled": maxcos[sel],
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        prune, schema=out_schema
     )
