@@ -60,7 +60,19 @@ corpus AS (
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """The documents table, widened to the session's parallelism when
+    it arrives under-split: a fixture-scale corpus parquet is a
+    single row group (unsplittable by maxPartitionBytes), and every
+    downstream tokenize/quality/hash pass is CPU-bound, so 1-4 input
+    splits would serialize the work on as many cores (measured: the
+    exchange costs ~0.2 s at sf1 and cut q21/q22-style text chains
+    2-4x). At fleet size inputs out-split the cores and the exchange
+    is skipped; results never depend on placement (every consumer is
+    oracle-deterministic)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs
 
 
 def _copy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2063,7 +2075,7 @@ def q79_hashed_linear_classifier(
     drops into the same operator as a weight list."""
     from ..operators.text import derived_weights, hashed_linear_score
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     return hashed_linear_score(
         docs,
         "doc_id",
@@ -2117,7 +2129,7 @@ def q83_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the vocab with the winning pair merged."""
     from ..operators.text import tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     wf = (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -2200,7 +2212,7 @@ def q84_inverted_index_postings(
 
     from ..operators.text import tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     td = (
         docs.select(
             "doc_id", F.explode(tokens(F.col("text"))).alias("term")
@@ -2268,7 +2280,7 @@ def q87_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import global_cumsum
     from ..operators.text import derived_weights, hashed_linear_score
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     scored = hashed_linear_score(
         docs, "doc_id", "text",
         weights=derived_weights(_CLS_D), intercept=_CLS_INTERCEPT,
@@ -2684,7 +2696,7 @@ def q97_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc overlapping variant retrieval indexes need."""
     from ..operators.text import tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     t = docs.select(
         "doc_id", tokens(F.col("text")).alias("toks")
     ).withColumn("n", F.size("toks").cast("long"))
@@ -2751,7 +2763,7 @@ def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-merge."""
     from pyspark.sql import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    docs = _documents(spark, sf_dir).filter(
         F.col("n_chars") > 0
     )
     pri = docs.select(
