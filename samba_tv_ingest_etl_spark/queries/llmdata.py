@@ -584,9 +584,17 @@ def _cos_scaled_sql(dot: str, na: str, nb: str) -> str:
 
 
 def _embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized embeddings, widened to session parallelism when the
+    parquet arrives under-split — same rationale as ``_documents``:
+    quantization HOFs, hyperplane bits and the Arrow matmul kernels
+    are all CPU-bound map passes whose parallelism equals input
+    splits, and a fixture-scale embeddings file is one row group.
+    Skipped at fleet size; placement never affects results."""
     from ..operators.similarity import quantize
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if emb.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        emb = emb.repartition(spark.sparkContext.defaultParallelism)
     return quantize(emb).filter(F.col("norm2") > 0)
 
 
