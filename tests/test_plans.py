@@ -265,28 +265,32 @@ def test_scd2_single_key_exchange(spark, registry):
 
 
 def test_semdedup_pair_join_on_cluster(spark, registry):
-    """q76: the candidate join is KEYED on the cluster id (bounded
-    per-cluster candidates), never an unkeyed cross product. The
-    join *strategy* is deliberately left to Catalyst: at fixture
-    size the assigned side's stats make it a broadcast hash join; at
-    corpus scale the same keyed join becomes a co-located shuffle
-    join on the index's partition key. Either way the equi-key is
-    the scale guarantee — pin that, not the size-dependent
-    strategy."""
+    """q76: the within-cluster prune is ONE grouped Arrow kernel
+    keyed on the cluster id — exactly one hash exchange on
+    ``cluster`` feeding FlatMapGroupsInPandas, no pair join and
+    never an unkeyed cross product (pair rows must not exist in the
+    plan at all: the kernel emits the per-doc aggregate directly).
+    At corpus scale the exchange is co-located with the index's
+    partition key; the cluster key is the scale guarantee."""
     plan = plan_of(registry["q76_semdedup_drops"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    joins = re.findall(
-        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[([^\]]*)\]",
-        plan,
-    )
-    assert any("cluster" in keys for _, keys in joins), plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert re.search(r"hashpartitioning\(cluster", plan), plan
+    # the old formulation's pair join must stay gone
+    assert not re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
+    ), plan
 
 
 def test_classifier_scoring_is_narrow_jvm_map(spark, registry):
     """q79: model application is one codegen'd projection — no
-    shuffle, no Python workers, no join."""
+    Python workers, no join, and no KEYED shuffle. The only exchange
+    allowed is the round-robin input widening `_documents` adds when
+    a fixture-scale parquet arrives under-split (skipped at fleet
+    size) — scoring itself must never repartition by key."""
     plan = plan_of(registry["q79_hashed_linear_classifier"](spark, SF_DIR))
-    assert "Exchange" not in plan
+    for m in re.finditer(r"Exchange (\w+)", plan):
+        assert m.group(1) == "RoundRobinPartitioning", plan
     assert "Python" not in plan
     assert "Join" not in plan
 
