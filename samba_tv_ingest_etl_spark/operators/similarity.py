@@ -276,13 +276,38 @@ def hyperplane_bit(q: Column, plane: int, dim: int) -> Column:
 def lsh_buckets(
     quantized: DataFrame, planes: int = 8, dim: int = 64
 ) -> DataFrame:
-    """Add a ``bucket`` column: the ``planes``-bit sign signature."""
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        bucket = bucket + hyperplane_bit(F.col("q"), p, dim).cast(
-            "long"
-        ) * F.lit(1 << p)
-    return quantized.withColumn("bucket", bucket)
+    """Add a ``bucket`` column: the ``planes``-bit sign signature,
+    computed as ONE Arrow matmul pass (n x planes sign bits from
+    ``Q @ W^T``) instead of ``planes`` interpreted HOF dots per row.
+    Bit-identical to the expression form (``hyperplane_bit``, kept as
+    the single-plane reference): the hyperplane weights are exact
+    int64, |dot| <= dim·QUANT·2^30 < 2^53 so ``_imatmul`` is exact,
+    and the sign rule is the same ``>= 0``. Map-side only — no
+    shuffle, the planes ride the closure."""
+    import numpy as np
+
+    idx = np.arange(planes * dim, dtype=np.int64)
+    W = (
+        (idx * 2_654_435_761) % 2_147_483_648 - 1_073_741_824
+    ).reshape(planes, dim)
+    pows = 1 << np.arange(planes, dtype=np.int64)
+    cols = [f.name for f in quantized.schema.fields] + ["bucket"]
+    out_schema = T.StructType(
+        list(quantized.schema.fields)
+        + [T.StructField("bucket", T.LongType())]
+    )
+
+    def add_bucket(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            bits = (_imatmul(Q, W.T) >= 0).astype(np.int64)
+            pdf = pdf.copy()
+            pdf["bucket"] = (bits * pows[None, :]).sum(axis=1)
+            yield pdf[cols]
+
+    return quantized.mapInPandas(add_bucket, schema=out_schema)
 
 
 def _dist_to(centroid: list[int]) -> Column:

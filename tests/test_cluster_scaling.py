@@ -170,3 +170,31 @@ def test_routed_assignment_totality_and_agreement(spark):
     agree = sum(1 for v, c in rows.items() if flat[v] == c)
     assert agree / n >= 0.9, f"routing agreement {agree}/{n}"
     q.unpersist()
+
+
+def test_imatmul_exactness_at_bounds():
+    """_imatmul (float64 BLAS) must equal the naive int64 matmul
+    bit-for-bit, including at the magnitude bounds the engine
+    actually uses (QUANT=1000 vectors, 2^30 hyperplane weights), and
+    must refuse inputs whose dot could round (> 2^53)."""
+    import numpy as np
+    import pytest
+
+    from samba_tv_ingest_etl_spark.operators.similarity import _imatmul
+
+    rng = np.random.RandomState(7)
+    # engine-shaped: quantized vectors x quantized vectors
+    A = rng.randint(-1000, 1001, size=(37, 64)).astype(np.int64)
+    B = rng.randint(-1000, 1001, size=(29, 64)).astype(np.int64)
+    assert (_imatmul(A, B.T) == A @ B.T).all()
+    # engine-shaped: quantized vectors x hyperplane weights (2^30)
+    W = rng.randint(-(1 << 30), 1 << 30, size=(8, 64)).astype(np.int64)
+    assert (_imatmul(A, W.T) == A @ W.T).all()
+    # adversarial: max-magnitude entries right at the guard boundary
+    m = (2**53 - 1) // (4 * 1_000_000)  # dim=4, |B|<=1e6
+    A2 = np.full((3, 4), m, dtype=np.int64)
+    B2 = np.full((5, 4), 1_000_000, dtype=np.int64)
+    assert (_imatmul(A2, B2.T) == A2 @ B2.T).all()
+    # over the bound -> loud refusal, never a silent rounding
+    with pytest.raises(AssertionError):
+        _imatmul(A2 * 2, B2.T)
