@@ -14,13 +14,20 @@ Scale strategy:
   corpus self-join / query-corpus join is embarrassingly parallel but
   O(n²) — right answer for verification sets and small query batches
   (queries side broadcast).
-- ``lsh_buckets`` + ``topk_lsh`` is the scale path: deterministic
-  integer hyperplanes (no RNG) hash each vector into a sign-bit
-  bucket; candidate generation joins only within a bucket, cutting
-  the join quadratically at a recall cost measured in
-  ``tests/test_similarity.py``. An IVF (k-means) variant would slot
-  in the same way; hyperplane LSH is chosen because it is portable
-  and needs no training pass.
+- ``lsh_buckets`` + ``topk_lsh`` is the training-free scale path:
+  deterministic integer hyperplanes (no RNG) hash each vector into a
+  sign-bit bucket; candidate generation joins only within a bucket,
+  cutting the join quadratically at a measured recall cost.
+- ``topk_ivf`` + ``semdedup_drops`` is the trained scale path: a
+  deterministic k-means coarse quantizer (bounded-sample driver-side
+  Lloyd), k derived from corpus size, two-level routed assignment
+  (O(n·√k)), and per-cluster Arrow kernels for probing/pruning.
+
+Kernel discipline: Python appears ONLY as Arrow-vectorized matmul /
+set kernels (``_imatmul`` float64-BLAS-exact int64) where the JVM
+alternative is an interpreted higher-order function per element —
+never row-at-a-time, and every kernel reproduces the SQL oracle's
+integer/IEEE arithmetic bit-for-bit.
 """
 
 from __future__ import annotations
