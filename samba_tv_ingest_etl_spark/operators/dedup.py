@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import HASH_P, affine_hash, tokens, vocab_ranks, word_shingles
 
@@ -247,39 +248,72 @@ def minhash_signatures(
     fastest path; values are Spark-local)."""
     coeffs = _minhash_coeffs(num_perm)
     if hash_mode == "sha2":
-        # shingled feeds both the exploded hash side and the final
-        # rejoin; even over shingle_docs' token barrier the shingle
-        # concat_ws projection re-runs per consumer (2.7M string
-        # builds x3 at sf1) — one materialized copy measured faster
-        # (interleaved A/B best-of-4: 4.97 s with vs 5.67 s without)
-        shingled = shingled.localCheckpoint(eager=True)
-        ex = shingled.select("doc_id", F.explode("shingles").alias("s"))
-        h = F.pmod(
-            F.conv(
-                F.substring(F.sha2(F.col("s"), 256), 1, 15), 16, 10
-            ).cast("long"),
-            F.lit(HASH_P),
-        )
-        mins = (
-            ex.select("doc_id", h.alias("h"))
-            .groupBy("doc_id")
-            .agg(
-                *[
-                    F.min(affine_hash(F.col("h"), a, b)).alias(f"_m{i}")
-                    for i, (a, b) in enumerate(coeffs)
-                ]
-            )
-        )
-        sig = F.array(
-            *[
-                # empty shingle set -> sentinel signature
-                F.coalesce(F.col(f"_m{i}"), F.lit(HASH_P).cast("long"))
-                for i in range(len(coeffs))
+        # ONE narrow Arrow pass: per doc, sha256-hash the shingles
+        # (hashlib — byte-identical to JVM sha2 + first-15-hex-digit
+        # parse) and take the 16 affine minima with a vectorized
+        # (n_shingles x num_perm) int64 modmul. Replaces the previous
+        # explode -> 16-min groupBy -> rejoin shape: same numbers,
+        # zero shuffle (the groupBy's map-side combine still paid a
+        # 16-longs-per-doc exchange and a doc-keyed join back).
+        # int64-safe: h < 2^31, a <= 2·num_perm+1, so a·h+b < 2^37.
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        A = np.asarray([a for a, _ in coeffs], dtype=np.int64)
+        B = np.asarray([b for _, b in coeffs], dtype=np.int64)
+        sentinel = [HASH_P] * len(coeffs)
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("set_size", T.IntegerType()),
+                T.StructField("shingles", T.ArrayType(T.StringType())),
+                T.StructField("sig", T.ArrayType(T.LongType())),
             ]
         )
-        return shingled.join(mins, "doc_id", "left").select(
-            "doc_id", "set_size", "shingles", sig.alias("sig")
-        )
+
+        def sign(batches):
+            for pdf in batches:
+                sigs = []
+                for shingles in pdf["shingles"]:
+                    if len(shingles) == 0:
+                        sigs.append(sentinel)  # empty set sentinel
+                        continue
+                    hs = np.fromiter(
+                        (
+                            int(
+                                hashlib.sha256(s.encode()).hexdigest()[
+                                    :15
+                                ],
+                                16,
+                            )
+                            % HASH_P
+                            for s in shingles
+                        ),
+                        dtype=np.int64,
+                        count=len(shingles),
+                    )
+                    sigs.append(
+                        (
+                            (hs[:, None] * A[None, :] + B[None, :])
+                            % HASH_P
+                        )
+                        .min(axis=0)
+                        .tolist()
+                    )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "set_size": pdf["set_size"],
+                        "shingles": pdf["shingles"],
+                        "sig": sigs,
+                    }
+                )
+
+        return shingled.select(
+            "doc_id", "set_size", "shingles"
+        ).mapInPandas(sign, schema=out_schema)
     if hash_mode == "xxhash64":
         enc = shingled.withColumn(
             "ranks",
