@@ -50,14 +50,34 @@ def main() -> None:
 
     registry = Q.registry()
     names = [n for n in HEADLINE if n in registry]
+
+    # Idle-box gate, BEFORE the warm-up (our own warm-up inflates the
+    # 1m loadavg, which would both trip the gate spuriously and make
+    # the recorded number measure ourselves). BENCH_r04 post-mortem:
+    # committed on a box at loadavg 5.61, understating the engine
+    # ~7%. Wait up to ~2 min for external load to drop below the
+    # threshold; if it never does, still emit — but flagged
+    # "contended": true so the artifact says so.
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "3.0"))
+    contended = os.getloadavg()[0] > load_gate
+    for _ in range(6):
+        if not contended:
+            break
+        print(
+            f"loadavg {os.getloadavg()[0]:.2f} > gate {load_gate}; "
+            "waiting 20s for an idle box...",
+            file=sys.stderr,
+        )
+        time.sleep(20)
+        contended = os.getloadavg()[0] > load_gate
+    load_before = os.getloadavg()
+
     # warm the JVM/codegen AND the Python/Arrow worker pool so timings
     # measure the engine, not process startup
     registry[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.range(1000).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
-
-    load_before = os.getloadavg()
 
     def _timed_runs(name: str, runs: int) -> list[float]:
         samples = []
@@ -104,6 +124,7 @@ def main() -> None:
         # the best-of number may still overstate the engine's cost.
         "loadavg_1m_before": round(load_before[0], 2),
         "loadavg_1m_after": round(load_after[0], 2),
+        "contended": contended,
         "spread": spreads,
     }
     print(json.dumps(out))

@@ -66,8 +66,18 @@ def reach_frequency_rollup(
             F.max(hh_weight_col).alias("_hh_weight"),
             F.count(F.lit(1)).alias("_hh_sessions"),
         )
-        .persist()  # CacheManager entry (visible plan, InMemoryTableScan
-        # reuse assertable); bounded: |hh| rows per query invocation
+        # GC-owned materialization (NOT .persist()): every rollup
+        # level re-reads this one table, but a CacheManager entry
+        # would outlive the query — a service calling the rollup
+        # repeatedly accumulates session-lifetime pins nobody
+        # unpersists. localCheckpoint gives the same reuse (levels
+        # scan the materialized partitions) and the ContextCleaner
+        # reclaims the blocks when the result DataFrame is dropped —
+        # the same discipline as the dedup chain's lineage barrier
+        # (operators/dedup.py). Eager: the session-grain shuffle runs
+        # exactly once, here, not lazily per level. Bounded: |hh|
+        # rows per invocation.
+        .localCheckpoint(eager=True)
     )
     dim_schema = {
         f.name: f.dataType for f in metrics.select(*dims).schema.fields

@@ -17,12 +17,17 @@ around the codec boundary — schema contract, Arrow batch shape,
 partition-preserving execution, metadata projection — is identical
 for all paths.
 
-Heterogeneity caveat, stated: features are deterministic for a given
-DECODER (the library path may resample differently from the pure
-fallback on non-trivial images), so a mixed fleet — PIL on some
-workers, fallback on others — could emit inconsistent features for
-the same payload. Pin the environment or pass
-``decode_payload(...)`` through a specific codec in fleet configs.
+Heterogeneity caveat, stated — and controllable: features are
+deterministic for a given DECODER (the library path may resample
+differently from the pure fallback on non-trivial images), so a
+mixed fleet — PIL on some workers, fallback on others — could emit
+inconsistent features for the same payload UNDER ``codec='auto'``.
+The codec is an explicit parameter everywhere (``codec_registry``):
+fleet configs pin ``codec='pure'`` (identical everywhere, libraries
+or not) or ``codec='lib'`` (library semantics, loud ImportError on a
+worker missing it) — auto-dispatch is the opt-in convenience, and
+``codec_name(media_type)`` reports which decoder auto would pick so
+provenance can be emitted next to features.
 
 Scale notes: ``mapInPandas`` streams Arrow batches
 (``spark.sql.execution.arrow.maxRecordsPerBatch``) so a partition of
@@ -109,26 +114,39 @@ def _audio_features(payload: bytes) -> list[int]:
     return out
 
 
+# PNG color types the pure decoder accepts, with bytes-per-pixel
+_PNG_BPP = {0: 1, 2: 3, 3: 1}  # grayscale, RGB, palette-indexed
+
+
 def _png_decode_gray(payload: bytes) -> tuple[int, int, list[bytearray]]:
-    """Vendored pure-Python PNG decoder for the minimal profile the
-    codec seam consumes: 8-bit grayscale (color type 0), no
-    interlace. Full spec conformance where it matters for
-    correctness: multi-IDAT streams and all five per-row filter
-    types (None/Sub/Up/Average/Paeth) are reconstructed exactly —
-    a PNG is not just "zlib of pixels". Returns
-    ``(width, height, rows)``."""
+    """Vendored pure-Python PNG decoder for the profiles the codec
+    seam consumes: 8-bit grayscale (color type 0), 8-bit RGB (2) and
+    8-bit palette (3), non-interlaced. RGB/palette pixels reduce to
+    grayscale with the deterministic integer ITU-R 601 luma
+    ``(299·R + 587·G + 114·B) // 1000`` (floor — stated so the
+    contract is pinned; PIL's ``convert("L")`` rounds differently, a
+    divergence covered by the module's heterogeneity caveat). Full
+    spec conformance where it matters for correctness: multi-IDAT
+    streams and all five per-row filter types (None/Sub/Up/Average/
+    Paeth) are reconstructed exactly AT THE PIXEL'S byte stride —
+    a PNG is not just "zlib of pixels". Unsupported profiles
+    (16-bit, alpha, interlaced) raise ``NotImplementedError`` loudly:
+    a mixed corpus can never silently mis-decode. Returns
+    ``(width, height, rows)`` of grayscale bytes."""
     import struct
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG: bad magic")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
         body = payload[pos + 8:pos + 8 + length]
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -137,35 +155,40 @@ def _png_decode_gray(payload: bytes) -> tuple[int, int, list[bytearray]]:
     if ihdr is None or not idat:
         raise ValueError("truncated PNG: missing IHDR/IDAT")
     width, height, depth, ctype, _comp, _filt, interlace = ihdr
-    if (depth, ctype, interlace) != (8, 0, 0):
+    if depth != 8 or interlace != 0 or ctype not in _PNG_BPP:
         raise NotImplementedError(
-            "pure-Python PNG fallback handles 8-bit grayscale "
-            f"non-interlaced only, got depth={depth} color={ctype} "
-            f"interlace={interlace}; install PIL for full decode"
+            "pure-Python PNG fallback handles 8-bit non-interlaced "
+            "grayscale/RGB/palette (color types 0/2/3) only, got "
+            f"depth={depth} color={ctype} interlace={interlace}; "
+            "install PIL for full decode"
         )
+    if ctype == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG: missing or malformed PLTE")
+    bpp = _PNG_BPP[ctype]
+    stride = width * bpp
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != (width + 1) * height:
+    if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data length mismatch")
     rows: list[bytearray] = []
-    prev = bytearray(width)
+    prev = bytearray(stride)
     for y in range(height):
-        off = y * (width + 1)
+        off = y * (stride + 1)
         ftype = raw[off]
-        line = bytearray(raw[off + 1:off + 1 + width])
-        if ftype == 1:  # Sub (bpp=1)
-            for x in range(1, width):
-                line[x] = (line[x] + line[x - 1]) & 0xFF
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        if ftype == 1:  # Sub (left neighbor = one pixel back)
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
         elif ftype == 2:  # Up
-            for x in range(width):
+            for x in range(stride):
                 line[x] = (line[x] + prev[x]) & 0xFF
         elif ftype == 3:  # Average
-            for x in range(width):
-                left = line[x - 1] if x else 0
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
                 line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
-            for x in range(width):
-                a = line[x - 1] if x else 0
-                b, c = prev[x], (prev[x - 1] if x else 0)
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b, c = prev[x], (prev[x - bpp] if x >= bpp else 0)
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (
@@ -174,8 +197,20 @@ def _png_decode_gray(payload: bytes) -> tuple[int, int, list[bytearray]]:
                 line[x] = (line[x] + pred) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
-        rows.append(line)
         prev = line
+        if ctype == 2:  # RGB -> integer luma
+            line = bytearray(
+                (299 * line[3 * x] + 587 * line[3 * x + 1]
+                 + 114 * line[3 * x + 2]) // 1000
+                for x in range(width)
+            )
+        elif ctype == 3:  # palette index -> RGB -> integer luma
+            line = bytearray(
+                (299 * plte[3 * i] + 587 * plte[3 * i + 1]
+                 + 114 * plte[3 * i + 2]) // 1000
+                for i in line
+            )
+        rows.append(line)
     return width, height, rows
 
 
@@ -276,14 +311,22 @@ def _audio_features_pure(payload: bytes) -> list[int]:
     return out
 
 
+_LIB_CODECS = {"image": _image_features, "audio": _audio_features}
+_PURE_CODECS = {
+    "image": _image_features_pure,
+    "audio": _audio_features_pure,
+}
+_LIB_NAMES = {"image": "PIL", "audio": "soundfile"}
+
+
 @_lru_cache(maxsize=1)
 def available_codecs() -> dict:
-    """Media types with a real decoder: the library path (PIL /
-    soundfile) when it imports, else the vendored pure-Python
-    fallback — so image/audio ALWAYS decode and only video lacks a
-    codec. Evaluated once per Python worker — the import probe never
-    runs per row."""
-    codecs = {"image": _image_features_pure, "audio": _audio_features_pure}
+    """Media types with a real decoder under AUTO dispatch: the
+    library path (PIL / soundfile) when it imports, else the vendored
+    pure-Python fallback — so image/audio ALWAYS decode and only
+    video lacks a codec. Evaluated once per Python worker — the
+    import probe never runs per row."""
+    codecs = dict(_PURE_CODECS)
     try:
         import PIL.Image  # noqa: F401
 
@@ -299,18 +342,57 @@ def available_codecs() -> dict:
     return codecs
 
 
-def decode_payload(payload: bytes, media_type: str, fake: bool = False):
-    """The codec boundary: real decoders when their libraries import,
-    the deterministic fake on demand, NotImplementedError otherwise
-    (no silent wrong answers for undecodable media)."""
+def codec_registry(codec: str = "auto") -> dict:
+    """The EXPLICIT codec selector (determinism contract):
+
+    - ``"pure"``  — always the vendored pure-Python decoders: the
+      same bytes give the same features on every machine, libraries
+      installed or not. Fleet configs that need cross-worker
+      determinism pin this.
+    - ``"lib"``   — always the library decoders (PIL / soundfile);
+      a worker missing the library fails LOUDLY at decode time
+      (ImportError) instead of silently switching resample kernels.
+    - ``"auto"``  — best-available dispatch (library, else pure);
+      convenient, but feature values may differ between environments
+      — see the module docstring's heterogeneity caveat. Pair with
+      ``codec_name`` when provenance must be recorded.
+    """
+    if codec == "pure":
+        return _PURE_CODECS
+    if codec == "lib":
+        return _LIB_CODECS
+    if codec == "auto":
+        return available_codecs()
+    raise ValueError(f"codec must be 'auto', 'lib' or 'pure': {codec!r}")
+
+
+def codec_name(media_type: str, codec: str = "auto") -> str:
+    """Which decoder ``decode_payload`` would run for this media type
+    — ``'PIL'`` / ``'soundfile'`` / ``'pure'`` / ``'none'``. Emit it
+    alongside features when using ``codec='auto'`` so environment-
+    dependent divergence is detectable in the output."""
+    fn = codec_registry(codec).get(media_type)
+    if fn is None:
+        return "none"
+    return "pure" if fn in _PURE_CODECS.values() else _LIB_NAMES[media_type]
+
+
+def decode_payload(
+    payload: bytes, media_type: str, fake: bool = False,
+    codec: str = "auto",
+):
+    """The codec boundary: real decoders per the explicit ``codec``
+    selector (``codec_registry``), the deterministic fake on demand,
+    NotImplementedError otherwise (no silent wrong answers for
+    undecodable media)."""
     if not fake:
-        codec = available_codecs().get(media_type)
-        if codec is None:
+        fn = codec_registry(codec).get(media_type)
+        if fn is None:
             raise NotImplementedError(
                 f"no codec available for {media_type}; install the "
                 "media libs (PIL for image, soundfile for audio)"
             )
-        return codec(payload)
+        return fn(payload)
     # deterministic fake: FEATURE_DIM bucket-sums of the byte stream
     sums = [0] * FEATURE_DIM
     for i, b in enumerate(payload):
@@ -322,16 +404,21 @@ def extract_features(
     media: DataFrame,
     batch_size_hint: int | None = None,
     fake: bool = True,
+    codec: str = "auto",
 ) -> DataFrame:
     """Arrow-batched feature extraction over ``mapInPandas``; emits
     FEATURES_SCHEMA rows, one per input row, preserving partitioning
     (no shuffle). ``fake=False`` routes each row through the real
-    codec for its media type (``available_codecs``)."""
+    codec for its media type, selected by the explicit ``codec``
+    parameter (``codec_registry``: pin ``'pure'``/``'lib'`` for
+    cross-environment determinism; ``'auto'`` = best available)."""
+    if codec not in ("auto", "lib", "pure"):  # fail on the driver,
+        raise ValueError(f"bad codec {codec!r}")  # not per executor
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                decode_payload(p, m, fake=fake)
+                decode_payload(p, m, fake=fake, codec=codec)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
@@ -358,28 +445,39 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(
-    media: DataFrame, width: int = 32, height: int = 32, fake: bool = True
+    media: DataFrame, width: int = 32, height: int = 32,
+    fake: bool = True, codec: str = "auto",
 ) -> DataFrame:
     """Image resize over ``mapInPandas`` — payload in, transformed
     payload out, 1:1 rows, no shuffle. Real path (``fake=False``):
-    decode, resize to ``width``x``height``, re-encode PNG — via PIL
-    when it imports, else the pure-Python grayscale fallback
-    (``_png_decode_gray`` + nearest-neighbor + ``_png_encode_gray``),
-    so the path runs in every environment. Fake path: deterministic
-    byte stride-sample to ``width*height`` bytes — same schema, same
-    batch shape, same downstream contract, so swapping in the codec
-    changes nothing but pixels. Non-image rows pass through untouched
-    (a pipeline resizes what it can and preserves the rest)."""
+    decode, resize to ``width``x``height``, re-encode PNG — decoder
+    selected by the explicit ``codec`` parameter: ``'lib'`` = PIL
+    (loud ImportError where missing), ``'pure'`` = the vendored
+    grayscale pipeline (``_png_decode_gray`` + nearest-neighbor +
+    ``_png_encode_gray``), ``'auto'`` = PIL when it imports, else
+    pure. Fake path: deterministic byte stride-sample to
+    ``width*height`` bytes — same schema, same batch shape, same
+    downstream contract, so swapping in the codec changes nothing but
+    pixels. Non-image rows pass through untouched (a pipeline resizes
+    what it can and preserves the rest)."""
+    if codec not in ("auto", "lib", "pure"):
+        raise ValueError(f"bad codec {codec!r}")
 
     def _resize_one(payload: bytes, media_type: str) -> bytes:
         if media_type != "image":
             return payload
         if not fake:
-            try:
-                import io
+            use_pil = codec != "pure"
+            if use_pil:
+                try:
+                    import io
 
-                from PIL import Image
-            except ImportError:
+                    from PIL import Image
+                except ImportError:
+                    if codec == "lib":
+                        raise  # explicit lib pin: fail loudly
+                    use_pil = False
+            if not use_pil:
                 w, h, rows = _png_decode_gray(payload)
                 return _png_encode_gray(
                     _resize_gray_nearest(rows, w, h, width, height)

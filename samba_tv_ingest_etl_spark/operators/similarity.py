@@ -124,15 +124,41 @@ def _imatmul(A, B):
     of BLAS's summation order. The guard enforces the bound (QUANT =
     1000 unit-norm vectors give dot <= 64e6, five orders of margin);
     if it ever trips, the caller's data outgrew the quantization
-    contract and exactness — not speed — is the thing to fix."""
+    contract and exactness — not speed — is the thing to fix. The
+    guard RAISES (never ``assert``): under ``python -O`` an assert is
+    a no-op exactly where a wrong answer would be silent."""
     import numpy as np
 
     ma = int(np.abs(A).max(initial=0))
     mb = int(np.abs(B).max(initial=0))
-    assert A.shape[-1] * ma * mb < 2**53, (A.shape, ma, mb)
+    if A.shape[-1] * ma * mb >= 2**53:
+        raise OverflowError(
+            "int64-exact matmul contract violated: "
+            f"dim={A.shape[-1]} max|A|={ma} max|B|={mb} — quantized "
+            "magnitudes outgrew the float64-BLAS exactness bound 2^53"
+        )
     return np.rint(
         A.astype(np.float64) @ B.astype(np.float64)
     ).astype(np.int64)
+
+
+def _check_threshold_bounds(
+    max_dot: int, max_na: int, max_nb: int, pct2: int
+) -> None:
+    """Int64-overflow guard for the exact threshold compare
+    ``dot²·10⁴ >= pct²·n_a·n_b``: both sides must stay below 2^62/63.
+    Raises ``OverflowError`` (never ``assert`` — ``python -O`` strips
+    asserts exactly where a silently wrong comparison would hide)."""
+    if max_dot >= 960_000_000:
+        raise OverflowError(
+            f"cosine-threshold compare would overflow: max|dot|={max_dot}"
+            " >= 9.6e8 (dot^2*1e4 must stay below 2^63)"
+        )
+    if max_na * max_nb * pct2 >= 2**62:
+        raise OverflowError(
+            "cosine-threshold compare would overflow: "
+            f"max(n_a)*max(n_b)*pct^2 = {max_na}*{max_nb}*{pct2} >= 2^62"
+        )
 
 
 def cosine_pairs_blocked(
@@ -201,8 +227,13 @@ def cosine_pairs_blocked(
                 nb = np.asarray(row.ns_b, dtype=np.int64)
                 dot = _imatmul(qa, qb.T)  # exact int64 via f64 BLAS
                 # overflow guards for the integer threshold compare
-                assert abs(dot).max(initial=0) < 960_000_000
-                assert int(na.max(initial=0)) * int(nb.max(initial=0)) * pct2 < 2**62
+                # (raised, not asserted: must survive python -O)
+                _check_threshold_bounds(
+                    int(np.abs(dot).max(initial=0)),
+                    int(na.max(initial=0)),
+                    int(nb.max(initial=0)),
+                    pct2,
+                )
                 nn = na[:, None] * nb[None, :]
                 mask = (dot > 0) & (dot * dot * 10_000 >= pct2 * nn)
                 if row.block_a == row.block_b:
@@ -636,12 +667,16 @@ def derived_cluster_count(
     return max(kmin, -(-n // target_cluster_size))
 
 
+MAX_TRAIN_ROWS = 1_000_000  # ~0.5 GiB of 64-dim int64 on the driver
+
+
 def kmeans_centroids(
     quantized: DataFrame,
     k: int = 8,
     iters: int = 2,
     dim: int = 64,
     train_sample: tuple[int, int] | None = None,
+    max_train_rows: int = MAX_TRAIN_ROWS,
 ) -> dict[int, list[int]]:
     """Deterministic integer Lloyd's over quantized vectors: init =
     the ``k`` lowest-``vec_id`` vectors (ids 0..k-1 in that order);
@@ -670,9 +705,13 @@ def kmeans_centroids(
     matches the distributed formulation bit-for-bit: exact int64
     squared-L2 via ``_imatmul`` (ties -> lowest centroid id, empty
     clusters dropped), recompute = per-dim ``floor(double(sum) /
-    count)``. At fleet size ``train_sample`` IS the driver-memory
-    contract — 10⁵ x 64 int64 is ~50 MB; callers without a sample are
-    toy-scale by construction."""
+    count)``. The driver-memory contract is ENFORCED, not assumed:
+    ``train_sample`` is a fixed *fraction*, so at fleet scale the
+    sampled row count still grows with the corpus — before collecting,
+    an early-stopping ``limit(max_train_rows + 1).count()`` probe
+    (O(cap) rows scanned, not O(n)) verifies the training set fits,
+    and raises with the fix (a smaller fraction) rather than OOMing
+    the driver. Default cap = 10⁶ x 64 int64 ~ 0.5 GiB."""
     import numpy as np
 
     from .sampling import stratified_sample
@@ -681,6 +720,16 @@ def kmeans_centroids(
     if train_sample is not None:
         num, den = train_sample
         train = stratified_sample(train, "vec_id", num, den)
+    # vec_id-only probe: the limit's row movement carries one long,
+    # never the vectors
+    probed = train.select("vec_id").limit(max_train_rows + 1).count()
+    if probed > max_train_rows:
+        raise ValueError(
+            f"k-means training set exceeds max_train_rows="
+            f"{max_train_rows}: train_sample={train_sample!r} is a "
+            "fixed fraction of the corpus — shrink it (or raise the "
+            "cap) so the driver-side Lloyd collect stays bounded"
+        )
     pdf = train.select("vec_id", "q").toPandas()
     order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
     Q = np.stack(pdf["q"].to_numpy())[order].astype(np.int64)
@@ -848,6 +897,10 @@ def topk_lsh(
     )
 
 
+PRUNE_TILE_BYTES = 64 << 20  # per-tile int64 dot-block budget
+MAX_CLUSTER_ROWS = 2_000_000  # hard cap on one cluster's group size
+
+
 def semdedup_drops(
     quantized: DataFrame,
     threshold_pct: int = 80,
@@ -856,6 +909,7 @@ def semdedup_drops(
     dim: int = 64,
     train_sample: tuple[int, int] | None = None,
     route_width: int | None = None,
+    max_cluster_rows: int = MAX_CLUSTER_ROWS,
 ) -> DataFrame:
     """Semantic dedup via cluster-then-prune (the SemDeDup recipe,
     Abbas et al., arXiv:2303.09540): train the coarse quantizer on a
@@ -869,9 +923,12 @@ def semdedup_drops(
     O(sum n_c^2) with the corpus sharded by cluster — one shuffle on
     ``cluster`` (at fleet size the persisted index's partition key,
     making the group co-located), and k grows with the corpus so n_c
-    stays bounded. The within-cluster prune runs as ONE int64 numpy
-    matmul per cluster group (``applyInPandas``) that emits the
-    per-doc aggregate directly — no pair rows ever shuffle and no
+    stays bounded. The within-cluster prune runs as ROW-TILED int64
+    numpy matmul blocks per cluster group (``applyInPandas``,
+    O(tile·n_c) peak memory — a skewed cluster can never allocate an
+    n_c² matrix in one worker; groups beyond ``max_cluster_rows``
+    raise, naming the cluster) and emits the per-doc aggregate
+    directly — no pair rows ever shuffle and no
     per-pair interpreted expression runs (same kernel discipline as
     ``cosine_pairs_blocked``; measured 12.8 s -> 6.1 s at sf1 vs the
     pair-join formulation, with driver-side Lloyd training and the
@@ -905,11 +962,22 @@ def semdedup_drops(
         "max_cos_scaled long"
     )
 
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: [] for c in
+             ["vec_id", "cluster", "n_dominators", "max_cos_scaled"]}
+        )
+
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
-            return pd.DataFrame(
-                {c: [] for c in
-                 ["vec_id", "cluster", "n_dominators", "max_cos_scaled"]}
+            return _empty()
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"SemDeDup cluster {int(pdf['cluster'].iloc[0])} has "
+                f"{len(pdf)} members > max_cluster_rows="
+                f"{max_cluster_rows}: the k-means quantizer is skewed "
+                "(many near-identical embeddings?) — raise k / "
+                "retrain, or split the cluster upstream"
             )
         # ascending-id order makes "lower-id dominator" = upper
         # triangle of the dot matrix
@@ -917,38 +985,57 @@ def semdedup_drops(
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
         n = pdf["norm2"].to_numpy(dtype=np.int64)
-        dot = _imatmul(Q, Q.T)  # exact int64 via f64 BLAS
-        # integer-threshold overflow guards (same discipline as
-        # cosine_pairs_blocked, with the exact bounds)
-        md = int(np.abs(dot).max(initial=0))
-        assert md * md * 10_000 < 2**63
-        assert int(n.max()) * int(n.max()) * pct2 < 2**62
-        mask = (
-            (dot > 0)
-            & (dot * dot * 10_000 >= pct2 * (n[:, None] * n[None, :]))
-        )
-        mask &= np.tri(len(ids), k=-1, dtype=bool).T  # strict upper
-        i, j = np.nonzero(mask)
-        if not len(i):
-            return pd.DataFrame(
-                {c: [] for c in
-                 ["vec_id", "cluster", "n_dominators", "max_cos_scaled"]}
-            )
-        # double(na)*double(nb): the oracle's operand order exactly
+        m = len(ids)
         nf = n.astype(np.float64)
-        cos = np.floor(
-            1_000_000.0 * dot[i, j].astype(np.float64)
-            / np.sqrt(nf[i] * nf[j])
-        ).astype(np.int64)
-        counts = np.bincount(j, minlength=len(ids))
-        maxcos = np.full(len(ids), np.iinfo(np.int64).min)
-        np.maximum.at(maxcos, j, cos)
+        counts = np.zeros(m, dtype=np.int64)
+        maxcos = np.full(m, np.iinfo(np.int64).min)
+        # row-tiled dot blocks: peak memory O(tile*m), never the full
+        # m x m matrix — one skewed cluster degrades to more (cheap)
+        # tiles instead of a quadratic allocation in a single worker.
+        # Bit-identical to the full-matrix form: the same (i, j) cells
+        # clear the same masks and feed the same bincount/maximum
+        # accumulators, just tile by tile.
+        tile = max(256, PRUNE_TILE_BYTES // (8 * m))
+        col = np.arange(m, dtype=np.int64)[None, :]
+        for t0 in range(0, m, tile):
+            t1 = min(m, t0 + tile)
+            dot = _imatmul(Q[t0:t1], Q.T)  # exact int64 via f64 BLAS
+            # integer-threshold overflow guards (same discipline as
+            # cosine_pairs_blocked; raised, not asserted)
+            _check_threshold_bounds(
+                int(np.abs(dot).max(initial=0)),
+                int(n.max()), int(n.max()), pct2,
+            )
+            mask = (
+                (dot > 0)
+                & (dot * dot * 10_000
+                   >= pct2 * (n[t0:t1, None] * n[None, :]))
+            )
+            # strict upper triangle in GLOBAL row order: dominator
+            # row index < dominated column index
+            mask &= (
+                np.arange(t0, t1, dtype=np.int64)[:, None] < col
+            )
+            i, j = np.nonzero(mask)
+            if not len(i):
+                continue
+            # double(na)*double(nb): the oracle's operand order exactly
+            cos = np.floor(
+                1_000_000.0 * dot[i, j].astype(np.float64)
+                / np.sqrt(nf[t0 + i] * nf[j])
+            ).astype(np.int64)
+            counts += np.bincount(j, minlength=m)
+            np.maximum.at(maxcos, j, cos)
         sel = counts > 0
+        if not sel.any():
+            return _empty()
         return pd.DataFrame(
             {
                 "vec_id": ids[sel],
-                "cluster": np.full(sel.sum(), pdf["cluster"].iloc[0]),
-                "n_dominators": counts[sel].astype(np.int64),
+                "cluster": np.full(
+                    int(sel.sum()), pdf["cluster"].iloc[0]
+                ),
+                "n_dominators": counts[sel],
                 "max_cos_scaled": maxcos[sel],
             }
         )

@@ -195,6 +195,8 @@ def test_imatmul_exactness_at_bounds():
     A2 = np.full((3, 4), m, dtype=np.int64)
     B2 = np.full((5, 4), 1_000_000, dtype=np.int64)
     assert (_imatmul(A2, B2.T) == A2 @ B2.T).all()
-    # over the bound -> loud refusal, never a silent rounding
-    with pytest.raises(AssertionError):
+    # over the bound -> loud refusal, never a silent rounding.
+    # OverflowError, not AssertionError: the guard must survive
+    # `python -O` (asserts are stripped there).
+    with pytest.raises(OverflowError):
         _imatmul(A2 * 2, B2.T)
