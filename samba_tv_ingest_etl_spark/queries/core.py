@@ -1133,10 +1133,20 @@ def _incremental_replay(
     sf_dir: str,
     layout: dict | None,
     manifest: frozenset | None = None,
+    lag: str | None = None,
 ) -> DataFrame:
-    """Shared body of q61/q69: replay the incremental DAG day by day
-    into a scratch warehouse with the given storage layout, return
-    the final viewing_sessions projected for the oracle compare."""
+    """Shared body of q61/q69/q106/q107: replay the incremental DAG
+    day by day into a scratch warehouse with the given storage
+    layout, return the final viewing_sessions projected for the
+    oracle compare.
+
+    ``lag`` permutes ARRIVAL ORDER (reference ``etl-dag.sql:137``:
+    the raw watermark advances to ``LEAST`` of the feeds' maxima
+    precisely so one feed may trail the other): ``"stb"``/``"acr"``
+    delivers that feed one arrival day late on every pass, with a
+    final catch-up pass. The end state must be identical to the
+    in-order replay — the watermark trails the slower feed, so the
+    late slice is still above the watermark when it lands."""
     import os
     import tempfile
 
@@ -1168,10 +1178,28 @@ def _incremental_replay(
     # scale. Scope the override to the loop and restore.
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    cutoffs = [(day, day) for day in days]
+    if lag == "stb":
+        cutoffs = [
+            (day, days[i - 1] if i else None)
+            for i, day in enumerate(days)
+        ] + [(days[-1], days[-1])]  # catch-up pass
+    elif lag == "acr":
+        cutoffs = [
+            (days[i - 1] if i else None, day)
+            for i, day in enumerate(days)
+        ] + [(days[-1], days[-1])]
+    elif lag is not None:
+        raise ValueError(f"lag must be None, 'stb' or 'acr': {lag!r}")
+
+    def _cut(df, day):
+        if day is None:  # feed has delivered nothing yet
+            return df.filter(F.lit(False))
+        return df.filter(F.col("metadata_date") <= F.lit(day))
+
     try:
-        for day in days:
-            le = F.col("metadata_date") <= F.lit(day)
-            run_incremental(wh, acr.filter(le), stb.filter(le), geo)
+        for a_day, s_day in cutoffs:
+            run_incremental(wh, _cut(acr, a_day), _cut(stb, s_day), geo)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.shuffle.partitions")
@@ -1251,6 +1279,24 @@ def q106_incremental_manifest_backend(
         layout=Warehouse.SCALE_LAYOUT,
         manifest=Warehouse.MANIFEST_TABLES,
     )
+
+
+@query("q107_incremental_late_stb_feed", oracle=_INC_EQ_ORACLE)
+def q107_incremental_late_stb_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q61's DAG replay with a PERMUTED arrival order: the STB feed
+    lands one arrival day behind ACR on every pass (plus a final
+    catch-up pass). The reference's watermark rule is designed for
+    exactly this — ``raw_events_update`` advances to the LEAST of the
+    two feeds' maxima (``etl-dag.sql:137``), so the trailing feed's
+    slice is still above the watermark when it finally lands. Same
+    oracle as q61: the end state must equal the one-shot backfill
+    regardless of feed arrival order. (All lag x backend
+    combinations are pinned in tests/test_incremental.py; this key
+    promotes the canonical one to the driver gate — VERDICT r4
+    next-round item 2.)"""
+    return _incremental_replay(spark, sf_dir, layout=None, lag="stb")
 
 
 # ------------------------------------------------------------- q66

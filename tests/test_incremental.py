@@ -92,6 +92,86 @@ def test_late_geo_drops_events_quirk(spark, tmp_path, feeds):
     assert not wh.exists("viewing_sessions")
 
 
+_BACKENDS = {
+    "flat": {},
+    "partitioned": {"layout": Warehouse.SCALE_LAYOUT},
+    "manifest": {
+        "layout": Warehouse.SCALE_LAYOUT,
+        "manifest": Warehouse.MANIFEST_TABLES,
+    },
+}
+
+
+@pytest.mark.parametrize("backend", sorted(_BACKENDS))
+@pytest.mark.parametrize("lag", ["stb", "acr"])
+def test_arrival_order_permutation_equals_backfill(
+    spark, tmp_path, feeds, backend, lag
+):
+    """Arrival-order permutation property (reference watermark rule
+    ``LEAST(acr_max, stb_max)``, etl-dag.sql:137): one feed trailing
+    the other by a day on every pass must converge to the same final
+    viewing_sessions as the in-order replay and the one-shot
+    backfill, on ALL THREE storage backends. The trailing feed's
+    slice stays above the watermark (which trails the slower feed by
+    construction), so nothing is skipped; the affected-key recompute
+    re-cuts the touched groups when the late slice lands. Geo leads,
+    as in test_incremental_matches_backfill (the documented
+    precondition)."""
+    acr, stb, geo = feeds
+    wh_full = Warehouse(spark, str(tmp_path / "full"))
+    backfill(wh_full, acr, stb, geo)
+
+    days = _arrival_dates(acr, stb)
+    lagging, leading = (stb, acr) if lag == "stb" else (acr, stb)
+    wh = Warehouse(spark, str(tmp_path / "inc"), **_BACKENDS[backend])
+    for i, day in enumerate(days):
+        lead_cut = F.col("metadata_date") <= F.lit(day)
+        lag_cut = (
+            F.col("metadata_date") <= F.lit(days[i - 1])
+            if i
+            else F.lit(False)
+        )
+        a, s = (
+            (leading.filter(lead_cut), lagging.filter(lag_cut))
+            if lag == "stb"
+            else (lagging.filter(lag_cut), leading.filter(lead_cut))
+        )
+        run_incremental(wh, a, s, geo)
+    # catch-up pass: the lagging feed's final day lands
+    full_cut = F.col("metadata_date") <= F.lit(days[-1])
+    run_incremental(wh, acr.filter(full_cut), stb.filter(full_cut), geo)
+
+    assert _sessions_set(wh) == _sessions_set(wh_full)
+
+
+def test_alternating_lag_equals_backfill(spark, tmp_path, feeds):
+    """A third permutation: the feeds take turns trailing (ACR late
+    on even passes, STB late on odd) — the watermark rule must cope
+    with the roles SWAPPING between passes, not just a fixed slow
+    feed."""
+    acr, stb, geo = feeds
+    wh_full = Warehouse(spark, str(tmp_path / "full"))
+    backfill(wh_full, acr, stb, geo)
+
+    days = _arrival_dates(acr, stb)
+    wh = Warehouse(spark, str(tmp_path / "inc"))
+    for i, day in enumerate(days):
+        now = F.col("metadata_date") <= F.lit(day)
+        prev = (
+            F.col("metadata_date") <= F.lit(days[i - 1])
+            if i
+            else F.lit(False)
+        )
+        if i % 2 == 0:
+            run_incremental(wh, acr.filter(prev), stb.filter(now), geo)
+        else:
+            run_incremental(wh, acr.filter(now), stb.filter(prev), geo)
+    full = F.col("metadata_date") <= F.lit(days[-1])
+    run_incremental(wh, acr.filter(full), stb.filter(full), geo)
+
+    assert _sessions_set(wh) == _sessions_set(wh_full)
+
+
 def test_incremental_idempotent(spark, tmp_path, feeds):
     acr, stb, geo = feeds
     wh = Warehouse(spark, str(tmp_path / "wh"))
