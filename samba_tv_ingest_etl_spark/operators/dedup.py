@@ -99,10 +99,12 @@ def shingle_docs(
     small corpus parquet arrives as 1-4 splits and would tokenize on
     as many cores (measured 2.9 s -> 0.7 s at sf1 from this
     repartition). Only widens — at fleet size inputs already carry
-    more splits than cores and the exchange is skipped."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    more splits than cores and the exchange is skipped. The split
+    check reads file metadata (``sources/splits.py``), not
+    ``df.rdd`` — no plan-to-RDD conversion per build."""
+    from ..sources.splits import widen_to_cores
+
+    df = widen_to_cores(df)
     staged = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("_toks"),

@@ -68,11 +68,11 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange costs ~0.2 s at sf1 and cut q21/q22-style text chains
     2-4x). At fleet size inputs out-split the cores and the exchange
     is skipped; results never depend on placement (every consumer is
-    oracle-deterministic)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    return docs
+    oracle-deterministic). Split check = file metadata
+    (``sources/splits.py``), not a plan-to-RDD conversion."""
+    from ..sources.splits import widen_to_cores
+
+    return widen_to_cores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _copy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,10 +591,11 @@ def _embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits, and a fixture-scale embeddings file is one row group.
     Skipped at fleet size; placement never affects results."""
     from ..operators.similarity import quantize
+    from ..sources.splits import widen_to_cores
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    if emb.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    emb = widen_to_cores(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
     return quantize(emb).filter(F.col("norm2") > 0)
 
 

@@ -2,21 +2,25 @@
 """Scale-proofing harness: bench + plan-audit the engine at 10x data.
 
 VERDICT r2 asked for empirical validation of the scale playbook
-(next-round item 3): run the 16-query headline at sf1 (10x the
-driver's bench size), committed as BENCH_sf1.json, with per-query
-scaling ratios vs a same-box sf0.1 run and a plan-audit diff — any
-super-linear query or NEW warn-level plan finding at sf1 must have a
-named cause.
+(next-round item 3): run the 16-query headline at a scale factor 10x
+the base, with per-query scaling ratios vs a same-box base run and a
+plan-audit diff — any super-linear query or NEW warn-level plan
+finding at the bigger size must have a named cause. r4 ran
+sf0.1 -> sf1 (SCALING_r4.md); r5 pushes the curve another decade,
+sf1 -> sf10 (SCALING_r5.md), so the sizes are now parameters.
 
 Usage:
-    python tools/scale_check.py [--sf01 DIR] [--sf1 DIR] [--report MD]
+    python tools/scale_check.py [--base DIR --base-label sf1]
+                                [--big DIR --big-label sf10]
+                                [--bench-out BENCH_sf10.json]
+                                [--report MD] [--runs N]
 
 Outputs:
-    BENCH_sf1.json   — driver-format one-line JSON for the sf1 run,
+    --bench-out      — driver-format one-line JSON for the big run,
                        with loadavg context (bench.py discipline: a
                        contention-polluted artifact must say so)
     --report MD      — per-query ratio table + audit diff markdown
-                       (e.g. SCALING_r4.md), written by this script
+                       (e.g. SCALING_r5.md), written by this script
 """
 
 from __future__ import annotations
@@ -73,12 +77,26 @@ def _audit_all(spark, sf_dir: str) -> dict[str, dict[str, int]]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf01", default="/root/testdata/sf0.1")
-    ap.add_argument("--sf1", default=".testdata/sf1")
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--base-label", default="sf0.1")
+    ap.add_argument("--big", default=".testdata/sf1")
+    ap.add_argument("--big-label", default="sf1")
+    ap.add_argument("--big-sf", type=float, default=None,
+                    help="numeric sf recorded in the bench JSON "
+                    "(default: parsed from --big-label)")
+    ap.add_argument("--bench-out", default=None,
+                    help="default: BENCH_<big-label>.json")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--skip-audit", action="store_true")
     ap.add_argument("--report", default=None, help="markdown report path")
     args = ap.parse_args()
+    if args.bench_out is None:
+        args.bench_out = f"BENCH_{args.big_label}.json"
+    if args.big_sf is None:
+        try:
+            args.big_sf = float(args.big_label.lstrip("sf"))
+        except ValueError:
+            args.big_sf = 0.0
     load_before = round(os.getloadavg()[0], 2)
 
     spark = get_spark("scale-check")
@@ -86,89 +104,93 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
 
     # shared warmup (JVM, codegen, Arrow worker pool)
-    registry[names[0]](spark, args.sf01).write.format("noop").mode("overwrite").save()
+    registry[names[0]](spark, args.base).write.format("noop").mode("overwrite").save()
     spark.range(1000).mapInPandas(lambda it: it, schema="id long").write.format(
         "noop"
     ).mode("overwrite").save()
 
-    print("== sf0.1 bench (same-box reference)", file=sys.stderr)
-    t01 = _run_set(spark, args.sf01, names, args.runs)
-    print("== sf1 bench", file=sys.stderr)
-    t1 = _run_set(spark, args.sf1, names, args.runs)
+    print(f"== {args.base_label} bench (same-box reference)", file=sys.stderr)
+    t_base = _run_set(spark, args.base, names, args.runs)
+    print(f"== {args.big_label} bench", file=sys.stderr)
+    t_big = _run_set(spark, args.big, names, args.runs)
 
-    audit01 = {} if args.skip_audit else _audit_all(spark, args.sf01)
-    audit1 = {} if args.skip_audit else _audit_all(spark, args.sf1)
+    audit_base = {} if args.skip_audit else _audit_all(spark, args.base)
+    audit_big = {} if args.skip_audit else _audit_all(spark, args.big)
 
     report = {
-        "sf0.1": t01,
-        "sf1": t1,
-        "ratio": {n: round(t1[n] / t01[n], 2) for n in names if t01.get(n)},
-        "audit_sf0.1": audit01,
-        "audit_sf1": audit1,
-        "audit_new_at_sf1": {
+        args.base_label: t_base,
+        args.big_label: t_big,
+        "ratio": {
+            n: round(t_big[n] / t_base[n], 2) for n in names if t_base.get(n)
+        },
+        f"audit_{args.base_label}": audit_base,
+        f"audit_{args.big_label}": audit_big,
+        "audit_new_at_big": {
             n: {
                 k: v
-                for k, v in audit1.get(n, {}).items()
-                if v > audit01.get(n, {}).get(k, 0)
+                for k, v in audit_big.get(n, {}).items()
+                if v > audit_base.get(n, {}).get(k, 0)
             }
-            for n in audit1
+            for n in audit_big
             if any(
-                v > audit01.get(n, {}).get(k, 0)
-                for k, v in audit1.get(n, {}).items()
+                v > audit_base.get(n, {}).get(k, 0)
+                for k, v in audit_big.get(n, {}).items()
             )
         },
     }
     load_after = round(os.getloadavg()[0], 2)
     report["loadavg_1m_before"] = load_before
     report["loadavg_1m_after"] = load_after
-    bench_sf1 = {
+    bench_big = {
         "metric": "headline_queries_wall_clock",
-        "value": round(sum(t1.values()), 4),
+        "value": round(sum(t_big.values()), 4),
         "unit": "sec",
-        "queries": t1,
-        "sf": 1.0,
+        "queries": t_big,
+        "sf": args.big_sf,
         "loadavg_1m_before": load_before,
         "loadavg_1m_after": load_after,
     }
-    with open("BENCH_sf1.json", "w") as f:
-        f.write(json.dumps(bench_sf1) + "\n")
+    with open(args.bench_out, "w") as f:
+        f.write(json.dumps(bench_big) + "\n")
     if args.report:
         _write_report(args.report, report, args)
     print(json.dumps(report, indent=1))
 
 
 def _write_report(path: str, report: dict, args) -> None:
+    base, big = args.base_label, args.big_label
     lines = [
-        "# Scaling check: sf0.1 -> sf1 (10x rows), same box, same session",
+        f"# Scaling check: {base} -> {big} (10x rows), same box, "
+        "same session",
         "",
-        f"- data: `{args.sf01}` vs `{args.sf1}` "
+        f"- data: `{args.base}` vs `{args.big}` "
         "(tools/gen_testdata.py — driver-shaped distributions)",
         f"- protocol: warm + best-of-{args.runs} per query, "
         "noop sink, cache cleared between runs",
         f"- loadavg(1m) before/after: {report['loadavg_1m_before']} / "
         f"{report['loadavg_1m_after']} (32 cores; <<32 = idle box)",
         "",
-        "| query | sf0.1 (s) | sf1 (s) | ratio (10x rows) |",
+        f"| query | {base} (s) | {big} (s) | ratio (10x rows) |",
         "|---|---|---|---|",
     ]
-    for n in report["sf1"]:
+    for n in report[big]:
         lines.append(
-            f"| {n} | {report['sf0.1'][n]:.3f} | {report['sf1'][n]:.3f} "
+            f"| {n} | {report[base][n]:.3f} | {report[big][n]:.3f} "
             f"| {report['ratio'][n]:.2f}x |"
         )
-    tot01 = sum(report["sf0.1"].values())
-    tot1 = sum(report["sf1"].values())
+    tot_base = sum(report[base].values())
+    tot_big = sum(report[big].values())
     lines += [
-        f"| **total** | **{tot01:.2f}** | **{tot1:.2f}** "
-        f"| **{tot1 / tot01:.2f}x** |",
+        f"| **total** | **{tot_base:.2f}** | **{tot_big:.2f}** "
+        f"| **{tot_big / tot_base:.2f}x** |",
         "",
-        "## Plan-audit diff at sf1",
+        f"## Plan-audit diff at {big}",
         "",
     ]
-    new = report.get("audit_new_at_sf1") or {}
+    new = report.get("audit_new_at_big") or {}
     if not new:
         lines.append(
-            "No NEW warn/error-level plan findings at sf1 — every "
+            f"No NEW warn/error-level plan findings at {big} — every "
             "registered query audits the same at 10x."
         )
     else:
