@@ -161,6 +161,28 @@ def _check_threshold_bounds(
         )
 
 
+TARGET_BLOCK_ROWS = 4096  # ~400 MB peak per block-pair task
+
+
+def derived_block_count(n: int, kmin: int = 16,
+                        target: int = TARGET_BLOCK_ROWS) -> int:
+    """Corpus-size-derived block count for ``cosine_pairs_blocked``:
+    ``max(kmin, ceil(n / target))``. A FIXED n_blocks is a memory
+    bug at scale — per-block membership n/blocks grows with the
+    corpus, and a block-pair task materializes an O((n/blocks)²)
+    int64 dot matrix in one Python worker (at 200k vectors and 16
+    blocks that is ~1.2 GB for the dot alone, ~4 GB peak with the
+    threshold temps, times every concurrent worker). Deriving blocks
+    from n pins the per-task allocation at ~``target``² regardless of
+    corpus size; the task COUNT grows O((n/target)²), which is the
+    honest shape of the exact all-pairs operator. The result is
+    independent of the block layout (same oracle), so this never
+    churns correctness."""
+    if n < 0:
+        raise ValueError(f"negative corpus size {n}")
+    return max(kmin, -(-n // target))
+
+
 def cosine_pairs_blocked(
     quantized: DataFrame,
     threshold_pct: int = 80,
@@ -174,9 +196,12 @@ def cosine_pairs_blocked(
     interpreter — the one place Python wins, because it is
     Arrow-batched and vectorized, never per-row).
 
-    At fleet scale ``n_blocks`` grows with the corpus so a block
-    stays ~10⁴ vectors; the all-pairs cost is inherent to the exact
-    operator — ``topk_lsh`` is the sub-quadratic path.
+    ``n_blocks`` must grow with the corpus so a block stays a few
+    thousand vectors and the per-task dot matrix stays bounded —
+    derive it with ``derived_block_count(n)`` (callers with a known
+    corpus size pass it; the default 16 is fixture-scale). The
+    all-pairs cost is inherent to the exact operator — ``topk_lsh``
+    is the sub-quadratic path.
     """
     import numpy as np
     import pandas as pd

@@ -620,11 +620,19 @@ def q24_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot products so the similarity decision is exact integer
     arithmetic in every engine. Computed as a blocked int64 numpy
     matmul (identical result to the expression-based
-    ``cosine_pairs`` — same oracle)."""
-    from ..operators.similarity import cosine_pairs_blocked
+    ``cosine_pairs`` — same oracle). Block count derives from the
+    corpus row count (metadata-only parquet count) so a block-pair
+    task's dot matrix stays ~``TARGET_BLOCK_ROWS``² at any corpus
+    size — the fixed default was a ~4 GB/task allocation at sf10."""
+    from ..operators.similarity import (
+        cosine_pairs_blocked, derived_block_count,
+    )
 
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     return cosine_pairs_blocked(
-        _embeddings_q(spark, sf_dir), threshold_pct=_COS_PCT
+        _embeddings_q(spark, sf_dir),
+        threshold_pct=_COS_PCT,
+        n_blocks=derived_block_count(n),
     )
 
 

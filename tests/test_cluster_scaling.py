@@ -172,6 +172,27 @@ def test_routed_assignment_totality_and_agreement(spark):
     q.unpersist()
 
 
+def test_derived_block_count_bounds():
+    """Block count for the exact all-pairs kernel must grow with the
+    corpus so a block-pair task's dot matrix stays ~target² — the
+    fixed default is fixture-scale only."""
+    import pytest
+
+    from samba_tv_ingest_etl_spark.operators.similarity import (
+        TARGET_BLOCK_ROWS, derived_block_count,
+    )
+
+    assert derived_block_count(0) == 16          # kmin floor
+    assert derived_block_count(2_000) == 16      # fixture sizes keep 16
+    assert derived_block_count(200_000) == -(-200_000 // TARGET_BLOCK_ROWS)
+    # per-block membership never exceeds target (mean bound)
+    for n in (1, 10_000, 65_536, 200_000, 5_000_000):
+        b = derived_block_count(n)
+        assert n / b <= TARGET_BLOCK_ROWS
+    with pytest.raises(ValueError):
+        derived_block_count(-1)
+
+
 def test_imatmul_exactness_at_bounds():
     """_imatmul (float64 BLAS) must equal the naive int64 matmul
     bit-for-bit, including at the magnitude bounds the engine
