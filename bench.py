@@ -42,6 +42,15 @@ HEADLINE = [
     "q87_curriculum_order",
 ]
 
+# a query's samples must agree within this max/min ratio (best 3 of
+# up to 12) or the emitted number is flagged noisy
+SPREAD_GATE = 1.25
+
+
+def _best3_spread(samples: list[float]) -> float:
+    best = sorted(samples)[:3]
+    return max(best) / max(min(best), 1e-9)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,6 +99,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    noisy: dict[str, bool] = {}
     for name in names:
         # warm run first: whole-stage-codegen compilation of the big
         # generated classes (wide signature arrays etc.) is a one-time
@@ -98,19 +108,26 @@ def main() -> None:
         # throughput. clearCache drops persisted intermediates so the
         # timed run is a full recomputation, not a cache read.
         registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # best-of-3 timed runs: single-run numbers swing 2-3x under
+        # best-of-N timed runs: single-run numbers swing 2-3x under
         # GC/scheduler noise on a shared box; the min reports the
-        # engine's actual steady-state throughput. Contention guard
-        # (BENCH_r03 post-mortem: the committed artifact was polluted
-        # ~1.3-3.7x by a busy box): if the max/min spread of the three
-        # samples exceeds 2x, the box is contended — take 3 more
-        # samples so the min has a better chance of landing in a quiet
-        # window, and report the spread so readers can judge the number.
+        # engine's actual steady-state throughput. Spread discipline
+        # (BENCH_r05 post-mortem: the loadavg gate passed but
+        # per-query spreads of 1.40/1.33 shipped and the committed
+        # total overstated an idle-box re-run by ~10%): a query whose
+        # max/min sample spread exceeds SPREAD_GATE keeps sampling in
+        # batches of 3 — the spread of the BEST 3 samples is what must
+        # stabilize, since the min is what's emitted — up to 12
+        # samples; if it never settles the query is flagged
+        # noisy=true so readers know that number is soft.
         samples = _timed_runs(name, 3)
-        if max(samples) / max(min(samples), 1e-9) > 2.0:
+        while (
+            _best3_spread(samples) > SPREAD_GATE and len(samples) < 12
+        ):
             samples += _timed_runs(name, 3)
         timings[name] = round(min(samples), 4)
-        spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
+        spreads[name] = round(_best3_spread(samples), 2)
+        if spreads[name] > SPREAD_GATE:
+            noisy[name] = True
 
     load_after = os.getloadavg()
     out = {
@@ -119,13 +136,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # contention context: loadavg around the run and per-query
-        # max/min sample spread. spread >2 after the retry pass means
-        # the best-of number may still overstate the engine's cost.
+        # contention context: loadavg around the run and, per query,
+        # the max/min spread of the 3 BEST samples (the ones closest
+        # to the emitted min). A query still spread beyond the gate
+        # after 12 samples is listed under "noisy" — its number may
+        # overstate the engine's cost.
         "loadavg_1m_before": round(load_before[0], 2),
         "loadavg_1m_after": round(load_after[0], 2),
         "contended": contended,
         "spread": spreads,
+        "noisy": sorted(noisy),
     }
     print(json.dumps(out))
 
