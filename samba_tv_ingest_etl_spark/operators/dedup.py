@@ -356,11 +356,28 @@ def minhash_signatures(
     return enc.select("doc_id", "set_size", "shingles", sig.alias("sig"))
 
 
+def _banded(signed: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, slice): the signature cut into ``bands`` slices."""
+    rows = num_perm // bands
+    return signed.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("sig", i * rows + 1, rows)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "slice"),
+    )
+
+
 def minhash_lsh_pairs(
     signed: DataFrame,
     num_perm: int = MINHASH_PERMS,
     bands: int = MINHASH_BANDS,
     threshold_pct: int = 50,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Band the signature, self-join on (band, slice), verify
     candidates with EXACT Jaccard over the full shingle sets (so LSH
@@ -372,21 +389,42 @@ def minhash_lsh_pairs(
     Pairs are deduped as narrow (doc_a, doc_b) rows first, then each
     side's shingles attach with one doc-keyed join against the
     persisted signatures (3x faster end-to-end, and at 100 TB the
-    wide-row shuffle it removes is the dominant cost)."""
-    rows = num_perm // bands
+    wide-row shuffle it removes is the dominant cost).
+
+    ``max_bucket_width`` is the hot-BUCKET skew guard (the band
+    analogue of ``jaccard_pairs``'s ``stop_shingle_df``): a band
+    bucket of width m generates m(m-1)/2 candidate pairs through ONE
+    join key, so a mega-cluster of near-identical docs (boilerplate,
+    templated pages) turns the band join quadratic in the cluster
+    size. With the cap, docs inside a bucket rank by id and only the
+    ``max_bucket_width`` smallest-id members serve as the doc_a
+    (candidate-source) side — per-bucket pairs drop to <= m*cap,
+    linear in m. Whenever EVERY bucket's width <= cap the output is
+    bit-identical to uncapped (each doc_a then has rank <= m <= cap,
+    so all pairs are generated); in an over-cap bucket each doc is
+    still paired with the cap smallest ids, which is exactly what the
+    min-id survivor rule consumes — a member of a true-duplicate
+    mega-bucket verifies against the bucket's minimum id. What a cap
+    CAN lose is a pair whose two docs only ever co-occur beyond rank
+    cap in every shared bucket while NOT being near-dups of the
+    bucket heads — acceptable for survivorship, which is why the cap
+    is opt-in and the measured default (SCALING_r6.md: bucket width
+    does not grow with corpus on this workload) stays uncapped."""
     signed = signed.localCheckpoint(eager=True)  # banded self-join + two shingle joins; GC-owned
-    banded = signed.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice("sig", i * rows + 1, rows)
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "slice"),
-    )
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "slice")
+    banded = _banded(signed, num_perm, bands)
+    if max_bucket_width is not None:
+        from pyspark.sql.window import Window
+
+        rk = F.row_number().over(
+            Window.partitionBy("band", "slice").orderBy("doc_id")
+        )
+        a = (
+            banded.withColumn("_rk", rk)
+            .filter(F.col("_rk") <= max_bucket_width)
+            .select(F.col("doc_id").alias("doc_a"), "band", "slice")
+        )
+    else:
+        a = banded.select(F.col("doc_id").alias("doc_a"), "band", "slice")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "slice")
     cand = (
         a.join(b, ["band", "slice"])
@@ -450,6 +488,61 @@ def minhash_lsh_pairs(
             yield out[keep]
 
     return cand.mapInPandas(verify, schema=out_schema)
+
+
+def lsh_band_stats(
+    signed: DataFrame,
+    num_perm: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+) -> dict[str, float]:
+    """Scale diagnostics for the LSH candidate generator — the
+    numbers that decide whether the band join stays linear in the
+    corpus (VERDICT r5 #1: q22's sf10 ratio was argued from
+    construction; this measures it):
+
+    - ``n_docs``, ``n_buckets``
+    - ``max_bucket_width`` — the widest (band, slice) bucket; a width
+      that grows with the corpus means some bucket contributes
+      quadratically many candidate pairs and ``max_bucket_width``
+      capping is required
+    - ``generated_pairs`` — sum over buckets of C(width, 2): the raw
+      join output the band join must materialize (counts a pair once
+      per shared band)
+    - ``candidate_pairs`` — distinct (doc_a, doc_b) pairs entering
+      exact verification
+    - ``candidates_per_doc`` — candidate_pairs / n_docs: the
+      linearity signal; flat across scale factors = linear total cost
+
+    Driver-side scalar pulls only (three aggregate collects); the
+    heavy lifting is the same band join the dedup itself runs."""
+    signed = signed.localCheckpoint(eager=True)
+    banded = _banded(signed, num_perm, bands)
+    n_docs = signed.count()
+    widths = banded.groupBy("band", "slice").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    row = widths.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("w").alias("max_w"),
+        F.sum(F.col("w") * (F.col("w") - F.lit(1))).alias("gen2"),
+    ).collect()[0]
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "slice")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "slice")
+    cand = (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    return {
+        "n_docs": int(n_docs),
+        "n_buckets": int(row["n_buckets"]),
+        "max_bucket_width": int(row["max_w"] or 0),
+        "generated_pairs": int((row["gen2"] or 0) // 2),
+        "candidate_pairs": int(cand),
+        "candidates_per_doc": round(cand / max(1, n_docs), 4),
+    }
 
 
 def simhash_fingerprints(

@@ -88,3 +88,84 @@ def test_cap_is_exact_on_surviving_pairs(spark):
     # common includes the hot prefix shingles: far more than the
     # cold-only overlap
     assert row.common > 30
+
+
+# ---------------------------------------------------------------------
+# Hot-BUCKET skew guard for the MinHash band join (VERDICT r5 #1): a
+# mega-cluster of near-identical docs shares every band bucket, so an
+# uncapped band join pays C(m, 2) candidate pairs through one join
+# key. max_bucket_width bounds that to m*cap while preserving the
+# min-id survivor set (every cluster member still pairs with the
+# bucket's smallest ids).
+
+N_CLONES = 40
+_CLONE_TEXT = " ".join(f"clone{j} body" for j in range(20))
+
+
+def _mega_bucket_corpus(spark):
+    rows = [(i, _CLONE_TEXT) for i in range(N_CLONES)]
+    # distinct background docs: unique fillers, no cross similarity
+    for i in range(10):
+        rows.append(
+            (100 + i, " ".join(f"bg{i}w{j}" for j in range(25)))
+        )
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_band_stats_expose_the_mega_bucket(spark):
+    signed = D.minhash_signatures(
+        D.shingle_docs(_mega_bucket_corpus(spark)), hash_mode="sha2"
+    )
+    stats = D.lsh_band_stats(signed)
+    assert stats["n_docs"] == N_CLONES + 10
+    # the clone cluster shares all 4 band buckets
+    assert stats["max_bucket_width"] == N_CLONES
+    # generated pairs count the cluster once PER BAND...
+    assert (
+        stats["generated_pairs"]
+        >= D.MINHASH_BANDS * N_CLONES * (N_CLONES - 1) // 2
+    )
+    # ...but distinct candidates collapse to the cluster's pair set
+    assert stats["candidate_pairs"] == N_CLONES * (N_CLONES - 1) // 2
+
+
+def test_bucket_cap_identical_when_buckets_fit(spark):
+    signed = D.minhash_signatures(
+        D.shingle_docs(_mega_bucket_corpus(spark)), hash_mode="sha2"
+    )
+    uncapped = sorted(
+        tuple(r) for r in D.minhash_lsh_pairs(signed).collect()
+    )
+    capped = sorted(
+        tuple(r)
+        for r in D.minhash_lsh_pairs(
+            signed, max_bucket_width=N_CLONES
+        ).collect()
+    )
+    assert capped == uncapped  # cap >= every width -> bit-identical
+
+
+def test_bucket_cap_bounds_pairs_and_keeps_survivors(spark):
+    corpus = _mega_bucket_corpus(spark)
+    signed = D.minhash_signatures(
+        D.shingle_docs(corpus), hash_mode="sha2"
+    )
+    cap = 5
+    uncapped = D.minhash_lsh_pairs(signed)
+    capped = D.minhash_lsh_pairs(signed, max_bucket_width=cap)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un == N_CLONES * (N_CLONES - 1) // 2  # quadratic
+    # capped: doc_a must rank <= cap in the (single) clone bucket:
+    # pairs = C(cap, 2) + (m - cap) * cap — linear in m
+    assert n_cap == cap * (cap - 1) // 2 + (N_CLONES - cap) * cap
+    # survivor set identical: every clone still pairs with the
+    # bucket's min id, so keep_min_id drops the same docs
+    ids = corpus.select("doc_id")
+    s_un = sorted(
+        r["doc_id"] for r in D.keep_min_id(ids, uncapped).collect()
+    )
+    s_cap = sorted(
+        r["doc_id"] for r in D.keep_min_id(ids, capped).collect()
+    )
+    assert s_cap == s_un
+    assert s_un == [0] + [100 + i for i in range(10)]
