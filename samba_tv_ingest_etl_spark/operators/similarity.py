@@ -1013,6 +1013,58 @@ PRUNE_TILE_BYTES = 64 << 20  # per-tile int64 dot-block budget
 MAX_CLUSTER_ROWS = 2_000_000  # hard cap on one cluster's group size
 
 
+def _dominator_partials(idsX, QX, nX, idsY, QY, nY, pct2):
+    """Per-Y-row dominator partials over dominators drawn from X:
+    for every (x, y) with ``id_x < id_y`` and cosine >= tau (the
+    exact integer decision of ``cosine_pairs``), accumulate count and
+    max ``floor(1e6*dot/sqrt(double(n_x)*double(n_y)))`` onto y.
+    Row-tiled over X (peak memory O(tile*|Y|), never |X|x|Y| at
+    once); bit-identical to the full-matrix form — the same cells
+    clear the same masks and feed the same bincount/maximum
+    accumulators. With X == Y this is exactly the within-cluster
+    upper-triangle prune (ids are unique, so the id comparison IS the
+    strict triangle); with X != Y it is one direction of a
+    cross-block pass, enabling oversized clusters to shard across
+    tasks (``on_oversized='split'``) without changing any number."""
+    import numpy as np
+
+    mY = len(idsY)
+    counts = np.zeros(mY, dtype=np.int64)
+    maxcos = np.full(mY, np.iinfo(np.int64).min)
+    if not len(idsX) or not mY:
+        return counts, maxcos
+    nfX = nX.astype(np.float64)
+    nfY = nY.astype(np.float64)
+    tile = max(256, PRUNE_TILE_BYTES // (8 * mY))
+    for t0 in range(0, len(idsX), tile):
+        t1 = min(len(idsX), t0 + tile)
+        dot = _imatmul(QX[t0:t1], QY.T)  # exact int64 via f64 BLAS
+        # integer-threshold overflow guards (same discipline as
+        # cosine_pairs_blocked; raised, not asserted)
+        _check_threshold_bounds(
+            int(np.abs(dot).max(initial=0)),
+            int(nX.max()), int(nY.max()), pct2,
+        )
+        mask = (
+            (dot > 0)
+            & (dot * dot * 10_000
+               >= pct2 * (nX[t0:t1, None] * nY[None, :]))
+        )
+        # dominator id strictly below dominated id
+        mask &= idsX[t0:t1, None] < idsY[None, :]
+        i, j = np.nonzero(mask)
+        if not len(i):
+            continue
+        # double(na)*double(nb): the oracle's operand order exactly
+        cos = np.floor(
+            1_000_000.0 * dot[i, j].astype(np.float64)
+            / np.sqrt(nfX[t0 + i] * nfY[j])
+        ).astype(np.int64)
+        counts += np.bincount(j, minlength=mY)
+        np.maximum.at(maxcos, j, cos)
+    return counts, maxcos
+
+
 def semdedup_drops(
     quantized: DataFrame,
     threshold_pct: int = 80,
@@ -1022,6 +1074,7 @@ def semdedup_drops(
     train_sample: tuple[int, int] | None = None,
     route_width: int | None = None,
     max_cluster_rows: int = MAX_CLUSTER_ROWS,
+    on_oversized: str = "raise",
 ) -> DataFrame:
     """Semantic dedup via cluster-then-prune (the SemDeDup recipe,
     Abbas et al., arXiv:2303.09540): train the coarse quantizer on a
@@ -1039,7 +1092,11 @@ def semdedup_drops(
     numpy matmul blocks per cluster group (``applyInPandas``,
     O(tile·n_c) peak memory — a skewed cluster can never allocate an
     n_c² matrix in one worker; groups beyond ``max_cluster_rows``
-    raise, naming the cluster) and emits the per-doc aggregate
+    raise, naming the cluster — or, with ``on_oversized='split'``,
+    shard across block-pair tasks by ``vec_id % g`` and re-aggregate
+    the per-doc partials, completing with the EXACT same drop set
+    instead of aborting a fleet job on one degenerate cluster; see
+    ``_split_prune``) and emits the per-doc aggregate
     directly — no pair rows ever shuffle and no
     per-pair interpreted expression runs (same kernel discipline as
     ``cosine_pairs_blocked``; measured 12.8 s -> 6.1 s at sf1 vs the
@@ -1055,6 +1112,11 @@ def semdedup_drops(
     import numpy as np
     import pandas as pd
 
+    if on_oversized not in ("raise", "split"):
+        raise ValueError(
+            f"on_oversized must be 'raise' or 'split', got "
+            f"{on_oversized!r}"
+        )
     spark = quantized.sparkSession
     cents = kmeans_centroids(
         quantized, k=n_centroids, iters=iters, dim=dim,
@@ -1089,55 +1151,17 @@ def semdedup_drops(
                 f"{len(pdf)} members > max_cluster_rows="
                 f"{max_cluster_rows}: the k-means quantizer is skewed "
                 "(many near-identical embeddings?) — raise k / "
-                "retrain, or split the cluster upstream"
+                "retrain, or rerun with on_oversized='split'"
             )
-        # ascending-id order makes "lower-id dominator" = upper
-        # triangle of the dot matrix
+        # ascending-id sort is cosmetic (the helper compares actual
+        # ids); it keeps per-group output order deterministic
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
         n = pdf["norm2"].to_numpy(dtype=np.int64)
-        m = len(ids)
-        nf = n.astype(np.float64)
-        counts = np.zeros(m, dtype=np.int64)
-        maxcos = np.full(m, np.iinfo(np.int64).min)
-        # row-tiled dot blocks: peak memory O(tile*m), never the full
-        # m x m matrix — one skewed cluster degrades to more (cheap)
-        # tiles instead of a quadratic allocation in a single worker.
-        # Bit-identical to the full-matrix form: the same (i, j) cells
-        # clear the same masks and feed the same bincount/maximum
-        # accumulators, just tile by tile.
-        tile = max(256, PRUNE_TILE_BYTES // (8 * m))
-        col = np.arange(m, dtype=np.int64)[None, :]
-        for t0 in range(0, m, tile):
-            t1 = min(m, t0 + tile)
-            dot = _imatmul(Q[t0:t1], Q.T)  # exact int64 via f64 BLAS
-            # integer-threshold overflow guards (same discipline as
-            # cosine_pairs_blocked; raised, not asserted)
-            _check_threshold_bounds(
-                int(np.abs(dot).max(initial=0)),
-                int(n.max()), int(n.max()), pct2,
-            )
-            mask = (
-                (dot > 0)
-                & (dot * dot * 10_000
-                   >= pct2 * (n[t0:t1, None] * n[None, :]))
-            )
-            # strict upper triangle in GLOBAL row order: dominator
-            # row index < dominated column index
-            mask &= (
-                np.arange(t0, t1, dtype=np.int64)[:, None] < col
-            )
-            i, j = np.nonzero(mask)
-            if not len(i):
-                continue
-            # double(na)*double(nb): the oracle's operand order exactly
-            cos = np.floor(
-                1_000_000.0 * dot[i, j].astype(np.float64)
-                / np.sqrt(nf[t0 + i] * nf[j])
-            ).astype(np.int64)
-            counts += np.bincount(j, minlength=m)
-            np.maximum.at(maxcos, j, cos)
+        counts, maxcos = _dominator_partials(
+            ids, Q, n, ids, Q, n, pct2
+        )
         sel = counts > 0
         if not sel.any():
             return _empty()
@@ -1152,6 +1176,167 @@ def semdedup_drops(
             }
         )
 
+    if on_oversized == "split":
+        # bounded driver pull: at most n / max_cluster_rows clusters
+        # can exceed the cap, so this list is small by construction
+        assigned = assigned.localCheckpoint(eager=True)
+        big = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") > max_cluster_rows)
+            .collect()
+        )
+        if big:
+            gdf = spark.createDataFrame(
+                [
+                    (r["cluster"], -(-r["_m"] // max_cluster_rows))
+                    for r in big
+                ],
+                "cluster long, g int",
+            )
+            over = assigned.join(F.broadcast(gdf), "cluster")
+            normal = assigned.join(
+                F.broadcast(gdf.select("cluster")), "cluster",
+                "left_anti",
+            )
+            return normal.groupBy("cluster").applyInPandas(
+                prune, schema=out_schema
+            ).unionByName(
+                _split_prune(over, pct2, out_schema, max_cluster_rows)
+            )
     return assigned.groupBy("cluster").applyInPandas(
         prune, schema=out_schema
+    )
+
+
+def _split_prune(
+    over: DataFrame,
+    pct2: int,
+    out_schema: str,
+    max_cluster_rows: int,
+) -> DataFrame:
+    """Exact SemDeDup prune for clusters BIGGER than one task's
+    group cap: shard the cluster into ``g = ceil(m / cap)`` blocks by
+    ``vec_id % g`` and run every unordered block pair (i <= j) as its
+    own ``applyInPandas`` group — the diagonal group is the usual
+    within-set pass, an off-diagonal group scores both directions
+    (ids interleave across hash blocks, so each side can dominate the
+    other). Every (dominator, dominated) pair lives in exactly one
+    block-pair group, so summing the per-group partial counts and
+    maxing the partial cosines reproduces the unsplit aggregates
+    BIT-FOR-BIT (int64 sums and max are order-free) — same drop set,
+    same n_dominators, same max_cos_scaled, just distributed across
+    ~g²/2 bounded tasks instead of one impossible task. Each row is
+    replicated g times (its block appears in g block pairs): the
+    quadratic COMPUTE of a degenerate cluster is inherent to the
+    semantics; what the split fixes is that no single task ever holds
+    more than 2·cap rows.
+
+    ``over``: (cluster, vec_id, q, norm2, g) — g precomputed per
+    oversized cluster by the caller from the bounded size pull."""
+    import numpy as np
+    import pandas as pd
+
+    b = F.pmod(F.col("vec_id"), F.col("g")).cast("int")
+    over = over.withColumn("b", b)
+    # membership list of row -> block pairs: (b, j) for j in b..g-1
+    # plus (i, b) for i in 0..b-1. The b > 0 guard matters: Spark's
+    # sequence(0, -1) yields a DESCENDING [0, -1], not empty.
+    empty = F.array().cast("array<struct<bi:int,bj:int>>")
+    memb = F.concat(
+        F.transform(
+            F.sequence(F.col("b"), F.col("g") - 1),
+            lambda j: F.struct(
+                F.col("b").cast("int").alias("bi"),
+                j.cast("int").alias("bj"),
+            ),
+        ),
+        F.when(
+            F.col("b") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.col("b") - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("bi"),
+                    F.col("b").cast("int").alias("bj"),
+                ),
+            ),
+        ).otherwise(empty),
+    )
+    ex = over.select(
+        "cluster", "vec_id", "q", "norm2", "b",
+        F.explode(memb).alias("_bp"),
+    ).select(
+        "cluster", "vec_id", "q", "norm2", "b",
+        F.col("_bp.bi").alias("bi"), F.col("_bp.bj").alias("bj"),
+    )
+
+    def _arrs(sub: pd.DataFrame):
+        ids = sub["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        Q = np.stack(sub["q"].to_numpy()).astype(np.int64)[order]
+        n = sub["norm2"].to_numpy(dtype=np.int64)[order]
+        return ids[order], Q, n
+
+    def cross(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["vec_id", "cluster", "n_dominators", "max_cos_scaled"]
+        if len(pdf) < 2:
+            return pd.DataFrame({c: [] for c in cols})
+        bi = int(pdf["bi"].iloc[0])
+        bj = int(pdf["bj"].iloc[0])
+        cluster = pdf["cluster"].iloc[0]
+        frames = []
+
+        def _emit(ids, counts, maxcos):
+            sel = counts > 0
+            if sel.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids[sel],
+                            "cluster": np.full(
+                                int(sel.sum()), cluster
+                            ),
+                            "n_dominators": counts[sel],
+                            "max_cos_scaled": maxcos[sel],
+                        }
+                    )
+                )
+
+        if bi == bj:
+            ids, Q, n = _arrs(pdf)
+            _emit(ids, *_dominator_partials(ids, Q, n, ids, Q, n, pct2))
+        else:
+            A = pdf[pdf["b"] == bi]
+            B = pdf[pdf["b"] == bj]
+            if len(A) and len(B):
+                idsA, QA, nA = _arrs(A)
+                idsB, QB, nB = _arrs(B)
+                _emit(
+                    idsB,
+                    *_dominator_partials(
+                        idsA, QA, nA, idsB, QB, nB, pct2
+                    ),
+                )
+                _emit(
+                    idsA,
+                    *_dominator_partials(
+                        idsB, QB, nB, idsA, QA, nA, pct2
+                    ),
+                )
+        if not frames:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ex.groupBy("cluster", "bi", "bj").applyInPandas(
+        cross, schema=out_schema
+    )
+    return (
+        partials.groupBy("vec_id", "cluster")
+        .agg(
+            F.sum("n_dominators").alias("n_dominators"),
+            F.max("max_cos_scaled").alias("max_cos_scaled"),
+        )
+        .select(
+            "vec_id", "cluster", "n_dominators", "max_cos_scaled"
+        )
     )

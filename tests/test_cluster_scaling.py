@@ -221,3 +221,64 @@ def test_imatmul_exactness_at_bounds():
     # `python -O` (asserts are stripped there).
     with pytest.raises(OverflowError):
         _imatmul(A2 * 2, B2.T)
+
+
+# ---------------------------------------------------------------------
+# Graceful oversized-cluster handling (VERDICT r5 #4): max_cluster_rows
+# must not be job-fatal at fleet scale — on_oversized='split' shards a
+# degenerate cluster across block-pair tasks and must reproduce the
+# unsplit prune BIT-FOR-BIT (same drops, same n_dominators, same
+# max_cos_scaled).
+
+
+def _semdedup(spark, **kw):
+    from samba_tv_ingest_etl_spark.operators.similarity import (
+        semdedup_drops,
+    )
+
+    q = _embeddings_q(spark, SF_DIR)
+    # tau=0.35: q76's threshold, which the fixture corpus is built to
+    # trip (0.80 yields no drops here and a vacuous test)
+    return semdedup_drops(
+        q, threshold_pct=35, n_centroids=4, iters=2, dim=64, **kw
+    )
+
+
+def test_split_prune_equals_unsplit_reference(spark):
+    ref = sorted(tuple(r) for r in _semdedup(spark).collect())
+    assert ref, "fixture produced no semantic dups — vacuous test"
+    # cap far below the biggest cluster (500 vectors, 4 centroids ->
+    # clusters of ~125): every cluster shards into multiple blocks
+    split = sorted(
+        tuple(r)
+        for r in _semdedup(
+            spark, max_cluster_rows=20, on_oversized="split"
+        ).collect()
+    )
+    assert split == ref
+    # a cap even below the BLOCK-pair group bound still agrees (more
+    # blocks, same partials)
+    split7 = sorted(
+        tuple(r)
+        for r in _semdedup(
+            spark, max_cluster_rows=7, on_oversized="split"
+        ).collect()
+    )
+    assert split7 == ref
+
+
+def test_split_mode_noop_when_nothing_oversized(spark):
+    ref = sorted(tuple(r) for r in _semdedup(spark).collect())
+    same = sorted(
+        tuple(r) for r in _semdedup(spark, on_oversized="split").collect()
+    )
+    assert same == ref
+
+
+def test_oversized_raise_mode_names_the_cluster(spark):
+    import pytest
+
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        _semdedup(spark, max_cluster_rows=20).collect()
+    with pytest.raises(ValueError, match="on_oversized"):
+        _semdedup(spark, on_oversized="explode")
