@@ -252,6 +252,94 @@ def q22_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.keep_min_id(corpus, pairs)
 
 
+# ---------------------------------------------------------------- q108
+
+# hot-bucket cap for the capped LSH variant: bounds a band bucket's
+# candidate contribution to width*cap (measured in SCALING_r6.md: the
+# prefix corpus grows duplicate-cluster sizes with the corpus, so the
+# UNCAPPED band join's candidate pairs grow quadratically — 0.31 ->
+# 1.60 -> 15.7 candidates/doc across sf0.1/sf1/sf10)
+_LSH_BUCKET_CAP = 16
+
+
+def _minhash_capped_oracle() -> str:
+    perms = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(D._minhash_coeffs(D.MINHASH_PERMS))
+    )
+    rows = D.MINHASH_PERMS // D.MINHASH_BANDS
+    return f"""
+WITH {_PREFIX_SQL}, {_SHINGLE_SQL},
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(sha256(shingle), 1, 15)) AS BIGINT)
+           % {_P} AS r
+  FROM ex
+),
+perms(i, a, b) AS (VALUES {perms}),
+sig AS (
+  SELECT doc_id, p.i, min((p.a * r + p.b) % {_P}) AS mh
+  FROM hashed CROSS JOIN perms p
+  GROUP BY doc_id, p.i
+),
+banded AS (
+  SELECT doc_id, i // {rows} AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+  FROM sig GROUP BY doc_id, band
+),
+ranked AS (
+  SELECT doc_id, band, key,
+         row_number() OVER (PARTITION BY band, key ORDER BY doc_id)
+           AS rk
+  FROM banded
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ranked a
+  JOIN banded b ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id
+  WHERE a.rk <= {_LSH_BUCKET_CAP}
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS common,
+         sa.set_size + sb.set_size
+           - len(list_intersect(sa.shingles, sb.shingles)) AS u
+  FROM cand c
+  JOIN sized sa ON sa.doc_id = c.doc_a
+  JOIN sized sb ON sb.doc_id = c.doc_b
+),
+dropped AS (
+  SELECT DISTINCT doc_b FROM ver
+  WHERE u > 0 AND common * 100 >= {_JACCARD_PCT} * u
+)
+SELECT c.doc_id FROM corpus c
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_b = c.doc_id)
+"""
+
+
+@query("q108_minhash_lsh_capped", oracle=_minhash_capped_oracle())
+def q108_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH dedup survivors with the hot-bucket width cap —
+    q22's scale-safe form. lsh_band_stats measured the uncapped band
+    join quadratic on this workload (duplicate-cluster sizes grow
+    with the corpus: max bucket width 16/93/831 at sf0.1/1/10), so
+    the candidate-source side of each band bucket is capped to the 16
+    smallest ids: per-bucket pairs drop from C(m,2) to m*cap,
+    linear in m, while every member of a true-duplicate bucket still
+    pairs with the bucket head the min-id survivor rule needs. The
+    oracle implements the identical rank rule, so the capped
+    semantics — not just the fixture result — are pinned."""
+    sh = D.shingle_docs(_prefix_corpus(spark, sf_dir), ngram=_NGRAM)
+    signed = D.minhash_signatures(sh, hash_mode="sha2")
+    pairs = D.minhash_lsh_pairs(
+        signed,
+        threshold_pct=_JACCARD_PCT,
+        max_bucket_width=_LSH_BUCKET_CAP,
+    )
+    corpus = _prefix_corpus(spark, sf_dir).select("doc_id")
+    return D.keep_min_id(corpus, pairs)
+
+
 # ---------------------------------------------------------------- q23
 
 def _simhash_oracle() -> str:
