@@ -494,6 +494,7 @@ def lsh_band_stats(
     signed: DataFrame,
     num_perm: int = MINHASH_PERMS,
     bands: int = MINHASH_BANDS,
+    max_bucket_width: int | None = None,
 ) -> dict[str, float]:
     """Scale diagnostics for the LSH candidate generator — the
     numbers that decide whether the band join stays linear in the
@@ -535,7 +536,7 @@ def lsh_band_stats(
         .distinct()
         .count()
     )
-    return {
+    out = {
         "n_docs": int(n_docs),
         "n_buckets": int(row["n_buckets"]),
         "max_bucket_width": int(row["max_w"] or 0),
@@ -543,6 +544,29 @@ def lsh_band_stats(
         "candidate_pairs": int(cand),
         "candidates_per_doc": round(cand / max(1, n_docs), 4),
     }
+    if max_bucket_width is not None:
+        from pyspark.sql.window import Window
+
+        rk = F.row_number().over(
+            Window.partitionBy("band", "slice").orderBy("doc_id")
+        )
+        a_cap = (
+            banded.withColumn("_rk", rk)
+            .filter(F.col("_rk") <= max_bucket_width)
+            .select(F.col("doc_id").alias("doc_a"), "band", "slice")
+        )
+        capped = (
+            a_cap.join(b, ["band", "slice"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .count()
+        )
+        out["capped_candidate_pairs"] = int(capped)
+        out["capped_candidates_per_doc"] = round(
+            capped / max(1, n_docs), 4
+        )
+    return out
 
 
 def simhash_fingerprints(

@@ -38,10 +38,14 @@ def main() -> None:
     dirs = sys.argv[1:] or [".testdata/sf1", ".testdata/sf10"]
     spark = get_spark("lsh-stats")
     out = {}
+    from samba_tv_ingest_etl_spark.queries.llmdata import _LSH_BUCKET_CAP
+
     for d in dirs:
         sh = D.shingle_docs(_prefix_corpus(spark, d), ngram=_NGRAM)
         signed = D.minhash_signatures(sh, hash_mode="sha2")
-        out[d] = D.lsh_band_stats(signed)
+        out[d] = D.lsh_band_stats(
+            signed, max_bucket_width=_LSH_BUCKET_CAP
+        )
         print(f"{d}: {out[d]}", file=sys.stderr)
     print(json.dumps(out))
 

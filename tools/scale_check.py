@@ -87,6 +87,10 @@ def main() -> None:
     ap.add_argument("--bench-out", default=None,
                     help="default: BENCH_<big-label>.json")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--extra-queries", default="",
+                    help="comma-separated registry keys appended to "
+                    "the HEADLINE set (e.g. a scale-path variant "
+                    "under measurement)")
     ap.add_argument("--skip-audit", action="store_true")
     ap.add_argument("--report", default=None, help="markdown report path")
     args = ap.parse_args()
@@ -101,7 +105,10 @@ def main() -> None:
 
     spark = get_spark("scale-check")
     registry = Q.registry()
-    names = [n for n in HEADLINE if n in registry]
+    wanted = HEADLINE + [
+        q for q in args.extra_queries.split(",") if q
+    ]
+    names = [n for n in wanted if n in registry]
 
     # shared warmup (JVM, codegen, Arrow worker pool)
     registry[names[0]](spark, args.base).write.format("noop").mode("overwrite").save()
