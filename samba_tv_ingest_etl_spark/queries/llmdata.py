@@ -1112,6 +1112,36 @@ def q76_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- q109
+
+@query("q109_semdedup_split_prune", oracle=_semdedup_oracle())
+def q109_semdedup_split_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q76 driven through the oversized-cluster SPLIT path: an
+    aggressively small ``max_cluster_rows`` forces every cluster
+    beyond 10 members to shard into ``vec_id % g`` block-pair tasks
+    (``on_oversized='split'``), whose per-doc dominator partials
+    re-aggregate with order-free sum/max. The result is bit-identical
+    to the unsplit prune by construction, so this shares q76's
+    oracle — making the graceful-degradation path itself
+    driver-checkable, not just pytest-pinned."""
+    from ..operators.similarity import derived_cluster_count, semdedup_drops
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    return semdedup_drops(
+        _embeddings_q(spark, sf_dir),
+        threshold_pct=_COS_PCT,
+        n_centroids=derived_cluster_count(n, _SEM_KMIN, _SEM_TARGET),
+        iters=_IVF_ITERS,
+        dim=_DIM,
+        train_sample=_IVF_SAMPLE,
+        route_width=_ROUTE_WIDTH,
+        max_cluster_rows=10,
+        on_oversized="split",
+    )
+
+
 # ---------------------------------------------------------------- q30
 
 @query(
