@@ -407,9 +407,12 @@ def minhash_lsh_pairs(
     mega-bucket verifies against the bucket's minimum id. What a cap
     CAN lose is a pair whose two docs only ever co-occur beyond rank
     cap in every shared bucket while NOT being near-dups of the
-    bucket heads — acceptable for survivorship, which is why the cap
-    is opt-in and the measured default (SCALING_r6.md: bucket width
-    does not grow with corpus on this workload) stays uncapped."""
+    bucket heads — acceptable for survivorship. The cap is opt-in so
+    the uncapped reference (q22) stays byte-stable, but the
+    measurement says USE IT at scale: on the prefix-corpus workload
+    max bucket width grows ~linearly with the corpus (16/93/831 at
+    sf0.1/1/10) and uncapped candidates/doc ~10x per decade, while
+    the capped path stays bounded (SCALING_r6.md; q108)."""
     signed = signed.localCheckpoint(eager=True)  # banded self-join + two shingle joins; GC-owned
     banded = _banded(signed, num_perm, bands)
     if max_bucket_width is not None:
