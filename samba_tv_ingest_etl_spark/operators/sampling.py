@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from .sketch import portable_hash60
 
 __all__ = [
+    "epoch_upsample",
     "group_cap",
     "hash_bucket",
     "hash_split",
@@ -179,4 +180,69 @@ def group_cap(
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= max_per_group)
         .drop("_rk")
+    )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, tuple[int, int]],
+    key_col: str,
+    default: tuple[int, int] = (1, 1),
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Materialize FRACTIONAL repeat factors — "2.5 epochs of source
+    A, 1.5 of B" — the upsampling half of dataset mixing (the
+    downsampling half is ``mixture_sample``). Each row yields
+    ``num DIV den`` full copies plus one extra copy iff
+    ``hash_bucket(key, den) < num mod den``: over a source the
+    realized factor converges to num/den, and the exact extra-copy
+    set is a pure function of the key (portable 60-bit hash), so
+    retries, repartitioning and any oracle engine reproduce it —
+    unlike any rand()-thinned repeat. Adds ``epoch`` (0-based copy
+    index; copy 0 is the original).
+
+    Scale shape: narrow map + explode — no shuffle, no state; output
+    rows = input rows x realized factor, which is the caller's
+    declared intent. Rows whose factor floors to zero (num < den and
+    the key hashes outside the extra band) drop out, making
+    ``(num, den) = (1, 2)`` a deterministic 50% DOWNSAMPLE — the two
+    halves of mixing share one primitive."""
+    if not (len(default) == 2 and default[0] >= 0 and default[1] > 0):
+        raise ValueError(f"bad default factor {default!r}")
+    for s, nd in weights.items():
+        if not (len(nd) == 2 and nd[0] >= 0 and nd[1] > 0):
+            raise ValueError(f"bad factor for {s!r}: {nd!r}")
+
+    def n_copies(num: int, den: int) -> Column:
+        base = F.lit(num // den).cast("int")
+        extra = num % den
+        if extra == 0:
+            return base
+        return base + (
+            hash_bucket(key_col, den) < F.lit(extra)
+        ).cast("int")
+
+    n = F.coalesce(
+        *[
+            F.when(F.col(group_col) == s, n_copies(*nd))
+            for s, nd in weights.items()
+        ],
+        n_copies(*default),
+    ) if weights else n_copies(*default)
+    # sequence(0, n-1) requires n >= 1: Spark's sequence(0, -1) is a
+    # DESCENDING [0, -1], not empty — filter zero-copy rows first
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    (F.col("_n") - 1).cast("long"),
+                )
+            ),
+        )
+        .drop("_n")
     )

@@ -2914,3 +2914,147 @@ def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         pri.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _WSAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------- q110
+
+# fractional repeat factors: 2.5 epochs of src0, 1.5 of src1, a
+# deterministic 50% downsample of src2, everything else 1 epoch
+_EPOCH_W = {"src0": (5, 2), "src1": (3, 2), "src2": (1, 2)}
+
+_EPOCH_VALUES = ", ".join(
+    f"('{s}', {n}, {d})" for s, (n, d) in _EPOCH_W.items()
+)
+
+_EPOCH_ORACLE = f"""
+WITH cfg(source, num, den) AS (VALUES {_EPOCH_VALUES}),
+n AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         coalesce(c.num, 1) // coalesce(c.den, 1)
+         + CASE WHEN coalesce(c.num, 1) % coalesce(c.den, 1) > 0
+                 AND ('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)),
+                      1, 15))::BIGINT % coalesce(c.den, 1)
+                     < coalesce(c.num, 1) % coalesce(c.den, 1)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d LEFT JOIN cfg c USING (source)
+),
+cop AS (
+  SELECT source, doc_id, n_chars,
+         unnest(range(0, n_copies)) AS epoch
+  FROM n WHERE n_copies > 0
+)
+SELECT source, CAST(epoch AS BIGINT) AS epoch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM cop GROUP BY 1, 2
+"""
+
+
+@query("q110_epoch_upsample", oracle=_EPOCH_ORACLE)
+def q110_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch materialization — the UPSAMPLING half of
+    dataset mixing (q68 is the downsampling half): each doc yields
+    floor(num/den) copies plus one hash-gated extra, so "2.5 epochs
+    of src0" is realized exactly and deterministically
+    (operators/sampling.epoch_upsample — portable 60-bit hash, no
+    rand()). Narrow map + explode, no shuffle until the checked
+    accounting aggregate; at 100 TB the explode feeds the writer
+    directly. Checked per (source, epoch): doc count + id/char sums
+    pin the exact extra-copy set, not just the rates."""
+    from ..operators.sampling import epoch_upsample
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    up = epoch_upsample(docs, "source", _EPOCH_W, key_col="doc_id")
+    return up.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+# ---------------------------------------------------------------- q111
+
+_TOKEN_BUDGET = 15_000  # ~half the fixture corpus's tokens
+
+_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         {_CLS_INTERCEPT} + CAST(coalesce(list_sum(
+           list_transform(toks, tok -> {_CLS_W_SQL})), 0) AS BIGINT)
+           AS score_milli
+  FROM t
+),
+placed AS (
+  SELECT doc_id, score_milli, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY score_milli DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM scored
+)
+SELECT doc_id, score_milli, n_tokens, cum_before
+FROM placed WHERE cum_before + n_tokens <= {_TOKEN_BUDGET}
+"""
+
+
+@query("q111_token_budget_head", oracle=_BUDGET_ORACLE)
+def q111_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: spend a fixed token budget on
+    the highest-quality documents — order by (classifier score DESC,
+    doc_id), lay docs end to end, keep every doc that fits entirely
+    under the budget. The greedy best-first prefix every "train on
+    the best N tokens" pipeline needs. Scale shape: the global order
+    + exclusive prefix sum run through the two-phase
+    ``global_cumsum`` (range + hash exchanges, never a
+    single-partition window — same machinery as q87), and the budget
+    cut is a narrow filter. Output pins each kept doc's exact offset,
+    so the checked result proves the ORDER, not just the member
+    set."""
+    from ..operators.packing import global_cumsum
+    from ..operators.text import derived_weights, hashed_linear_score
+
+    docs = _documents(spark, sf_dir)
+    scored = hashed_linear_score(
+        docs, "doc_id", "text",
+        weights=derived_weights(_CLS_D), intercept=_CLS_INTERCEPT,
+    ).select("doc_id", "n_tokens", "score_milli")
+    # unique monotone key for DESC score: larger score -> smaller
+    # key. Range guards per row, as in q87 (out-of-range input fails
+    # the job instead of silently mis-ranking).
+    checked_id = F.when(
+        F.col("doc_id").between(0, 10_000_000 - 1)
+        & F.col("score_milli").between(-(1 << 21) + 1, 1 << 21),
+        F.col("doc_id"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q111 order-key out of range: doc_id="),
+                F.col("doc_id").cast("string"),
+                F.lit(" score_milli="),
+                F.col("score_milli").cast("string"),
+            )
+        )
+    )
+    key = (
+        (F.lit(1 << 21) - F.col("score_milli")) * F.lit(10_000_000)
+        + checked_id
+    ).alias("_ord")
+    placed = global_cumsum(
+        scored.select("doc_id", "score_milli", "n_tokens", key),
+        value_col="n_tokens",
+        order_col="_ord",
+        out_col="cum_before",
+    )
+    return placed.filter(
+        F.col("cum_before") + F.col("n_tokens") <= F.lit(_TOKEN_BUDGET)
+    ).select("doc_id", "score_milli", "n_tokens", "cum_before")

@@ -132,3 +132,50 @@ def test_group_cap_exact_and_deterministic(spark):
     small = [k for k in kept_a if k >= 1000]
     assert len(big) == 10                        # capped exactly
     assert len(small) == 3                       # under-cap passes whole
+
+
+def test_epoch_upsample_fractional_factors(spark):
+    from samba_tv_ingest_etl_spark.operators.sampling import (
+        epoch_upsample,
+        hash_bucket,
+    )
+
+    rows = [(i, "a" if i < 40 else "b") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    up = epoch_upsample(
+        df, "source", {"a": (5, 2), "b": (1, 2)}, key_col="doc_id"
+    )
+    got = [(r["doc_id"], r["source"], r["epoch"]) for r in up.collect()]
+    # every 'a' doc appears 2 or 3 times (epochs 0..n-1, contiguous)
+    from collections import Counter
+
+    per = Counter((d, s) for d, s, _ in got)
+    a_counts = {per[(i, "a")] for i in range(40)}
+    assert a_counts <= {2, 3} and a_counts == {2, 3}
+    # 'b' docs appear 0 or 1 times (deterministic 50% downsample)
+    b_counts = {per.get((i, "b"), 0) for i in range(40, 80)}
+    assert b_counts == {0, 1}
+    # extra-copy set == the hash rule, exactly
+    marked = {
+        r["doc_id"]
+        for r in df.filter(hash_bucket("doc_id", 2) < 1).collect()
+    }
+    assert {d for (d, s), c in per.items() if s == "a" and c == 3} == (
+        marked & set(range(40))
+    )
+    assert {d for (d, s), c in per.items() if s == "b" and c == 1} == (
+        marked & set(range(40, 80))
+    )
+    # epochs are contiguous 0..n-1 per doc
+    ep = {}
+    for d, s, e in got:
+        ep.setdefault(d, []).append(e)
+    assert all(sorted(v) == list(range(len(v))) for v in ep.values())
+    # determinism across runs
+    again = [(r["doc_id"], r["source"], r["epoch"]) for r in up.collect()]
+    assert sorted(got) == sorted(again)
+    # bad factors raise
+    import pytest
+
+    with pytest.raises(ValueError):
+        epoch_upsample(df, "source", {"a": (1, 0)}, key_col="doc_id")
