@@ -52,6 +52,39 @@ def _best3_spread(samples: list[float]) -> float:
     return max(best) / max(min(best), 1e-9)
 
 
+def sample_query(
+    spark, fn, sf_dir: str, runs: int = 3, max_samples: int = 12
+) -> tuple[float, float, bool]:
+    """THE timing discipline, shared by bench.py and the scale
+    harness so no committed artifact can bypass it: one warm run
+    (whole-stage-codegen compile is a one-time driver cost that would
+    otherwise dominate), then best-of-N with cache cleared per run,
+    re-sampling in batches until the spread of the 3 BEST samples —
+    the ones the emitted min comes from — settles under SPREAD_GATE
+    or ``max_samples`` is hit. Returns (best, best3_spread, noisy)."""
+    import time as _t
+
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    def timed(n: int) -> list[float]:
+        out = []
+        for _ in range(n):
+            spark.catalog.clearCache()
+            t0 = _t.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out.append(_t.perf_counter() - t0)
+        return out
+
+    samples = timed(runs)
+    while (
+        _best3_spread(samples) > SPREAD_GATE
+        and len(samples) < max_samples
+    ):
+        samples += timed(runs)
+    spread = _best3_spread(samples)
+    return min(samples), spread, spread > SPREAD_GATE
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -88,45 +121,24 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    def _timed_runs(name: str, runs: int) -> list[float]:
-        samples = []
-        for _ in range(runs):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        return samples
-
+    # Per query: warm + spread-disciplined best-of sampling
+    # (``sample_query`` — shared with tools/scale_check.py so every
+    # committed artifact carries the same integrity rules). BENCH_r05
+    # post-mortem: the loadavg gate passed but per-query spreads of
+    # 1.40/1.33 shipped and the committed total overstated an
+    # idle-box re-run by ~10%; the noisy flag marks any number whose
+    # best-3 spread never settled under the gate (compared UNROUNDED
+    # — round(1.2535, 2) == 1.25 would slip past the > gate check).
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     noisy: dict[str, bool] = {}
     for name in names:
-        # warm run first: whole-stage-codegen compilation of the big
-        # generated classes (wide signature arrays etc.) is a one-time
-        # driver cost of 10-15s that would otherwise dominate the
-        # number; the timed run then measures steady-state engine
-        # throughput. clearCache drops persisted intermediates so the
-        # timed run is a full recomputation, not a cache read.
-        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # best-of-N timed runs: single-run numbers swing 2-3x under
-        # GC/scheduler noise on a shared box; the min reports the
-        # engine's actual steady-state throughput. Spread discipline
-        # (BENCH_r05 post-mortem: the loadavg gate passed but
-        # per-query spreads of 1.40/1.33 shipped and the committed
-        # total overstated an idle-box re-run by ~10%): a query whose
-        # max/min sample spread exceeds SPREAD_GATE keeps sampling in
-        # batches of 3 — the spread of the BEST 3 samples is what must
-        # stabilize, since the min is what's emitted — up to 12
-        # samples; if it never settles the query is flagged
-        # noisy=true so readers know that number is soft.
-        samples = _timed_runs(name, 3)
-        while (
-            _best3_spread(samples) > SPREAD_GATE and len(samples) < 12
-        ):
-            samples += _timed_runs(name, 3)
-        timings[name] = round(min(samples), 4)
-        spreads[name] = round(_best3_spread(samples), 2)
-        if spreads[name] > SPREAD_GATE:
+        best, spread, is_noisy = sample_query(
+            spark, registry[name], sf_dir
+        )
+        timings[name] = round(best, 4)
+        spreads[name] = round(spread, 2)
+        if is_noisy:
             noisy[name] = True
 
     load_after = os.getloadavg()

@@ -372,6 +372,26 @@ def _banded(signed: DataFrame, num_perm: int, bands: int) -> DataFrame:
     )
 
 
+def _capped_source(banded: DataFrame, cap: int) -> DataFrame:
+    """The candidate-SOURCE side of the band self-join under the
+    hot-bucket width cap: rank docs inside each (band, slice) bucket
+    by id and keep the ``cap`` smallest as (doc_a, band, slice). ONE
+    definition of the rank rule — ``minhash_lsh_pairs`` runs it and
+    ``lsh_band_stats`` measures it, so the diagnostic can never
+    desynchronize from the dedup, and the q108 oracle mirrors exactly
+    this (row_number PARTITION BY bucket ORDER BY doc_id, rk <= cap)."""
+    from pyspark.sql.window import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("band", "slice").orderBy("doc_id")
+    )
+    return (
+        banded.withColumn("_rk", rk)
+        .filter(F.col("_rk") <= cap)
+        .select(F.col("doc_id").alias("doc_a"), "band", "slice")
+    )
+
+
 def minhash_lsh_pairs(
     signed: DataFrame,
     num_perm: int = MINHASH_PERMS,
@@ -416,16 +436,7 @@ def minhash_lsh_pairs(
     signed = signed.localCheckpoint(eager=True)  # banded self-join + two shingle joins; GC-owned
     banded = _banded(signed, num_perm, bands)
     if max_bucket_width is not None:
-        from pyspark.sql.window import Window
-
-        rk = F.row_number().over(
-            Window.partitionBy("band", "slice").orderBy("doc_id")
-        )
-        a = (
-            banded.withColumn("_rk", rk)
-            .filter(F.col("_rk") <= max_bucket_width)
-            .select(F.col("doc_id").alias("doc_a"), "band", "slice")
-        )
+        a = _capped_source(banded, max_bucket_width)
     else:
         a = banded.select(F.col("doc_id").alias("doc_a"), "band", "slice")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "slice")
@@ -548,18 +559,9 @@ def lsh_band_stats(
         "candidates_per_doc": round(cand / max(1, n_docs), 4),
     }
     if max_bucket_width is not None:
-        from pyspark.sql.window import Window
-
-        rk = F.row_number().over(
-            Window.partitionBy("band", "slice").orderBy("doc_id")
-        )
-        a_cap = (
-            banded.withColumn("_rk", rk)
-            .filter(F.col("_rk") <= max_bucket_width)
-            .select(F.col("doc_id").alias("doc_a"), "band", "slice")
-        )
         capped = (
-            a_cap.join(b, ["band", "slice"])
+            _capped_source(banded, max_bucket_width)
+            .join(b, ["band", "slice"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
             .distinct()

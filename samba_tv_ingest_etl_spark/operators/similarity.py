@@ -1093,8 +1093,8 @@ def semdedup_drops(
     O(tile·n_c) peak memory — a skewed cluster can never allocate an
     n_c² matrix in one worker; groups beyond ``max_cluster_rows``
     raise, naming the cluster — or, with ``on_oversized='split'``,
-    shard across block-pair tasks by ``vec_id % g`` and re-aggregate
-    the per-doc partials, completing with the EXACT same drop set
+    shard across block-pair tasks by ``hash(vec_id) % g`` and
+    re-aggregate the per-doc partials, completing with the EXACT same drop set
     instead of aborting a fleet job on one degenerate cluster; see
     ``_split_prune``) and emits the per-doc aggregate
     directly — no pair rows ever shuffle and no
@@ -1217,7 +1217,7 @@ def _split_prune(
 ) -> DataFrame:
     """Exact SemDeDup prune for clusters BIGGER than one task's
     group cap: shard the cluster into ``g = ceil(m / cap)`` blocks by
-    ``vec_id % g`` and run every unordered block pair (i <= j) as its
+    ``hash(vec_id) % g`` and run every unordered block pair (i <= j) as its
     own ``applyInPandas`` group — the diagonal group is the usual
     within-set pass, an off-diagonal group scores both directions
     (ids interleave across hash blocks, so each side can dominate the
@@ -1229,15 +1229,23 @@ def _split_prune(
     ~g²/2 bounded tasks instead of one impossible task. Each row is
     replicated g times (its block appears in g block pairs): the
     quadratic COMPUTE of a degenerate cluster is inherent to the
-    semantics; what the split fixes is that no single task ever holds
-    more than 2·cap rows.
+    semantics; what the split fixes is per-task memory. Blocks hash
+    on the PORTABLE 60-bit id hash, not raw ``vec_id % g`` — raw
+    modulo silently collapses on structured ids (all-even ids with
+    g=2 put the whole cluster in one block, recreating exactly the
+    unbounded task this path exists to prevent) — and the kernel
+    ENFORCES the balance: a group beyond 8·cap+32 rows raises,
+    naming the cluster, instead of proceeding to an OOM.
 
     ``over``: (cluster, vec_id, q, norm2, g) — g precomputed per
     oversized cluster by the caller from the bounded size pull."""
     import numpy as np
     import pandas as pd
 
-    b = F.pmod(F.col("vec_id"), F.col("g")).cast("int")
+    from .sketch import portable_hash60
+
+    guard_rows = 8 * max_cluster_rows + 32
+    b = F.pmod(portable_hash60(F.col("vec_id")), F.col("g")).cast("int")
     over = over.withColumn("b", b)
     # membership list of row -> block pairs: (b, j) for j in b..g-1
     # plus (i, b) for i in 0..b-1. The b > 0 guard matters: Spark's
@@ -1281,6 +1289,14 @@ def _split_prune(
         cols = ["vec_id", "cluster", "n_dominators", "max_cos_scaled"]
         if len(pdf) < 2:
             return pd.DataFrame({c: [] for c in cols})
+        if len(pdf) > guard_rows:
+            raise ValueError(
+                f"SemDeDup split block pair for cluster "
+                f"{int(pdf['cluster'].iloc[0])} holds {len(pdf)} rows "
+                f"> {guard_rows} (8*max_cluster_rows+32): the hash "
+                "blocks are pathologically unbalanced — raise "
+                "max_cluster_rows or investigate the id distribution"
+            )
         bi = int(pdf["bi"].iloc[0])
         bj = int(pdf["bj"].iloc[0])
         cluster = pdf["cluster"].iloc[0]

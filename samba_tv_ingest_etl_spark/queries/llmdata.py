@@ -262,13 +262,23 @@ def q22_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_BUCKET_CAP = 16
 
 
-def _minhash_capped_oracle() -> str:
+def _minhash_capped_oracle(
+    corpus_sql: str | None = None, cap: int | None = None
+) -> str:
+    """Parametrized so a pytest can run the SAME rank-rule SQL on a
+    constructed corpus whose buckets EXCEED the cap: at driver-parity
+    scale every bucket fits under q108's cap (capped == uncapped), so
+    the over-cap branch would otherwise be pinned only Spark-vs-Spark
+    (``test_dedup_skew.py::test_bucket_cap_rank_rule_matches_duckdb``
+    closes that)."""
+    corpus_sql = _PREFIX_SQL if corpus_sql is None else corpus_sql
+    cap = _LSH_BUCKET_CAP if cap is None else cap
     perms = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(D._minhash_coeffs(D.MINHASH_PERMS))
     )
     rows = D.MINHASH_PERMS // D.MINHASH_BANDS
     return f"""
-WITH {_PREFIX_SQL}, {_SHINGLE_SQL},
+WITH {corpus_sql}, {_SHINGLE_SQL},
 hashed AS (
   SELECT doc_id,
          CAST(concat('0x', substr(sha256(shingle), 1, 15)) AS BIGINT)
@@ -297,7 +307,7 @@ cand AS (
   FROM ranked a
   JOIN banded b ON a.band = b.band AND a.key = b.key
               AND a.doc_id < b.doc_id
-  WHERE a.rk <= {_LSH_BUCKET_CAP}
+  WHERE a.rk <= {cap}
 ),
 ver AS (
   SELECT c.doc_a, c.doc_b,
@@ -1120,7 +1130,7 @@ def q109_semdedup_split_prune(
 ) -> DataFrame:
     """q76 driven through the oversized-cluster SPLIT path: an
     aggressively small ``max_cluster_rows`` forces every cluster
-    beyond 10 members to shard into ``vec_id % g`` block-pair tasks
+    beyond 10 members to shard into ``hash(vec_id) % g`` block-pair tasks
     (``on_oversized='split'``), whose per-doc dominator partials
     re-aggregate with order-free sum/max. The result is bit-identical
     to the unsplit prune by construction, so this shares q76's

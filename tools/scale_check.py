@@ -29,31 +29,40 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE, sample_query  # noqa: E402
 from samba_tv_ingest_etl_spark import queries as Q  # noqa: E402
 from samba_tv_ingest_etl_spark.plans.audit import audit_plan  # noqa: E402
 from samba_tv_ingest_etl_spark.session import get_spark  # noqa: E402
 
 
-def _run_set(spark, sf_dir: str, names: list[str], runs: int = 3) -> dict[str, float]:
+def _run_set(
+    spark, sf_dir: str, names: list[str], runs: int = 3
+) -> tuple[dict[str, float], dict[str, float], list[str]]:
+    """Timings + spreads + noisy list via bench.sample_query — the
+    SAME spread-disciplined sampling the headline bench emits, so a
+    contended scale run cannot ship an unflagged per-query table
+    (this path writes the committed BENCH_<label>.json)."""
     registry = Q.registry()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    noisy: list[str] = []
     for name in names:
-        fn = registry[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        best = float("inf")
-        for _ in range(runs):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        best, spread, is_noisy = sample_query(
+            spark, registry[name], sf_dir, runs=runs
+        )
         timings[name] = round(best, 4)
-        print(f"    {name}: {best:.3f}s", file=sys.stderr)
-    return timings
+        spreads[name] = round(spread, 2)
+        if is_noisy:
+            noisy.append(name)
+        flag = "  NOISY" if is_noisy else ""
+        print(
+            f"    {name}: {best:.3f}s (spread {spread:.2f}){flag}",
+            file=sys.stderr,
+        )
+    return timings, spreads, noisy
 
 
 def _audit_all(spark, sf_dir: str) -> dict[str, dict[str, int]]:
@@ -105,10 +114,11 @@ def main() -> None:
 
     spark = get_spark("scale-check")
     registry = Q.registry()
-    wanted = HEADLINE + [
-        q for q in args.extra_queries.split(",") if q
-    ]
-    names = [n for n in wanted if n in registry]
+    extras = [q.strip() for q in args.extra_queries.split(",") if q.strip()]
+    unknown = [q for q in extras if q not in registry]
+    if unknown:
+        ap.error(f"--extra-queries not in registry: {unknown}")
+    names = [n for n in HEADLINE if n in registry] + extras
 
     # shared warmup (JVM, codegen, Arrow worker pool)
     registry[names[0]](spark, args.base).write.format("noop").mode("overwrite").save()
@@ -117,9 +127,11 @@ def main() -> None:
     ).mode("overwrite").save()
 
     print(f"== {args.base_label} bench (same-box reference)", file=sys.stderr)
-    t_base = _run_set(spark, args.base, names, args.runs)
+    t_base, _, _ = _run_set(spark, args.base, names, args.runs)
     print(f"== {args.big_label} bench", file=sys.stderr)
-    t_big = _run_set(spark, args.big, names, args.runs)
+    t_big, spread_big, noisy_big = _run_set(
+        spark, args.big, names, args.runs
+    )
 
     audit_base = {} if args.skip_audit else _audit_all(spark, args.base)
     audit_big = {} if args.skip_audit else _audit_all(spark, args.big)
@@ -156,6 +168,11 @@ def main() -> None:
         "sf": args.big_sf,
         "loadavg_1m_before": load_before,
         "loadavg_1m_after": load_after,
+        "contended": load_before > float(
+            os.environ.get("SPARK_GRAFT_LOAD_GATE", "3.0")
+        ),
+        "spread": spread_big,
+        "noisy": sorted(noisy_big),
     }
     with open(args.bench_out, "w") as f:
         f.write(json.dumps(bench_big) + "\n")
