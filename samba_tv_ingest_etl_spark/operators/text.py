@@ -79,6 +79,73 @@ def word_shingles(toks: Column, n: int) -> Column:
     )
 
 
+def ngram_occurrences(toks: Column, n: int) -> Column:
+    """ALL word n-grams with multiplicity (``word_shingles`` dedups —
+    repetition filters need the counts). Empty array when the doc has
+    fewer than n tokens. ``toks`` must be a materialized column (see
+    ``tokens``)."""
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.element_at(toks, i + 1 + j) for j in range(n)]
+        )
+
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_counts(grams: Column) -> Column:
+    """``struct(top: long, dup: long)`` over an n-gram array: ``top`` =
+    occurrences of the single most frequent gram, ``dup`` = total
+    occurrences belonging to grams that appear >= 2 times — the two
+    statistics behind the Gopher/MassiveText repetition filters
+    (Rae et al. 2021, "Scaling Language Models", table A1: "fraction
+    of characters in most frequent n-gram" / "in duplicated
+    n-grams").
+
+    Scale shape: ``array_sort`` + one ``aggregate`` pass counting
+    runs of equal neighbours — per-row, JVM-side Catalyst
+    expressions, ZERO shuffle (the explode + groupBy(doc, gram)
+    alternative ships every gram through an exchange; per-doc
+    statistics never need one). O(g log g) per doc; doc length is
+    bounded by the ingest contract, not the corpus size, so this
+    holds at 100 TB."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        # 2nd occurrence retro-counts the 1st into dup (run 1 -> 2
+        # adds 2); every later occurrence adds itself (1).
+        dup_inc = F.when(
+            same, F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1))
+        ).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["top"], run).alias("top"),
+            (acc["dup"] + dup_inc).cast("long").alias("dup"),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams),
+        zero,
+        step,
+        lambda acc: F.struct(
+            acc["top"].alias("top"), acc["dup"].alias("dup")
+        ),
+    )
+
+
 def affine_hash(rank: Column, a: int, b: int) -> Column:
     """``(a*rank + b) mod P`` — the portable mixing function. The rank
     is widened to long first: int32 * int32 silently wraps in

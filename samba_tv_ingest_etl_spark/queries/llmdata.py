@@ -3068,3 +3068,123 @@ def q111_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     return placed.filter(
         F.col("cum_before") + F.col("n_tokens") <= F.lit(_TOKEN_BUDGET)
     ).select("doc_id", "score_milli", "n_tokens", "cum_before")
+
+
+# ---------------------------------------------------------------- q112
+
+# planted repetition loops: every 30th doc re-appears with its first
+# 5 whitespace tokens repeated 12x — a degenerate "stuck generator"
+# document that trips both filter rules (the natural corpus never
+# does: max top-bigram fraction is ~17% at sf0.01, thresholds 20%/30%)
+_LOOP_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         rtrim(repeat(array_to_string(
+           list_slice(string_split(text, ' '), 1, 5), ' ') || ' ', 12))
+  FROM documents WHERE doc_id % 30 = 0
+)
+"""
+
+_REP_ORACLE = f"""
+WITH {_LOOP_SQL},
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM corpus
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM t WHERE len(toks) >= 2
+),
+a2 AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+  GROUP BY 1
+),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' '
+                             || toks[i+2])) AS g
+  FROM t WHERE len(toks) >= 3
+),
+a3 AS (
+  SELECT doc_id,
+         CAST(COALESCE(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT)
+           AS dup,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT c.doc_id,
+       COALESCE(a2.n, 0) AS n_bigrams,
+       COALESCE(a2.top, 0) AS top_bigram_n,
+       COALESCE(a3.n, 0) AS n_trigrams,
+       COALESCE(a3.dup, 0) AS dup_trigram_n,
+       (COALESCE(a2.top, 0) * 5 <= COALESCE(a2.n, 0)
+        AND COALESCE(a3.dup, 0) * 10 <= COALESCE(a3.n, 0) * 3) AS keep
+FROM corpus c
+LEFT JOIN a2 ON c.doc_id = a2.doc_id
+LEFT JOIN a3 ON c.doc_id = a3.doc_id
+"""
+
+
+@query("q112_repetition_filters", oracle=_REP_ORACLE)
+def q112_repetition_filters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Intra-document repetition filters (Gopher/MassiveText, Rae et
+    al. 2021 table A1): per doc, the occurrence count of the most
+    frequent word-2gram and the total occurrences in duplicated
+    word-3grams; ``keep`` = top-2gram share <= 20% AND duplicated-
+    3gram share <= 30% (exact integer comparisons, never float).
+    Catches "stuck generator" / boilerplate-loop documents that
+    doc-level dedup (q20-q23) can't see because each looping doc is
+    globally unique.
+
+    Scale shape: tokenize -> n-gram arrays -> per-row sorted-run
+    ``aggregate`` (operators/text.repetition_counts) — every
+    statistic is per-document, so the whole filter is a narrow map
+    with ZERO shuffle and no explode; at 100 TB it pipelines with
+    the scan. The oracle computes the same counts by explode +
+    GROUP BY, pinning the run-counting kernel against a second
+    engine's hash aggregate."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.expr(
+            "rtrim(repeat(concat(array_join("
+            "slice(split(text, ' '), 1, 5), ' '), ' '), 12))"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    toks = corpus.select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        X.ngram_occurrences(F.col("toks"), 2).alias("g2"),
+        X.ngram_occurrences(F.col("toks"), 3).alias("g3"),
+    )
+    counted = grams.select(
+        "doc_id",
+        F.size("g2").cast("long").alias("n_bigrams"),
+        X.repetition_counts(F.col("g2")).alias("c2"),
+        F.size("g3").cast("long").alias("n_trigrams"),
+        X.repetition_counts(F.col("g3")).alias("c3"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_bigrams",
+        F.col("c2.top").alias("top_bigram_n"),
+        "n_trigrams",
+        F.col("c3.dup").alias("dup_trigram_n"),
+        (
+            (F.col("c2.top") * 5 <= F.col("n_bigrams"))
+            & (F.col("c3.dup") * 10 <= F.col("n_trigrams") * 3)
+        ).alias("keep"),
+    )

@@ -555,3 +555,64 @@ def test_semdedup_drops_subset_of_allpairs(spark):
         assert vec_id in pair_best
         # the within-cluster witness can't beat the corpus-wide best
         assert max_cos <= pair_best[vec_id]
+
+
+# ---------------------------------------------------------- repetition
+
+
+def test_repetition_counts_kernel(spark):
+    # hand-computable cases: (grams, expected_top, expected_dup)
+    cases = [
+        ([], 0, 0),                                   # empty
+        (["a b"], 1, 0),                              # single gram
+        (["a b", "c d", "e f"], 1, 0),                # all unique
+        (["a b", "a b", "c d"], 2, 2),                # one pair
+        (["a b", "a b", "a b"], 3, 3),                # one triple
+        (["a b", "c d", "a b", "c d", "x y"], 2, 4),  # two pairs
+    ]
+    df = spark.createDataFrame(
+        [(i, g) for i, (g, _, _) in enumerate(cases)],
+        "i int, grams array<string>",
+    )
+    out = {
+        r["i"]: (r["c"]["top"], r["c"]["dup"])
+        for r in df.select(
+            "i", X.repetition_counts(F.col("grams")).alias("c")
+        ).collect()
+    }
+    for i, (_, top, dup) in enumerate(cases):
+        assert out[i] == (top, dup), f"case {i}: {out[i]} != {(top, dup)}"
+
+
+def test_ngram_occurrences_keeps_multiplicity(spark):
+    df = spark.createDataFrame([(1, "a b a b a")], ["doc_id", "text"])
+    toks = df.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    g2 = toks.select(
+        X.ngram_occurrences(F.col("toks"), 2).alias("g")
+    ).collect()[0]["g"]
+    assert g2 == ["a b", "b a", "a b", "b a"]  # word_shingles would dedup
+    g9 = toks.select(
+        X.ngram_occurrences(F.col("toks"), 9).alias("g")
+    ).collect()[0]["g"]
+    assert g9 == []  # doc shorter than n -> empty, not null
+
+
+def test_repetition_filters_drop_planted_loops(spark):
+    from samba_tv_ingest_etl_spark.queries import registry
+
+    from .conftest import SF_DIR_ORACLE
+
+    out = registry()["q112_repetition_filters"](
+        spark, SF_DIR_ORACLE
+    ).collect()
+    planted = [r for r in out if r["doc_id"] >= 300000]
+    natural = [r for r in out if r["doc_id"] < 300000]
+    assert planted, "expected planted loop docs in the corpus"
+    # every planted loop doc trips the filters; natural corpus is clean
+    assert all(not r["keep"] for r in planted)
+    assert all(r["keep"] for r in natural)
+    # planted docs are 5-token cycles repeated 12x: every trigram is
+    # duplicated, so dup_trigram_n == n_trigrams
+    assert all(
+        r["dup_trigram_n"] == r["n_trigrams"] for r in planted
+    )
