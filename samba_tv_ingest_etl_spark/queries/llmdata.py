@@ -3188,3 +3188,71 @@ def q112_repetition_filters(
             & (F.col("c3.dup") * 10 <= F.col("n_trigrams") * 3)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------- q113
+
+_REDACT_ORACLE = f"""
+WITH {_PII_SQL},
+red AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+           AS n_redacted,
+         regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g')
+           AS redacted_text
+  FROM corpus
+)
+SELECT doc_id, n_redacted, redacted_text,
+       CAST(len(regexp_extract_all(redacted_text, '{_EMAIL_RE}'))
+            AS BIGINT) AS residual_pii
+FROM red WHERE n_redacted > 0
+"""
+
+
+@query("q113_pii_redaction", oracle=_REDACT_ORACLE)
+def q113_pii_redaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PII redaction transform — the output half of the q53 audit:
+    every email-pattern match is replaced with a ``<EMAIL>`` token
+    and the transformed text is emitted alongside a residual rescan
+    that must count zero (the output self-checks). Shares q53's
+    planted corpus and RE2/Java-portable regex. Narrow per-row
+    ``regexp_replace`` map — JVM codegen, zero shuffle; at 100 TB it
+    pipelines with the scan and feeds the writer directly. The
+    checked rows are the redacted docs themselves (ids, counts, and
+    full masked text), so the oracle pins the exact replacement
+    semantics, not just the match counts."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 40 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@test.org today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    red = docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE))
+        .cast("long")
+        .alias("n_redacted"),
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>").alias(
+            "redacted_text"
+        ),
+    )
+    return red.filter(F.col("n_redacted") > 0).select(
+        "doc_id",
+        "n_redacted",
+        "redacted_text",
+        F.regexp_count(F.col("redacted_text"), F.lit(_EMAIL_RE))
+        .cast("long")
+        .alias("residual_pii"),
+    )
