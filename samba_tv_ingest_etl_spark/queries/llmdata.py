@@ -3256,3 +3256,69 @@ def q113_pii_redaction(
         .cast("long")
         .alias("residual_pii"),
     )
+
+
+# ---------------------------------------------------------------- q114
+
+_SHARD_BYTES = 10_000  # ~16 shards over the fixture corpus
+
+_SHARD_ORACLE = f"""
+WITH placed AS (
+  SELECT doc_id, n_chars,
+         CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM documents
+)
+SELECT CAST(cum_before // {_SHARD_BYTES} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM placed GROUP BY 1
+"""
+
+
+@query("q114_shard_manifest", oracle=_SHARD_ORACLE)
+def q114_shard_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Size-targeted export sharding (WebDataset/MDS-style): lay the
+    corpus end to end in doc_id order and assign each doc to the
+    shard covering its start offset (``cum_before DIV shard_bytes``
+    — exact integer division, never float floor), then emit the
+    shard manifest: doc count, byte sum, first/last doc per shard.
+    Every dataloader-facing export needs this step; the manifest IS
+    the index readers seek by.
+
+    Scale shape: the exclusive byte prefix-sum reuses the two-phase
+    ``global_cumsum`` with a dense-int bucket (``doc_id DIV 64`` —
+    monotone in the order key), so the whole pass is ONE hash
+    exchange plus the manifest aggregate; no SinglePartition window
+    (same machinery as q87/q111, applied to the writer side). The
+    checked manifest pins exact shard boundaries, so any drift in
+    the prefix-sum machinery fails the gate."""
+    from ..operators.packing import global_cumsum
+
+    docs = _documents(spark, sf_dir).select("doc_id", "n_chars")
+    placed = global_cumsum(
+        docs,
+        value_col="n_chars",
+        order_col="doc_id",
+        out_col="cum_before",
+        bucket_of=F.expr("doc_id DIV 64"),
+    )
+    return (
+        placed.select(
+            F.expr(f"cum_before DIV {_SHARD_BYTES}").alias("shard_id"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )
