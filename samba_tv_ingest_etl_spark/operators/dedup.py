@@ -656,3 +656,82 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def duplicated_spans(
+    toks_df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-corpus duplicated-substring spans (ExactSubstr dedup,
+    Lee et al. 2021, arXiv:2107.06499): a token position ``pos`` in a
+    document is *duplicated* when the ``k``-token gram starting there
+    occurs at least ``min_count`` times in the whole corpus (any doc,
+    including the same one). Overlapping/adjacent duplicated grams
+    merge into maximal spans (gap > ``k`` starts a new span).
+
+    Input: ``(doc_id, toks)`` with ``toks`` a materialized token
+    array (see ``text.tokens``). Output per doc that has >= 1
+    duplicated gram: ``n_dup_grams`` (duplicated positions),
+    ``n_spans`` (maximal merged spans), ``dup_tokens`` (tokens
+    covered by the union of the ``[pos, pos+k)`` intervals) — all
+    exact integers.
+
+    Scale shape: the counting shuffle carries ``(xxhash64(gram))``
+    only — never gram text; hashes seen >= ``min_count`` times are a
+    tiny set (dup density), so the join back is AQE-broadcast, and
+    the *exact* re-count by gram string (the q21/jaccard discipline:
+    prefilter by hash, verify exact) only ever touches candidate
+    rows. Span merge is a lag/sum window partitioned by ``doc_id`` —
+    no single-partition stage anywhere. At 100 TB the gram explode
+    is the dominant cost and is O(total tokens), the same bound as
+    the suffix-array construction it replaces.
+    """
+    from pyspark.sql import Window
+
+    def gram(toks):
+        def at(i):
+            return F.concat_ws(
+                " ", *[F.element_at(toks, i + 1 + j) for j in range(k)]
+            )
+
+        return F.when(
+            F.size(toks) >= k,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - k), at),
+        ).otherwise(F.array().cast("array<string>"))
+
+    g = toks_df.select(
+        "doc_id",
+        F.posexplode(gram(F.col("toks"))).alias("pos", "gram"),
+    ).withColumn("h", F.xxhash64("gram"))
+    hot_h = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    cand = g.join(hot_h, "h")  # small right side -> AQE broadcast
+    dup_gram = (
+        cand.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)  # exact re-count, no hash trust
+        .select("gram")
+    )
+    pos_df = cand.join(dup_gram, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = pos_df.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w))
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("p0"),
+        F.max("pos").alias("p1"),
+        F.count(F.lit(1)).alias("npos"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.sum("npos").cast("long").alias("n_dup_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("p1") - F.col("p0") + k).cast("long").alias(
+            "dup_tokens"
+        ),
+    )

@@ -3322,3 +3322,274 @@ def q114_shard_manifest(
             F.max("doc_id").cast("long").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------- q115
+
+_SPAN_K = 8
+
+# chimera corpus: every 40th long-enough doc re-appears as two
+# 12-token windows copied from itself (tokens 1-12 and 41-52) glued
+# with 9 globally-unique filler tokens — a doc that is globally
+# unique as a WHOLE (doc-level dedup q20-q23 keeps it) yet is 73%
+# copied material, exactly what ExactSubstr span dedup exists to
+# catch. Each chimera yields two maximal spans, exercising the
+# interval-merge path the natural corpus (full-doc copies) doesn't.
+_SPAN_SQL = f"""
+t0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+t AS (
+  SELECT doc_id, toks FROM t0
+  UNION ALL
+  SELECT doc_id + 400000,
+         list_concat(list_concat(
+           list_slice(toks, 1, 12),
+           list_transform(range(1, 10),
+             i -> 'zq' || CAST(doc_id AS VARCHAR) || 'x'
+                  || CAST(i AS VARCHAR))),
+           list_slice(toks, 41, 52))
+  FROM t0 WHERE doc_id % 40 = 0 AND len(toks) >= 52
+)
+"""
+
+_SPAN_ORACLE = f"""
+WITH {_SPAN_SQL},
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + {_SPAN_K} - 1), ' ')
+           AS gram
+  FROM t, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(toks) >= {_SPAN_K}
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w > {_SPAN_K} THEN 1 ELSE 0 END
+           AS brk
+  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS p0, max(pos) AS p1,
+         count(*) AS npos
+  FROM isl2 GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(npos) AS BIGINT) AS n_dup_grams,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(p1 - p0 + {_SPAN_K}) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       COALESCE(d.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(d.n_spans, 0) AS n_spans,
+       COALESCE(d.dup_tokens, 0) AS dup_tokens,
+       COALESCE(d.dup_tokens, 0) * 2 <= CAST(len(t.toks) AS BIGINT)
+         AS keep
+FROM t LEFT JOIN per_doc d USING (doc_id)
+"""
+
+
+@query("q115_substring_span_dedup", oracle=_SPAN_ORACLE)
+def q115_substring_span_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicated-substring span dedup (ExactSubstr, Lee et al. 2021,
+    arXiv:2107.06499): a token position is duplicated when its
+    8-token gram occurs >= 2 times corpus-wide; overlapping grams
+    merge into maximal spans; ``keep`` = duplicated coverage <= 50%
+    of the doc (exact integer comparison). Catches documents that
+    are globally unique as a whole but mostly copied material — the
+    gap doc-level dedup (q20-q23) and intra-doc repetition (q112)
+    both leave open.
+
+    Scale shape (operators/dedup.duplicated_spans): the counting
+    shuffle carries xxhash64 only, candidates re-counted by EXACT
+    gram string (q21's prefilter-then-verify discipline, so the
+    checked output never trusts a hash), span merge is a
+    doc-partitioned window — no single-partition stage. The oracle
+    recomputes spans via gaps-and-islands SQL, pinning the interval
+    merge against a second engine."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    t0 = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    filler = F.transform(
+        F.sequence(F.lit(1), F.lit(9)),
+        lambda i: F.concat(
+            F.lit("zq"),
+            F.col("doc_id").cast("string"),
+            F.lit("x"),
+            i.cast("string"),
+        ),
+    )
+    planted = t0.filter(
+        (F.col("doc_id") % 40 == 0) & (F.size("toks") >= 52)
+    ).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(
+            F.slice(F.col("toks"), 1, 12),
+            filler,
+            F.slice(F.col("toks"), 41, 12),
+        ).alias("toks"),
+    )
+    corpus = t0.unionByName(planted)
+    stats = D.duplicated_spans(corpus, k=_SPAN_K)
+    return (
+        corpus.select(
+            "doc_id", F.size("toks").cast("long").alias("n_tokens")
+        )
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)) * 2
+                <= F.col("n_tokens")
+            ).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q116
+
+_CMN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM occ GROUP BY 1, 2),
+vocab AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM tf GROUP BY 1),
+d AS (
+  SELECT tf.doc_id, CAST(sum(tf.c * v.ct) AS BIGINT) AS score_sum
+  FROM tf JOIN vocab v USING (tok) GROUP BY 1
+),
+s AS (
+  SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         d.score_sum,
+         CAST(d.score_sum * 1000 // len(t.toks) AS BIGINT)
+           AS commonness
+  FROM t JOIN d USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY commonness, doc_id) - 1
+           AS rnk,
+         count(*) OVER () AS n
+  FROM s
+)
+SELECT doc_id, n_tokens, score_sum, commonness,
+       CAST((rnk * 3) // n AS BIGINT) AS bucket
+FROM r
+"""
+
+
+@query("q116_commonness_buckets", oracle=_CMN_ORACLE)
+def q116_commonness_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM quality bucketing (CCNet, Wenzek et al. 2019,
+    arXiv:1911.00359 §3: score every doc under a corpus LM, split
+    into head/middle/tail terciles). Perplexity under a unigram MLE
+    model orders docs identically to mean log-frequency of their
+    tokens; this implementation ranks by the integer surrogate
+    ``commonness = (sum of corpus counts of the doc's token
+    occurrences) * 1000 div n_tokens`` — monotone in mean token
+    frequency, EXACT integer arithmetic end to end (a float
+    log-domain score would make tercile membership depend on
+    last-ulp libm differences across engines). bucket 0 = tail
+    (rarest tokens), 2 = head.
+
+    Scale shape: per-(doc, token) counts first (map-side combine
+    collapses hot tokens before any join), vocab totals from the
+    same tf table, the tf-to-vocab join is the classic TF-DF shape
+    (q46) where AQE handles hot-token skew, and the global tercile
+    rank runs through the two-phase ``global_cumsum`` — never a
+    single-partition window. Range-guarded packed order key as in
+    q87/q111; overflow raises instead of mis-ranking."""
+    from ..operators.packing import global_cumsum
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    occ = toks.select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    tf = occ.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = tf.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("ct")
+    )
+    d = (
+        tf.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("ct")).cast("long").alias(
+            "score_sum"
+        ))
+    )
+    s = (
+        toks.select(
+            "doc_id", F.size("toks").cast("long").alias("n_tokens")
+        )
+        .join(d, "doc_id")
+        .withColumn(
+            "commonness",
+            F.expr("(score_sum * 1000) div n_tokens").cast("long"),
+        )
+    )
+    # packed unique order key (commonness, doc_id), range-guarded:
+    # commonness * 10^7 + doc_id stays under 2^63 only while
+    # commonness < ~9.2e11 and doc_id < 10^7 — raise loudly beyond
+    checked_id = F.when(
+        F.col("doc_id").between(0, 10_000_000 - 1)
+        & F.col("commonness").between(0, 922_000_000_000 - 1)
+        & F.col("score_sum").between(0, (1 << 53)),
+        F.col("doc_id"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q116 order-key out of range: doc_id="),
+                F.col("doc_id").cast("string"),
+                F.lit(" commonness="),
+                F.col("commonness").cast("string"),
+            )
+        )
+    )
+    key = (
+        F.col("commonness") * F.lit(10_000_000) + checked_id
+    ).alias("_ord")
+    ranked = global_cumsum(
+        s.select(
+            "doc_id", "n_tokens", "score_sum", "commonness", key,
+            F.lit(1).alias("_one"),
+        ),
+        value_col="_one",
+        order_col="_ord",
+        out_col="_rank0",
+    )
+    n_docs = docs.count()  # driver scalar (T5 pattern); one cheap job
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "score_sum",
+        "commonness",
+        F.expr(f"(_rank0 * 3) div {n_docs}").cast("long").alias(
+            "bucket"
+        ),
+    )

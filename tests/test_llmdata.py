@@ -616,3 +616,112 @@ def test_repetition_filters_drop_planted_loops(spark):
     assert all(
         r["dup_trigram_n"] == r["n_trigrams"] for r in planted
     )
+
+
+# ---------------------------------------------------------- span dedup
+
+
+def test_duplicated_spans_kernel(spark):
+    from samba_tv_ingest_etl_spark.operators.dedup import duplicated_spans
+
+    # k=3 hand corpus. Docs 1 and 2 share two windows ("a b c d" at
+    # the head, "x y z" at the tail) separated by unique middles ->
+    # two maximal spans each. Doc 3 is fully unique -> no row.
+    rows = [
+        (1, "a b c d m1 m2 m3 m4 x y z".split()),
+        (2, "a b c d n1 n2 n3 n4 x y z".split()),
+        (3, "p q r s t u v w".split()),
+    ]
+    toks = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    out = {
+        r["doc_id"]: (r["n_dup_grams"], r["n_spans"], r["dup_tokens"])
+        for r in duplicated_spans(toks, k=3).collect()
+    }
+    # shared 3-grams per doc: "a b c","b c d" (head) + "x y z" (tail)
+    assert out[1] == (3, 2, 7)  # spans [0,4) + [8,11) -> 4+3 tokens
+    assert out[2] == (3, 2, 7)
+    assert 3 not in out
+
+
+def test_duplicated_spans_adjacent_windows_merge(spark):
+    from samba_tv_ingest_etl_spark.operators.dedup import duplicated_spans
+
+    # doc 2 copies doc 1's tokens 0..5 AND 6..11 (adjacent in doc 1):
+    # in doc 1 the duplicated grams tile the whole doc -> ONE span.
+    d1 = "a b c d e f g h i j k l".split()
+    rows = [
+        (1, d1),
+        (2, d1[0:6] + ["u1", "u2", "u3", "u4"] + d1[6:12]),
+    ]
+    toks = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    out = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"])
+        for r in duplicated_spans(toks, k=3).collect()
+    }
+    # doc 1: dup gram starts {0..3, 6..9}; gap 6-3=3 == k -> merged,
+    # one span [0, 12) covering all 12 tokens
+    assert out[1] == (1, 12)
+    # doc 2: copies at {0..3} and {10..13} -> gap 7 > k -> two spans
+    assert out[2] == (2, 12)
+
+
+def test_substring_span_dedup_chimeras(spark):
+    from samba_tv_ingest_etl_spark.queries import registry
+
+    from .conftest import SF_DIR_ORACLE
+
+    out = registry()["q115_substring_span_dedup"](
+        spark, SF_DIR_ORACLE
+    ).collect()
+    chimeras = [r for r in out if r["doc_id"] >= 400000]
+    assert chimeras, "expected planted chimera docs"
+    for r in chimeras:
+        # two 12-token copied windows glued by 9 unique fillers
+        assert r["n_tokens"] == 33
+        assert r["n_spans"] == 2
+        assert r["dup_tokens"] == 24
+        assert not r["keep"]  # 24*2 > 33
+    # every chimera's SOURCE doc has its two copied windows marked;
+    # a source that is ALSO a natural full-copy dup shows one
+    # whole-doc span instead (the chimera windows merge into it)
+    by_id = {r["doc_id"]: r for r in out}
+    two_span_sources = 0
+    for r in chimeras:
+        src = by_id[r["doc_id"] - 400000]
+        assert src["dup_tokens"] >= 24
+        if src["n_spans"] >= 2:
+            two_span_sources += 1
+            # 24 copied tokens of a >= 52-token doc: under 50%, kept
+            assert src["keep"]
+        else:
+            # whole-doc natural dup swallowed the windows
+            assert src["dup_tokens"] >= src["n_tokens"] - 1
+    assert two_span_sources >= 1
+
+
+# ---------------------------------------------------------- commonness
+
+
+def test_commonness_buckets_terciles(spark):
+    from samba_tv_ingest_etl_spark.queries import registry
+
+    from .conftest import SF_DIR_ORACLE
+
+    out = registry()["q116_commonness_buckets"](
+        spark, SF_DIR_ORACLE
+    ).collect()
+    n = len(out)
+    assert n > 0
+    sizes = {b: 0 for b in (0, 1, 2)}
+    for r in out:
+        sizes[r["bucket"]] += 1
+    # tercile sizes differ by at most 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == n
+    # bucket is monotone in (commonness, doc_id) order
+    ordered = sorted(out, key=lambda r: (r["commonness"], r["doc_id"]))
+    buckets = [r["bucket"] for r in ordered]
+    assert buckets == sorted(buckets)
+    # commonness is the exact integer surrogate
+    for r in ordered[:20]:
+        assert r["commonness"] == r["score_sum"] * 1000 // r["n_tokens"]
