@@ -419,12 +419,15 @@ def hashed_linear_score(
     text_col: str,
     weights: list[int],
     intercept: int = 0,
+    keep: tuple = (),
 ) -> DataFrame:
     """FastText-style linear text classifier over hashed bag-of-words
     features: token -> 60-bit portable sha256 hash -> bucket
     ``h % len(weights)`` -> weight lookup in a literal array compiled
     into the generated code; per-doc score = intercept + sum of
-    member weights. ``quality_pass`` = score >= 0.
+    member weights. ``quality_pass`` = score >= 0. Extra input
+    columns named in ``keep`` pass through unchanged (still one
+    narrow projection — no join back to re-attach them).
 
     Scale shape: completely NARROW — tokenize, hash and accumulate
     run inside one whole-stage-codegen projection per row (aggregate
@@ -435,7 +438,7 @@ def hashed_linear_score(
     d = len(weights)
     wlit = F.array(*[F.lit(int(w)).cast("long") for w in weights])
     out = df.select(
-        id_col, tokens(F.col(text_col)).alias("_toks")
+        id_col, *keep, tokens(F.col(text_col)).alias("_toks")
     )
     toks = F.col("_toks")
     bucket = lambda t: (  # noqa: E731 — portable_hash60 on a lambda var
@@ -449,6 +452,7 @@ def hashed_linear_score(
     )
     return out.select(
         id_col,
+        *keep,
         F.size(toks).cast("long").alias("n_tokens"),
         score.alias("score_milli"),
         F.when(score >= 0, F.lit(1)).otherwise(F.lit(0))

@@ -3593,3 +3593,149 @@ def q116_commonness_buckets(
             "bucket"
         ),
     )
+
+
+# ---------------------------------------------------------------- q117
+
+_DSIR_B = 256          # hashed-unigram feature buckets
+_DSIR_SCALE = 1_000_000
+_DSIR_K = 150
+_DSIR_TARGET_LANG = "en"
+
+_DSIR_BUCKET_SQL = (
+    f"('0x' || substr(sha256(tok), 1, 15))::BIGINT % {_DSIR_B}"
+)
+
+_DSIR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b
+  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)
+),
+cb AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS r,
+         CAST(count(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}')
+           AS BIGINT) AS tg
+  FROM occ GROUP BY 1
+),
+rt AS (
+  SELECT b, (tg + 1) * {_DSIR_SCALE} // (r + 1) AS ratio FROM cb
+),
+sc AS (
+  SELECT occ.doc_id, CAST(sum(rt.ratio) AS BIGINT) AS score_sum
+  FROM occ JOIN rt USING (b) GROUP BY 1
+),
+imp AS (
+  SELECT t.doc_id, t.lang, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         sc.score_sum,
+         greatest(sc.score_sum // len(t.toks), 1) AS importance
+  FROM t JOIN sc USING (doc_id)
+  WHERE len(t.toks) > 0
+),
+pri AS (
+  SELECT *,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           // importance AS priority
+  FROM imp
+)
+SELECT doc_id, lang, n_tokens, score_sum, importance, priority,
+       CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT)
+         AS rank
+FROM pri
+QUALIFY rank <= {_DSIR_K}
+"""
+
+
+@query("q117_dsir_importance_resample", oracle=_DSIR_ORACLE)
+def q117_dsir_importance_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023, arXiv:2302.03169): score every raw doc by how much it
+    looks like a target distribution under hashed bag-of-ngram
+    models, then sample with probability ~ importance weight. This
+    implementation is the exact-integer surrogate: per-bucket ratio
+    = ``(target_count+1) * 1e6 div (raw_count+1)`` (add-1 smoothed;
+    target = lang='{_DSIR_TARGET_LANG}' docs, a subset of raw so the
+    ratio is bounded by 1e6), per-doc importance = mean bucket ratio
+    over the doc's tokens (a linear rather than log-linear
+    aggregation — monotone in the same per-token evidence, no libm),
+    and selection = sequential Poisson (q102's estimator: priority =
+    hash60(id) div weight, keep the k smallest) so inclusion
+    probability ~ importance yet the sample is deterministic under
+    retries, repartitioning and engine swaps.
+
+    Scale shape: the model-build pass shuffles only 256-key partial
+    counts (map-side combine collapses each partition to <= B rows);
+    the 256-long ratio table is a bounded driver pull compiled into
+    ``hashed_linear_score``'s literal array, so SCORING 100 TB is
+    one narrow codegen map (no join to re-attach lang — the operator
+    passes it through); selection is orderBy(k).limit =
+    TakeOrderedAndProject, a distributed per-partition top-k merge,
+    never a full-corpus single-partition sort. The final rank window
+    runs over k=150 rows only."""
+    from ..operators.text import hashed_linear_score
+
+    docs = _documents(spark, sf_dir).select("doc_id", "lang", "text")
+    bucket = (
+        F.conv(
+            F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10
+        ).cast("long")
+        % F.lit(_DSIR_B)
+    ).alias("b")
+    occ = docs.select(
+        "lang", F.explode(X.tokens(F.col("text"))).alias("tok")
+    ).select(
+        bucket,
+        F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+        .otherwise(0)
+        .alias("is_t"),
+    )
+    cb = (
+        occ.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("r"),
+            F.sum("is_t").cast("long").alias("tg"),
+        )
+        .collect()  # bounded: <= _DSIR_B rows, the model artifact
+    )
+    ratios = [_DSIR_SCALE] * _DSIR_B  # unseen buckets: (0+1)/(0+1)
+    for row in cb:
+        ratios[int(row["b"])] = (
+            (row["tg"] + 1) * _DSIR_SCALE // (row["r"] + 1)
+        )
+    scored = hashed_linear_score(
+        docs, "doc_id", "text", weights=ratios, intercept=0,
+        keep=("lang",),
+    )
+    imp = (
+        scored.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.col("score_milli").alias("score_sum"),
+            F.greatest(
+                F.expr("score_milli div n_tokens"), F.lit(1)
+            )
+            .cast("long")
+            .alias("importance"),
+        )
+    )
+    pri = imp.withColumn(
+        "priority",
+        F.expr(
+            "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256),"
+            " 1, 15), 16, 10) AS BIGINT) DIV importance"
+        ),
+    )
+    topk = pri.orderBy("priority", "doc_id").limit(_DSIR_K)
+    w = Window.orderBy("priority", "doc_id")
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )

@@ -725,3 +725,59 @@ def test_commonness_buckets_terciles(spark):
     # commonness is the exact integer surrogate
     for r in ordered[:20]:
         assert r["commonness"] == r["score_sum"] * 1000 // r["n_tokens"]
+
+
+# ---------------------------------------------------------------- dsir
+
+
+def test_dsir_sample_enriched_in_target_lang(spark):
+    from samba_tv_ingest_etl_spark.queries import registry
+    from samba_tv_ingest_etl_spark.queries.llmdata import (
+        _DSIR_K,
+        _DSIR_TARGET_LANG,
+        _documents,
+    )
+
+    from .conftest import SF_DIR_ORACLE
+
+    out = registry()["q117_dsir_importance_resample"](
+        spark, SF_DIR_ORACLE
+    ).collect()
+    assert len(out) == _DSIR_K
+    # ranks are 1..k in (priority, doc_id) order
+    ordered = sorted(out, key=lambda r: (r["priority"], r["doc_id"]))
+    assert [r["rank"] for r in ordered] == list(range(1, _DSIR_K + 1))
+    # importance resampling toward the target distribution: the
+    # sample's target-lang share must beat the corpus share
+    docs = _documents(spark, SF_DIR_ORACLE).select("lang").collect()
+    corpus_share = sum(
+        1 for r in docs if r["lang"] == _DSIR_TARGET_LANG
+    ) / len(docs)
+    sample_share = sum(
+        1 for r in out if r["lang"] == _DSIR_TARGET_LANG
+    ) / len(out)
+    assert sample_share > corpus_share
+    # importance is bounded by the smoothing ceiling and positive
+    for r in out:
+        assert 1 <= r["importance"] <= 1_000_000
+
+
+def test_hashed_linear_score_keep_passthrough(spark):
+    from samba_tv_ingest_etl_spark.operators.text import (
+        derived_weights,
+        hashed_linear_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", "hello world"), (2, "de", "hallo welt")],
+        "doc_id long, lang string, text string",
+    )
+    out = hashed_linear_score(
+        df, "doc_id", "text", weights=derived_weights(16),
+        keep=("lang",),
+    )
+    assert out.columns == [
+        "doc_id", "lang", "n_tokens", "score_milli", "quality_pass"
+    ]
+    got = {r["doc_id"]: r["lang"] for r in out.collect()}
+    assert got == {1: "en", 2: "de"}
