@@ -39,7 +39,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .text import HASH_P, affine_hash, tokens, vocab_ranks, word_shingles
+from .text import (
+    HASH_P,
+    affine_hash,
+    ngram_occurrences,
+    tokens,
+    vocab_ranks,
+    word_shingles,
+)
 
 # num_perm=16, 4 bands x 4 rows: s-curve threshold ~ (1/4)^(1/4) ~ 0.71
 MINHASH_PERMS = 16
@@ -685,32 +692,33 @@ def duplicated_spans(
     rows. Span merge is a lag/sum window partitioned by ``doc_id`` —
     no single-partition stage anywhere. At 100 TB the gram explode
     is the dominant cost and is O(total tokens), the same bound as
-    the suffix-array construction it replaces.
+    the suffix-array construction it replaces — and it runs ONCE:
+    ``g`` feeds both the hash count and the candidate join, so it is
+    localCheckpointed (the shingled-table discipline of
+    ``jaccard_pairs``/``minhash_lsh_pairs``: pay storage ~ gram
+    rows rather than recompute the dominant stage per consumer);
+    ``cand`` (dup-density-bounded) likewise feeds the exact re-count
+    and the position extraction.
     """
     from pyspark.sql import Window
 
-    def gram(toks):
-        def at(i):
-            return F.concat_ws(
-                " ", *[F.element_at(toks, i + 1 + j) for j in range(k)]
-            )
-
-        return F.when(
-            F.size(toks) >= k,
-            F.transform(F.sequence(F.lit(0), F.size(toks) - k), at),
-        ).otherwise(F.array().cast("array<string>"))
-
     g = toks_df.select(
         "doc_id",
-        F.posexplode(gram(F.col("toks"))).alias("pos", "gram"),
-    ).withColumn("h", F.xxhash64("gram"))
+        F.posexplode(
+            ngram_occurrences(F.col("toks"), k)
+        ).alias("pos", "gram"),
+    ).withColumn(
+        "h", F.xxhash64("gram")
+    ).localCheckpoint(eager=True)  # hot_h agg + cand probe; GC-owned
     hot_h = (
         g.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
         .select("h")
     )
-    cand = g.join(hot_h, "h")  # small right side -> AQE broadcast
+    cand = g.join(hot_h, "h").localCheckpoint(
+        eager=True
+    )  # exact re-count + position extraction; GC-owned
     dup_gram = (
         cand.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c"))

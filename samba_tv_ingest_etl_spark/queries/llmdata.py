@@ -3422,7 +3422,23 @@ def q115_substring_span_dedup(
     recomputes spans via gaps-and-islands SQL, pinning the interval
     merge against a second engine."""
     docs = _documents(spark, sf_dir).select("doc_id", "text")
-    t0 = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    # the planted-chimera id space starts at 400000; a natural doc_id
+    # reaching it would silently merge two documents in every
+    # doc_id-keyed stage (span window, joins) — raise instead
+    checked_id = F.when(
+        F.col("doc_id").between(0, 400000 - 1), F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q115 doc_id collides with planted id space: "),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    t0 = docs.select(
+        checked_id.alias("doc_id"),
+        X.tokens(F.col("text")).alias("toks"),
+    )
     filler = F.transform(
         F.sequence(F.lit(1), F.lit(9)),
         lambda i: F.concat(
@@ -3442,7 +3458,9 @@ def q115_substring_span_dedup(
             F.slice(F.col("toks"), 41, 12),
         ).alias("toks"),
     )
-    corpus = t0.unionByName(planted)
+    corpus = t0.unionByName(planted).localCheckpoint(
+        eager=True
+    )  # feeds the span kernel AND the n_tokens projection; GC-owned
     stats = D.duplicated_spans(corpus, k=_SPAN_K)
     return (
         corpus.select(
@@ -3583,7 +3601,11 @@ def q116_commonness_buckets(
         order_col="_ord",
         out_col="_rank0",
     )
-    n_docs = docs.count()  # driver scalar (T5 pattern); one cheap job
+    # tercile denominator = RANKED docs, i.e. docs with >= 1 token
+    # (the tf inner join drops empty docs in both engines — the
+    # oracle's count(*) OVER () counts the same set; docs.count()
+    # would diverge the buckets the moment one doc tokenizes empty)
+    n_docs = toks.filter(F.size("toks") > 0).count()
     return ranked.select(
         "doc_id",
         "n_tokens",
@@ -3679,15 +3701,17 @@ def q117_dsir_importance_resample(
     TakeOrderedAndProject, a distributed per-partition top-k merge,
     never a full-corpus single-partition sort. The final rank window
     runs over k=150 rows only."""
+    from ..operators.sketch import portable_hash60
     from ..operators.text import hashed_linear_score
 
     docs = _documents(spark, sf_dir).select("doc_id", "lang", "text")
-    bucket = (
-        F.conv(
-            F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10
-        ).cast("long")
-        % F.lit(_DSIR_B)
-    ).alias("b")
+    # same hash family everywhere: this bucket MUST stay in lockstep
+    # with hashed_linear_score's internal bucket (a drift would
+    # silently mis-assign every token's ratio) — both are
+    # portable_hash60 % d
+    bucket = (portable_hash60(F.col("tok")) % F.lit(_DSIR_B)).alias(
+        "b"
+    )
     occ = docs.select(
         "lang", F.explode(X.tokens(F.col("text"))).alias("tok")
     ).select(
@@ -3727,12 +3751,10 @@ def q117_dsir_importance_resample(
             .alias("importance"),
         )
     )
-    pri = imp.withColumn(
-        "priority",
-        F.expr(
-            "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256),"
-            " 1, 15), 16, 10) AS BIGINT) DIV importance"
-        ),
+    pri = (
+        imp.withColumn("_h60", portable_hash60(F.col("doc_id")))
+        .withColumn("priority", F.expr("_h60 DIV importance"))
+        .drop("_h60")
     )
     topk = pri.orderBy("priority", "doc_id").limit(_DSIR_K)
     w = Window.orderBy("priority", "doc_id")
