@@ -40,6 +40,8 @@ HEADLINE = [
     "q58_training_data_prep",
     "q76_semdedup_drops",
     "q87_curriculum_order",
+    "q115_substring_span_dedup",
+    "q117_dsir_importance_resample",
 ]
 
 # a query's samples must agree within this max/min ratio (best 3 of
