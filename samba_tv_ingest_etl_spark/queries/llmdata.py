@@ -3761,3 +3761,109 @@ def q117_dsir_importance_resample(
     return topk.withColumn(
         "rank", F.row_number().over(w).cast("long")
     )
+
+
+# ---------------------------------------------------------------- q118
+
+# mirror corpus: every 25th doc re-appears verbatim under a synthetic
+# 'mirror' source (the cross-source mass), every 40th re-appears
+# under its OWN source (the within-source diagonal) — so the matrix
+# has both shapes the diagnostic exists to separate
+_XSRC_SQL = """
+corpus AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, 'mirror', CAST(n_chars AS BIGINT), text
+  FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 300000, source, CAST(n_chars AS BIGINT), text
+  FROM documents WHERE doc_id % 40 = 0
+)
+"""
+
+_XSRC_ORACLE = f"""
+WITH {_XSRC_SQL},
+g AS (
+  SELECT doc_id, source, n_chars,
+         first_value(source) OVER w AS src_owner,
+         row_number() OVER w AS rn
+  FROM (SELECT *, sha256(text) AS h FROM corpus)
+  WINDOW w AS (PARTITION BY h ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT src_owner AS src_from, source AS src_to,
+       CAST(count(*) AS BIGINT) AS n_dup_docs,
+       CAST(sum(n_chars) AS BIGINT) AS dup_chars
+FROM g WHERE rn > 1
+GROUP BY 1, 2
+"""
+
+
+@query("q118_cross_source_dup_matrix", oracle=_XSRC_ORACLE)
+def q118_cross_source_dup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source duplication matrix: for every exact-duplicate
+    group (sha2 of text), the earliest doc_id's source is the owner
+    and every later copy contributes (owner_source -> copy_source)
+    duplicated document count + character mass. The standard corpus
+    diagnostic for deciding which source to drop copies FROM when
+    sources mirror each other; the within-source diagonal separates
+    internal duplication from mirroring — the aggregate view of what
+    q20 drops and q91 survives doc-by-doc. The planted corpus
+    exercises both shapes: verbatim copies under a synthetic
+    'mirror' source (every 25th doc) and within-source copies
+    (every 40th).
+
+    Scale shape: ONE shuffle on the content hash (the q20 discipline
+    — the exchange carries (hash, id, source, n_chars), never text
+    beyond the hash input scan); owner attribution is
+    first_value/row_number on that same window partitioning; the
+    matrix aggregate is |sources|^2 rows. Dup groups are
+    dup-density-bounded, so the second aggregate's input is small."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "text",
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.lit("mirror").alias("source"),
+            "n_chars",
+            "text",
+        )
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            "source",
+            "n_chars",
+            "text",
+        )
+    )
+    hashed = corpus.select(
+        "doc_id", "source", "n_chars", F.sha2(F.col("text"), 256).alias("h")
+    )
+    w = (
+        Window.partitionBy("h")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = hashed.select(
+        "source",
+        "n_chars",
+        F.first("source").over(w).alias("src_from"),
+        F.row_number().over(
+            Window.partitionBy("h").orderBy("doc_id")
+        ).alias("rn"),
+    )
+    return (
+        g.filter(F.col("rn") > 1)
+        .groupBy("src_from", F.col("source").alias("src_to"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_docs"),
+            F.sum("n_chars").cast("long").alias("dup_chars"),
+        )
+    )

@@ -781,3 +781,26 @@ def test_hashed_linear_score_keep_passthrough(spark):
     ]
     got = {r["doc_id"]: r["lang"] for r in out.collect()}
     assert got == {1: "en", 2: "de"}
+
+
+# ------------------------------------------------------- dup matrix
+
+
+def test_cross_source_dup_matrix_shapes(spark):
+    from samba_tv_ingest_etl_spark.queries import registry
+
+    from .conftest import SF_DIR_ORACLE
+
+    out = registry()["q118_cross_source_dup_matrix"](
+        spark, SF_DIR_ORACLE
+    ).collect()
+    assert out, "planted mirror corpus must produce matrix rows"
+    mirror = [r for r in out if r["src_to"] == "mirror"]
+    diag = [r for r in out if r["src_from"] == r["src_to"]]
+    assert mirror, "cross-source mass (planted mirror copies) missing"
+    assert diag, "within-source diagonal (planted self copies) missing"
+    # 'mirror' never owns a group: planted copies have higher doc_id
+    # than their originals, so first_value attribution never picks it
+    assert all(r["src_from"] != "mirror" for r in out)
+    for r in out:
+        assert r["n_dup_docs"] >= 1 and r["dup_chars"] >= 1
