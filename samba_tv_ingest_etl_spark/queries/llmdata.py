@@ -3335,6 +3335,11 @@ _SPAN_K = 8
 # copied material, exactly what ExactSubstr span dedup exists to
 # catch. Each chimera yields two maximal spans, exercising the
 # interval-merge path the natural corpus (full-doc copies) doesn't.
+# Planted ids live at +1e12 — far above any natural doc_id at every
+# measured sf (sf10 reaches 524,999, which collided with the
+# conventional +400000 space and killed the sf10 run via the guard)
+_SPAN_OFFSET = 1_000_000_000_000
+
 _SPAN_SQL = f"""
 t0 AS (
   SELECT doc_id,
@@ -3345,7 +3350,7 @@ t0 AS (
 t AS (
   SELECT doc_id, toks FROM t0
   UNION ALL
-  SELECT doc_id + 400000,
+  SELECT doc_id + {_SPAN_OFFSET},
          list_concat(list_concat(
            list_slice(toks, 1, 12),
            list_transform(range(1, 10),
@@ -3422,11 +3427,11 @@ def q115_substring_span_dedup(
     recomputes spans via gaps-and-islands SQL, pinning the interval
     merge against a second engine."""
     docs = _documents(spark, sf_dir).select("doc_id", "text")
-    # the planted-chimera id space starts at 400000; a natural doc_id
-    # reaching it would silently merge two documents in every
+    # the planted-chimera id space starts at _SPAN_OFFSET; a natural
+    # doc_id reaching it would silently merge two documents in every
     # doc_id-keyed stage (span window, joins) — raise instead
     checked_id = F.when(
-        F.col("doc_id").between(0, 400000 - 1), F.col("doc_id")
+        F.col("doc_id").between(0, _SPAN_OFFSET - 1), F.col("doc_id")
     ).otherwise(
         F.raise_error(
             F.concat(
@@ -3451,7 +3456,7 @@ def q115_substring_span_dedup(
     planted = t0.filter(
         (F.col("doc_id") % 40 == 0) & (F.size("toks") >= 52)
     ).select(
-        (F.col("doc_id") + 400000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(_SPAN_OFFSET)).alias("doc_id"),
         F.concat(
             F.slice(F.col("toks"), 1, 12),
             filler,

@@ -673,7 +673,9 @@ def test_substring_span_dedup_chimeras(spark):
     out = registry()["q115_substring_span_dedup"](
         spark, SF_DIR_ORACLE
     ).collect()
-    chimeras = [r for r in out if r["doc_id"] >= 400000]
+    from samba_tv_ingest_etl_spark.queries.llmdata import _SPAN_OFFSET
+
+    chimeras = [r for r in out if r["doc_id"] >= _SPAN_OFFSET]
     assert chimeras, "expected planted chimera docs"
     for r in chimeras:
         # two 12-token copied windows glued by 9 unique fillers
@@ -687,7 +689,7 @@ def test_substring_span_dedup_chimeras(spark):
     by_id = {r["doc_id"]: r for r in out}
     two_span_sources = 0
     for r in chimeras:
-        src = by_id[r["doc_id"] - 400000]
+        src = by_id[r["doc_id"] - _SPAN_OFFSET]
         assert src["dup_tokens"] >= 24
         if src["n_spans"] >= 2:
             two_span_sources += 1
