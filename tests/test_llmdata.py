@@ -806,3 +806,46 @@ def test_cross_source_dup_matrix_shapes(spark):
     assert all(r["src_from"] != "mirror" for r in out)
     for r in out:
         assert r["n_dup_docs"] >= 1 and r["dup_chars"] >= 1
+
+
+def test_commonness_buckets_survive_empty_tokenizing_doc(
+    spark, tmp_path
+):
+    """Regression pin for the tercile denominator: a doc that
+    tokenizes to ZERO tokens (all punctuation) is excluded from the
+    ranking in BOTH engines, and the bucket denominator must count
+    the ranked set — docs.count() would shift every bucket."""
+    import duckdb
+
+    from samba_tv_ingest_etl_spark.queries import registry
+    from samba_tv_ingest_etl_spark.queries.llmdata import _CMN_ORACLE
+
+    rows = [
+        (i, f"word{i % 7} common tok {'x' * (i % 3 + 1)}", "en",
+         "src0", 20)
+        for i in range(10)
+    ] + [(99, "!!! ... ???", "en", "src0", 11)]  # tokenizes empty
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = registry()["q116_commonness_buckets"](spark, sf_dir)
+    got = out.toPandas()
+    assert 99 not in set(got["doc_id"])  # excluded, not bucket 0
+    assert len(got) == 10
+    sizes = got["bucket"].value_counts()
+    assert sizes.max() - sizes.min() <= 1  # terciles over RANKED set
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(_CMN_ORACLE).df()
+    cols = sorted(got.columns)
+    g = got[cols].astype(str).sort_values(by=cols).reset_index(drop=True)
+    w = want[cols].astype(str).sort_values(by=cols).reset_index(drop=True)
+    assert g.equals(w)
