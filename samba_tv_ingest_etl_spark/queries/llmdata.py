@@ -3872,3 +3872,166 @@ def q118_cross_source_dup_matrix(
             F.sum("n_chars").cast("long").alias("dup_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------- q119
+
+_FUZZY_N = 5           # word n-gram size (q62's exact-overlap gram)
+_FUZZY_PPM = 300_000   # Jaccard >= 30% -> contaminated
+
+# planted eval set: every 50th doc's 60%-character prefix — a
+# paraphrase-grade overlap (big shared prefix, different tail) that
+# exact-match decontamination misses when even one gram differs
+_FUZZY_EVAL_SQL = """
+evals AS (
+  SELECT doc_id AS eval_id,
+         substr(text, 1, CAST(floor(length(text) * 0.6) AS INT))
+           AS text
+  FROM documents WHERE doc_id % 50 = 0
+)
+"""
+
+_FUZZY_ORACLE = f"""
+WITH {_FUZZY_EVAL_SQL},
+dg AS (
+  SELECT doc_id, unnest(sh) AS g, len(sh) AS size_d
+  FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             range(1, len(toks) - {_FUZZY_N - 2}),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                            toks[i+3], toks[i+4]))) AS sh
+    FROM (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                         '{_TOKEN_RE}'), x -> x <> '') AS toks
+      FROM documents
+    ) WHERE len(toks) >= {_FUZZY_N}
+  )
+),
+eg AS (
+  SELECT eval_id, unnest(sh) AS g, len(sh) AS size_e
+  FROM (
+    SELECT eval_id,
+           list_distinct(list_transform(
+             range(1, len(toks) - {_FUZZY_N - 2}),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                            toks[i+3], toks[i+4]))) AS sh
+    FROM (
+      SELECT eval_id,
+             list_filter(regexp_split_to_array(lower(text),
+                         '{_TOKEN_RE}'), x -> x <> '') AS toks
+      FROM evals
+    ) WHERE len(toks) >= {_FUZZY_N}
+  )
+),
+pairs AS (
+  SELECT dg.doc_id, eg.eval_id, dg.size_d, eg.size_e,
+         CAST(count(*) AS BIGINT) AS shared_ngrams
+  FROM dg JOIN eg USING (g)
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT doc_id, eval_id, shared_ngrams,
+         shared_ngrams * 1000000
+           // (size_d + size_e - shared_ngrams) AS jaccard_ppm
+  FROM pairs
+),
+hits AS (
+  SELECT doc_id, eval_id, shared_ngrams, jaccard_ppm
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id
+      ORDER BY jaccard_ppm DESC, eval_id) AS rn
+    FROM scored WHERE jaccard_ppm >= {_FUZZY_PPM}
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(h.eval_id, -1) AS best_eval_id,
+       COALESCE(h.shared_ngrams, 0) AS shared_ngrams,
+       COALESCE(h.jaccard_ppm, 0) AS jaccard_ppm,
+       h.eval_id IS NULL AS keep
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@query("q119_fuzzy_decontamination", oracle=_FUZZY_ORACLE)
+def q119_fuzzy_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fuzzy benchmark decontamination with attribution: q62 counts
+    exact shared n-grams; this normalizes the overlap to a Jaccard
+    similarity over DISTINCT {_FUZZY_N}-gram sets and attributes
+    each contaminated doc to its single best-matching eval item
+    (argmax by jaccard_ppm, eval_id tie-break) — the report a
+    release process needs is "which eval items leaked", not just
+    "which docs to drop". keep = no eval item reaches 30% Jaccard.
+    All integer arithmetic (common*1e6 div union), q21's exactness
+    discipline.
+
+    Scale shape: the eval side is BROADCAST (eval sets are tiny;
+    the corpus never shuffles its gram text against itself —
+    operators/contamination.contamination); the overlap count is
+    one (doc_id, eval_id)-keyed aggregate with map-side combine;
+    attribution is a doc_id-partitioned window over hit rows only
+    (contamination-density-bounded); the final verdict attach is a
+    doc_id equi-join."""
+    from ..operators.contamination import contamination
+    from ..operators.text import tokens as _tok
+    from ..operators.text import word_shingles
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    evals = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.expr(
+            "substr(text, 1, CAST(floor(length(text) * 0.6) AS INT))"
+        ).alias("text"),
+    )
+    sizes_d = docs.select(
+        "doc_id",
+        F.size(
+            word_shingles(_tok(F.col("text")), _FUZZY_N)
+        ).cast("long").alias("size_d"),
+    )
+    sizes_e = evals.select(
+        "eval_id",
+        F.size(
+            word_shingles(_tok(F.col("text")), _FUZZY_N)
+        ).cast("long").alias("size_e"),
+    )
+    pairs = contamination(docs, evals, ngram=_FUZZY_N, min_shared=1)
+    scored = (
+        pairs.join(sizes_d, "doc_id")
+        .join(F.broadcast(sizes_e), "eval_id")
+        .select(
+            "doc_id",
+            "eval_id",
+            "shared_ngrams",
+            F.expr(
+                "shared_ngrams * 1000000"
+                " div (size_d + size_e - shared_ngrams)"
+            ).cast("long").alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= _FUZZY_PPM)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard_ppm").desc(), F.col("eval_id")
+    )
+    hits = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("eval_id", F.lit(-1)).cast("long").alias(
+            "best_eval_id"
+        ),
+        F.coalesce("shared_ngrams", F.lit(0)).cast("long").alias(
+            "shared_ngrams"
+        ),
+        F.coalesce("jaccard_ppm", F.lit(0)).cast("long").alias(
+            "jaccard_ppm"
+        ),
+        F.col("eval_id").isNull().alias("keep"),
+    )

@@ -849,3 +849,42 @@ def test_commonness_buckets_survive_empty_tokenizing_doc(
     g = got[cols].astype(str).sort_values(by=cols).reset_index(drop=True)
     w = want[cols].astype(str).sort_values(by=cols).reset_index(drop=True)
     assert g.equals(w)
+
+
+# ---------------------------------------------------- fuzzy decontam
+
+
+def test_fuzzy_decontamination_attribution(spark):
+    from samba_tv_ingest_etl_spark.queries import registry
+    from samba_tv_ingest_etl_spark.queries.llmdata import _FUZZY_PPM
+
+    from .conftest import SF_DIR_ORACLE
+
+    out = registry()["q119_fuzzy_decontamination"](
+        spark, SF_DIR_ORACLE
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    planted = [d for d in by_id if d % 50 == 0]
+    assert planted
+    flagged_to_self = 0
+    for d in planted:
+        r = by_id[d]
+        # each eval item is a 60% prefix of its source doc: the
+        # source must be flagged, and (absent a closer natural
+        # near-dup) attributed to its own eval twin
+        assert not r["keep"]
+        assert r["jaccard_ppm"] >= _FUZZY_PPM
+        if r["best_eval_id"] == d:
+            flagged_to_self += 1
+    assert flagged_to_self >= len(planted) // 2
+    # clean docs carry the deterministic sentinel shape
+    clean = [r for r in out if r["keep"]]
+    assert clean
+    assert all(
+        r["best_eval_id"] == -1
+        and r["jaccard_ppm"] == 0
+        and r["shared_ngrams"] == 0
+        for r in clean
+    )
+    # verdict is exhaustive: one row per corpus doc
+    assert len(out) == len(by_id)
