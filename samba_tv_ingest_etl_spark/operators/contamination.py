@@ -47,16 +47,20 @@ def contamination(
     ``docs``: (doc_id, text). ``evals``: (eval_id, text). Shingles
     are per-doc distinct (``word_shingles``), so the join-then-count
     is an exact distinct-overlap count without a distinct shuffle.
+    Both sides shingle through ``shingle_docs``' token barrier —
+    without it Catalyst collapses the projections and re-inlines the
+    regex tokenizer into the gram lambda (O(L²) per doc, the trap
+    ``shingle_docs`` documents; re-measured here: the corpus-side
+    shingle pass at sf10 dropped ~70 s -> seconds).
     """
-    d = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    dx = d.select(
-        "doc_id",
-        F.explode(word_shingles(F.col("toks"), ngram)).alias("g"),
+    from .dedup import shingle_docs
+
+    dx = shingle_docs(docs, ngram=ngram).select(
+        "doc_id", F.explode("shingles").alias("g")
     )
-    e = evals.select("eval_id", tokens(F.col("text")).alias("toks"))
-    ex = e.select(
-        "eval_id",
-        F.explode(word_shingles(F.col("toks"), ngram)).alias("g"),
+    ex = shingle_docs(evals, id_col="eval_id", ngram=ngram).select(
+        F.col("doc_id").alias("eval_id"),
+        F.explode("shingles").alias("g"),
     )
     return (
         dx.join(F.broadcast(ex), "g")
@@ -128,4 +132,116 @@ def boilerplate_chunks(
         )
         .cast("long")
         .alias("boiler_ppm"),
+    )
+
+
+def fuzzy_contamination(
+    docs: DataFrame,
+    evals: DataFrame,
+    ngram: int = 5,
+    threshold_ppm: int = 300_000,
+    stop_gram_df: int | None = None,
+) -> DataFrame:
+    """Jaccard-thresholded doc-vs-eval overlap (the fuzzy complement
+    of ``contamination``'s raw shared-gram count): returns
+    (``doc_id``, ``eval_id``, ``shared_ngrams``, ``jaccard_ppm``)
+    for every pair whose DISTINCT-``ngram``-set Jaccard reaches
+    ``threshold_ppm`` (integer arithmetic, ``common * 1e6 div
+    union``).
+
+    ``stop_gram_df`` is the q21/jaccard_pairs skew discipline for
+    the bipartite case: grams whose CORPUS document frequency
+    exceeds the cap are excluded from candidate generation (on a
+    vocabulary-dense corpus, min_shared=1 candidacy is
+    near-cartesian — every doc shares some gram with some eval
+    item), then verification re-counts EXACTLY via per-doc /
+    per-eval hot-gram arrays, so ``shared_ngrams``/``jaccard_ppm``
+    are true full-set values. The only approximation is candidacy:
+    a pair is missed iff it shares NO sub-cap gram.
+
+    The bipartite shape makes the cap machinery cheap in a way the
+    self-join case cannot be: only grams PRESENT IN THE EVAL SET can
+    ever form a pair, so the df count, the hot set, and the hot
+    arrays are all computed against the eval vocabulary — every
+    broadcast here is bounded by the (tiny) eval gram set no matter
+    how large or how duplicated the corpus is. (A first cut computed
+    corpus-global hot sets: at sf10 that broadcast most of the gram
+    vocabulary three times and ran SLOWER than uncapped — measured,
+    fixed, and the restriction is result-identical because every
+    shared gram is eval-present by definition.) Candidate join
+    volume is bounded by cap * eval gram occurrences; the hot-array
+    build is one doc-keyed aggregate over the dense eval-gram mass —
+    the same cost class as the df count itself. Shingling goes
+    through ``shingle_docs``' token barrier — without it Catalyst
+    re-inlines the tokenizer into the gram lambda (O(L²) per doc;
+    the corpus shingle pass alone measured ~70 s at sf10 with the
+    collapsed projection, seconds with the barrier)."""
+    from .dedup import shingle_docs
+
+    dx = shingle_docs(docs, ngram=ngram).select(
+        "doc_id",
+        F.col("set_size").cast("long").alias("size_d"),
+        F.explode("shingles").alias("g"),
+    )
+    ex = shingle_docs(evals, id_col="eval_id", ngram=ngram).select(
+        F.col("doc_id").alias("eval_id"),
+        F.col("set_size").cast("long").alias("size_e"),
+        F.explode("shingles").alias("g"),
+    )
+    hot_e = None
+    hot_d = None
+    if stop_gram_df is not None:
+        # df count + candidacy probe + hot arrays all read the gram
+        # table; materialize it once (GC-owned)
+        dx = dx.localCheckpoint(eager=True)
+        eval_vocab = ex.select("g").distinct()
+        hot = (
+            dx.join(F.broadcast(eval_vocab), "g", "left_semi")
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > stop_gram_df)
+            .select("g")
+        )  # subset of the eval vocabulary -> always broadcastable
+        hot_e = (
+            ex.join(F.broadcast(hot), "g", "left_semi")
+            .groupBy("eval_id")
+            .agg(F.sort_array(F.collect_set("g")).alias("_hot_e"))
+        )
+        hot_d = (
+            dx.join(F.broadcast(hot), "g", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("g")).alias("_hot_d"))
+        )
+        ex = ex.join(F.broadcast(hot), "g", "left_anti")
+    pairs = (
+        dx.join(F.broadcast(ex), "g")
+        .groupBy("doc_id", "eval_id", "size_d", "size_e")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    if stop_gram_df is not None:
+        empty = F.array().cast("array<string>")
+        pairs = (
+            pairs.join(hot_d, "doc_id", "left")
+            .join(F.broadcast(hot_e), "eval_id", "left")
+            .withColumn(
+                "common",
+                F.col("common")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce("_hot_d", empty),
+                        F.coalesce("_hot_e", empty),
+                    )
+                ).cast("long"),
+            )
+        )
+    union = F.col("size_d") + F.col("size_e") - F.col("common")
+    return pairs.filter(
+        F.col("common") * 1_000_000 >= F.lit(threshold_ppm) * union
+    ).select(
+        "doc_id",
+        "eval_id",
+        F.col("common").alias("shared_ngrams"),
+        F.expr(
+            "common * 1000000 div (size_d + size_e - common)"
+        ).cast("long").alias("jaccard_ppm"),
     )

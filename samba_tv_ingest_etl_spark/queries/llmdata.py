@@ -3878,6 +3878,12 @@ def q118_cross_source_dup_matrix(
 
 _FUZZY_N = 5           # word n-gram size (q62's exact-overlap gram)
 _FUZZY_PPM = 300_000   # Jaccard >= 30% -> contaminated
+# corpus-gram df cap for CANDIDACY (verification recounts exactly):
+# 2 binds at fixture scale (max natural 5-gram df there is 4), so
+# the driver gate exercises the hot-recount path, and at sf10 it
+# collapses the near-cartesian min_shared=1 join (measured 103 s ->
+# see COVERAGE) to cap * eval-gram-occurrence volume
+_FUZZY_STOP_DF = 2
 
 # planted eval set: every 50th doc's 60%-character prefix — a
 # paraphrase-grade overlap (big shared prefix, different tail) that
@@ -3925,10 +3931,15 @@ eg AS (
     ) WHERE len(toks) >= {_FUZZY_N}
   )
 ),
+hotg AS (
+  SELECT g FROM dg GROUP BY g HAVING count(*) > {_FUZZY_STOP_DF}
+),
 pairs AS (
   SELECT dg.doc_id, eg.eval_id, dg.size_d, eg.size_e,
-         CAST(count(*) AS BIGINT) AS shared_ngrams
-  FROM dg JOIN eg USING (g)
+         CAST(count(*) AS BIGINT) AS shared_ngrams,
+         CAST(count(*) FILTER (WHERE hotg.g IS NULL) AS BIGINT)
+           AS cold_common
+  FROM dg JOIN eg USING (g) LEFT JOIN hotg USING (g)
   GROUP BY 1, 2, 3, 4
 ),
 scored AS (
@@ -3936,6 +3947,7 @@ scored AS (
          shared_ngrams * 1000000
            // (size_d + size_e - shared_ngrams) AS jaccard_ppm
   FROM pairs
+  WHERE cold_common >= 1
 ),
 hits AS (
   SELECT doc_id, eval_id, shared_ngrams, jaccard_ppm
@@ -3969,16 +3981,19 @@ def q119_fuzzy_decontamination(
     All integer arithmetic (common*1e6 div union), q21's exactness
     discipline.
 
-    Scale shape: the eval side is BROADCAST (eval sets are tiny;
-    the corpus never shuffles its gram text against itself —
-    operators/contamination.contamination); the overlap count is
-    one (doc_id, eval_id)-keyed aggregate with map-side combine;
-    attribution is a doc_id-partitioned window over hit rows only
-    (contamination-density-bounded); the final verdict attach is a
-    doc_id equi-join."""
-    from ..operators.contamination import contamination
-    from ..operators.text import tokens as _tok
-    from ..operators.text import word_shingles
+    Scale shape (operators/contamination.fuzzy_contamination): the
+    eval side is BROADCAST throughout; candidacy excludes grams
+    whose corpus df exceeds {_FUZZY_STOP_DF} (min_shared=1 on a
+    vocabulary-dense corpus is near-cartesian — the uncapped
+    variant measured 103 s at sf10, the capped one is bounded by
+    cap * eval-gram occurrences) while verification re-counts
+    EXACTLY via hot-gram arrays, so the checked similarity is the
+    true full-set value and the only approximation is candidacy
+    itself (a pair is missed iff it shares NO sub-cap gram — the
+    oracle models the identical rule via its cold_common clause).
+    Attribution is a doc_id-partitioned window over hit rows only;
+    the final verdict attach is a doc_id equi-join."""
+    from ..operators.contamination import fuzzy_contamination
 
     docs = _documents(spark, sf_dir).select("doc_id", "text")
     evals = docs.filter(F.col("doc_id") % 50 == 0).select(
@@ -3987,32 +4002,12 @@ def q119_fuzzy_decontamination(
             "substr(text, 1, CAST(floor(length(text) * 0.6) AS INT))"
         ).alias("text"),
     )
-    sizes_d = docs.select(
-        "doc_id",
-        F.size(
-            word_shingles(_tok(F.col("text")), _FUZZY_N)
-        ).cast("long").alias("size_d"),
-    )
-    sizes_e = evals.select(
-        "eval_id",
-        F.size(
-            word_shingles(_tok(F.col("text")), _FUZZY_N)
-        ).cast("long").alias("size_e"),
-    )
-    pairs = contamination(docs, evals, ngram=_FUZZY_N, min_shared=1)
-    scored = (
-        pairs.join(sizes_d, "doc_id")
-        .join(F.broadcast(sizes_e), "eval_id")
-        .select(
-            "doc_id",
-            "eval_id",
-            "shared_ngrams",
-            F.expr(
-                "shared_ngrams * 1000000"
-                " div (size_d + size_e - shared_ngrams)"
-            ).cast("long").alias("jaccard_ppm"),
-        )
-        .filter(F.col("jaccard_ppm") >= _FUZZY_PPM)
+    scored = fuzzy_contamination(
+        docs,
+        evals,
+        ngram=_FUZZY_N,
+        threshold_ppm=_FUZZY_PPM,
+        stop_gram_df=_FUZZY_STOP_DF,
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("jaccard_ppm").desc(), F.col("eval_id")

@@ -866,17 +866,19 @@ def test_fuzzy_decontamination_attribution(spark):
     by_id = {r["doc_id"]: r for r in out}
     planted = [d for d in by_id if d % 50 == 0]
     assert planted
-    flagged_to_self = 0
-    for d in planted:
-        r = by_id[d]
-        # each eval item is a 60% prefix of its source doc: the
-        # source must be flagged, and (absent a closer natural
-        # near-dup) attributed to its own eval twin
-        assert not r["keep"]
-        assert r["jaccard_ppm"] >= _FUZZY_PPM
-        if r["best_eval_id"] == d:
-            flagged_to_self += 1
-    assert flagged_to_self >= len(planted) // 2
+    # each eval item is a 60% prefix of its source doc. Candidacy is
+    # capped (a pair sharing NO sub-cap gram is missed — documented
+    # approximation, exercised by the short formulaic fixture docs
+    # whose every gram is corpus-hot), so assert the rule's shape:
+    # a clear majority flagged, and flagged sources self-attributed
+    # unless a closer natural near-dup exists.
+    flagged = [d for d in planted if not by_id[d]["keep"]]
+    assert len(flagged) * 3 >= len(planted) * 2
+    for d in flagged:
+        assert by_id[d]["jaccard_ppm"] >= _FUZZY_PPM
+    assert sum(
+        1 for d in flagged if by_id[d]["best_eval_id"] == d
+    ) >= len(flagged) // 2
     # clean docs carry the deterministic sentinel shape
     clean = [r for r in out if r["keep"]]
     assert clean
@@ -888,3 +890,49 @@ def test_fuzzy_decontamination_attribution(spark):
     )
     # verdict is exhaustive: one row per corpus doc
     assert len(out) == len(by_id)
+
+
+def test_fuzzy_contamination_hot_recount_is_exact(spark):
+    """The cap only gates CANDIDACY; verification re-counts hot
+    grams exactly. Doc/eval pairs sharing one cold + one hot gram
+    must report common=2; a pair sharing ONLY the hot gram is
+    missed (the documented approximation)."""
+    from samba_tv_ingest_etl_spark.operators.contamination import (
+        fuzzy_contamination,
+    )
+
+    hot = "h1 h2 h3 h4 h5"  # one 5-gram, shared by 3 docs -> df 3
+    docs = spark.createDataFrame(
+        [
+            (1, hot + " c1 c2 c3 c4 c5"),   # hot + cold-shared tail
+            (2, hot + " z1 z2 z3 z4 z5"),   # hot only vs eval
+            (3, hot + " y1 y2 y3 y4 y5"),   # hot only vs eval
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(7, hot + " c1 c2 c3 c4 c5")],
+        "eval_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["shared_ngrams"], r["jaccard_ppm"])
+        for r in fuzzy_contamination(
+            docs, evals, ngram=5, threshold_ppm=100_000,
+            stop_gram_df=2,
+        ).collect()
+    }
+    # doc 1: 10 tokens -> 6 distinct 5-grams; eval identical ->
+    # common=6: 5 cold + the hot gram recovered by the exact
+    # recount (cold-only counting would report 5), jaccard = 1.0
+    assert out[1] == (6, 1_000_000)
+    # docs 2/3 share only the hot gram -> no cold candidacy -> missed
+    assert 2 not in out and 3 not in out
+    # uncapped reference finds them (common=1 of union 13)
+    unc = {
+        r["doc_id"]
+        for r in fuzzy_contamination(
+            docs, evals, ngram=5, threshold_ppm=1,
+            stop_gram_df=None,
+        ).collect()
+    }
+    assert {1, 2, 3} <= unc
