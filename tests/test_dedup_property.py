@@ -77,3 +77,150 @@ def test_cap_laws(spark, case):
         ).collect()
     }
     assert full == un
+
+
+# ---------------------------------------------------- span dedup laws
+
+
+def _spans_reference(docs: dict[int, list[str]], k: int):
+    """Independent Python reference for duplicated_spans: gram
+    multiset over the whole corpus, duplicated positions, interval
+    merge with gap > k starting a new span."""
+    from collections import Counter
+
+    grams = Counter()
+    for toks in docs.values():
+        for i in range(max(len(toks) - k + 1, 0)):
+            grams[" ".join(toks[i:i + k])] += 1
+    out = {}
+    for doc_id, toks in docs.items():
+        pos = [
+            i
+            for i in range(max(len(toks) - k + 1, 0))
+            if grams[" ".join(toks[i:i + k])] >= 2
+        ]
+        if not pos:
+            continue
+        spans = []
+        start = prev = pos[0]
+        for p in pos[1:]:
+            if p - prev > k:
+                spans.append((start, prev))
+                start = p
+            prev = p
+        spans.append((start, prev))
+        out[doc_id] = (
+            len(pos),
+            len(spans),
+            sum(p1 - p0 + k for p0, p1 in spans),
+        )
+    return out
+
+
+@st.composite
+def token_corpora(draw):
+    """Small-vocabulary token lists — collisions and overlapping
+    duplicated windows arise naturally."""
+    vocab = [f"w{i}" for i in range(draw(st.integers(4, 8)))]
+    n_docs = draw(st.integers(2, 5))
+    docs = {}
+    for d in range(n_docs):
+        docs[d] = draw(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=18)
+        )
+    k = draw(st.integers(2, 4))
+    return docs, k
+
+
+@settings(max_examples=8, deadline=None)
+@given(token_corpora())
+def test_duplicated_spans_matches_reference(spark, case):
+    docs, k = case
+    want = _spans_reference(docs, k)
+    toks = spark.createDataFrame(
+        list(docs.items()), "doc_id long, toks array<string>"
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_grams"], r["n_spans"], r["dup_tokens"])
+        for r in D.duplicated_spans(toks, k=k).collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------------ fuzzy candidacy law
+
+
+@st.composite
+def fuzzy_corpora(draw):
+    """Docs + evals over a small vocabulary; a drawn df cap."""
+    vocab = [f"t{i}" for i in range(draw(st.integers(6, 10)))]
+    n_docs = draw(st.integers(2, 6))
+    rows = []
+    for d in range(n_docs):
+        toks = draw(
+            st.lists(st.sampled_from(vocab), min_size=5, max_size=14)
+        )
+        rows.append((d, " ".join(toks)))
+    n_evals = draw(st.integers(1, 3))
+    evals = []
+    for e in range(n_evals):
+        toks = draw(
+            st.lists(st.sampled_from(vocab), min_size=5, max_size=10)
+        )
+        evals.append((100 + e, " ".join(toks)))
+    cap = draw(st.integers(1, 4))
+    return rows, evals, cap
+
+
+@settings(max_examples=8, deadline=None)
+@given(fuzzy_corpora())
+def test_fuzzy_contamination_cap_law(spark, case):
+    """The cap law the q119 oracle encodes: capped output == the
+    uncapped output restricted to pairs sharing >= 1 gram whose
+    corpus df is within the cap — and similarity values on surviving
+    pairs are IDENTICAL (verification recounts hot grams exactly)."""
+    from collections import Counter
+
+    from samba_tv_ingest_etl_spark.operators.contamination import (
+        fuzzy_contamination,
+    )
+
+    rows, evals, cap = case
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(evals, "eval_id long, text string")
+    thr = 100_000  # 10%: low so candidacy, not the threshold, decides
+    uncapped = {
+        (r["doc_id"], r["eval_id"]): (
+            r["shared_ngrams"], r["jaccard_ppm"]
+        )
+        for r in fuzzy_contamination(
+            docs, ev, ngram=3, threshold_ppm=thr, stop_gram_df=None
+        ).collect()
+    }
+    capped = {
+        (r["doc_id"], r["eval_id"]): (
+            r["shared_ngrams"], r["jaccard_ppm"]
+        )
+        for r in fuzzy_contamination(
+            docs, ev, ngram=3, threshold_ppm=thr, stop_gram_df=cap
+        ).collect()
+    }
+    # reference candidacy: corpus gram df from doc-side distinct grams
+    def grams(text):
+        toks = text.split()
+        return {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        }
+
+    df = Counter()
+    for _, text in rows:
+        for g in grams(text):
+            df[g] += 1
+    expected_keys = set()
+    for (d, e), _ in uncapped.items():
+        shared = grams(rows[d][1]) & grams(dict(evals)[e])
+        if any(df[g] <= cap for g in shared):
+            expected_keys.add((d, e))
+    assert set(capped) == expected_keys
+    for key in capped:
+        assert capped[key] == uncapped[key]  # exact recount
