@@ -23,6 +23,9 @@ from samba_tv_ingest_etl_spark import queries as Q  # noqa: E402
 from samba_tv_ingest_etl_spark.session import get_spark  # noqa: E402
 
 # Headline set: flagship pipeline stages + the heaviest operators.
+# 18 queries as of round 6 (q115/q117 joined) — round-over-round
+# totals compare the first 16 (the r1-r5 set); per-query history is
+# directly comparable throughout.
 HEADLINE = [
     "q13_session_ids",
     "q14_sessions",
