@@ -700,6 +700,29 @@ def duplicated_spans(
     ``cand`` (dup-density-bounded) likewise feeds the exact re-count
     and the position extraction.
     """
+    spans = duplicated_span_intervals(toks_df, k, min_count)
+    return spans.groupBy("doc_id").agg(
+        F.sum("npos").cast("long").alias("n_dup_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("p1") - F.col("p0") + k).cast("long").alias(
+            "dup_tokens"
+        ),
+    )
+
+
+def duplicated_span_intervals(
+    toks_df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The span kernel behind ``duplicated_spans``, exposed at
+    interval grain: one row per maximal duplicated span —
+    (``doc_id``, ``p0``, ``p1``, ``npos``) with the span covering
+    token positions ``[p0, p1 + k)``. ``duplicated_spans``
+    aggregates these to per-doc stats; ``excise`` consumers remove
+    exactly these intervals (Lee et al. 2021 drop the duplicated
+    bytes, not the document). Scale shape documented on
+    ``duplicated_spans``."""
     from pyspark.sql import Window
 
     g = toks_df.select(
@@ -731,15 +754,52 @@ def duplicated_spans(
         "brk",
         F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
     ).withColumn("island", F.sum("brk").over(w))
-    spans = islands.groupBy("doc_id", "island").agg(
+    return islands.groupBy("doc_id", "island").agg(
         F.min("pos").alias("p0"),
         F.max("pos").alias("p1"),
         F.count(F.lit(1)).alias("npos"),
+    ).select("doc_id", "p0", "p1", "npos")
+
+
+def excise_spans(
+    toks_df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr dedup as a TRANSFORM (Lee et al. 2021 drop the
+    duplicated bytes, not the document): removes every token covered
+    by a maximal duplicated span (``duplicated_span_intervals``) and
+    returns (``doc_id``, ``n_tokens``, ``n_kept``, ``toks_clean``).
+    Docs without spans pass through unchanged.
+
+    Scale shape: spans collapse to ONE short array per affected doc
+    (dup-density-bounded), joined back doc-keyed; removal itself is
+    a narrow indexed-lambda ``filter`` over the token array — no
+    corpus-grain position explode, no reassembly shuffle. Maximal
+    spans never overlap (islands are separated by gram-start gaps
+    > k, so covered ranges ``[p0, p1+k)`` are disjoint), making the
+    per-token span test a short ``exists``."""
+    spans = duplicated_span_intervals(toks_df, k, min_count)
+    span_arr = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("p0", "p1"))
+        ).alias("_spans")
     )
-    return spans.groupBy("doc_id").agg(
-        F.sum("npos").cast("long").alias("n_dup_grams"),
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.sum(F.col("p1") - F.col("p0") + k).cast("long").alias(
-            "dup_tokens"
-        ),
+    joined = toks_df.join(span_arr, "doc_id", "left")
+    toks = F.col("toks")
+    spans_col = F.col("_spans")
+    covered = lambda i: F.exists(  # noqa: E731
+        spans_col,
+        lambda s: (s["p0"] <= i) & (i < s["p1"] + F.lit(k)),
+    )
+    cleaned = F.when(
+        spans_col.isNull(), toks
+    ).otherwise(
+        F.filter(toks, lambda t, i: ~covered(i))
+    )
+    return joined.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(cleaned).cast("long").alias("n_kept"),
+        cleaned.alias("toks_clean"),
     )

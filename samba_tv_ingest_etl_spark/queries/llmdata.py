@@ -3406,30 +3406,14 @@ FROM t LEFT JOIN per_doc d USING (doc_id)
 """
 
 
-@query("q115_substring_span_dedup", oracle=_SPAN_ORACLE)
-def q115_substring_span_dedup(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Duplicated-substring span dedup (ExactSubstr, Lee et al. 2021,
-    arXiv:2107.06499): a token position is duplicated when its
-    8-token gram occurs >= 2 times corpus-wide; overlapping grams
-    merge into maximal spans; ``keep`` = duplicated coverage <= 50%
-    of the doc (exact integer comparison). Catches documents that
-    are globally unique as a whole but mostly copied material — the
-    gap doc-level dedup (q20-q23) and intra-doc repetition (q112)
-    both leave open.
 
-    Scale shape (operators/dedup.duplicated_spans): the counting
-    shuffle carries xxhash64 only, candidates re-counted by EXACT
-    gram string (q21's prefilter-then-verify discipline, so the
-    checked output never trusts a hash), span merge is a
-    doc-partitioned window — no single-partition stage. The oracle
-    recomputes spans via gaps-and-islands SQL, pinning the interval
-    merge against a second engine."""
+def _span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q115/q120 chimera corpus at token grain, checkpointed
+    (feeds the span kernel plus per-query projections). Guarded:
+    natural doc_ids must stay below the planted _SPAN_OFFSET space
+    or two documents would silently merge in every doc_id-keyed
+    stage — the sf10 run proved the guard fires."""
     docs = _documents(spark, sf_dir).select("doc_id", "text")
-    # the planted-chimera id space starts at _SPAN_OFFSET; a natural
-    # doc_id reaching it would silently merge two documents in every
-    # doc_id-keyed stage (span window, joins) — raise instead
     checked_id = F.when(
         F.col("doc_id").between(0, _SPAN_OFFSET - 1), F.col("doc_id")
     ).otherwise(
@@ -3453,19 +3437,48 @@ def q115_substring_span_dedup(
             i.cast("string"),
         ),
     )
+    # two-step select: Spark's LATERAL column-alias resolution would
+    # otherwise bind filler's doc_id reference to the just-aliased
+    # (doc_id + offset) in the same select list — the oracle's
+    # unaliased SQL binds the input value, and q120's cleaned-text
+    # output caught the divergence (q115's counts were insensitive)
     planted = t0.filter(
         (F.col("doc_id") % 40 == 0) & (F.size("toks") >= 52)
     ).select(
-        (F.col("doc_id") + F.lit(_SPAN_OFFSET)).alias("doc_id"),
+        "doc_id",
         F.concat(
             F.slice(F.col("toks"), 1, 12),
             filler,
             F.slice(F.col("toks"), 41, 12),
         ).alias("toks"),
+    ).select(
+        (F.col("doc_id") + F.lit(_SPAN_OFFSET)).alias("doc_id"),
+        "toks",
     )
-    corpus = t0.unionByName(planted).localCheckpoint(
-        eager=True
-    )  # feeds the span kernel AND the n_tokens projection; GC-owned
+    return t0.unionByName(planted).localCheckpoint(eager=True)
+
+
+@query("q115_substring_span_dedup", oracle=_SPAN_ORACLE)
+def q115_substring_span_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicated-substring span dedup (ExactSubstr, Lee et al. 2021,
+    arXiv:2107.06499): a token position is duplicated when its
+    8-token gram occurs >= 2 times corpus-wide; overlapping grams
+    merge into maximal spans; ``keep`` = duplicated coverage <= 50%
+    of the doc (exact integer comparison). Catches documents that
+    are globally unique as a whole but mostly copied material — the
+    gap doc-level dedup (q20-q23) and intra-doc repetition (q112)
+    both leave open.
+
+    Scale shape (operators/dedup.duplicated_spans): the counting
+    shuffle carries xxhash64 only, candidates re-counted by EXACT
+    gram string (q21's prefilter-then-verify discipline, so the
+    checked output never trusts a hash), span merge is a
+    doc-partitioned window — no single-partition stage. The oracle
+    recomputes spans via gaps-and-islands SQL, pinning the interval
+    merge against a second engine."""
+    corpus = _span_corpus(spark, sf_dir)
     stats = D.duplicated_spans(corpus, k=_SPAN_K)
     return (
         corpus.select(
@@ -4029,4 +4042,85 @@ def q119_fuzzy_decontamination(
             "jaccard_ppm"
         ),
         F.col("eval_id").isNull().alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------- q120
+
+_EXCISE_ORACLE = f"""
+WITH {_SPAN_SQL},
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + {_SPAN_K} - 1), ' ')
+           AS gram
+  FROM t, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(toks) >= {_SPAN_K}
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w > {_SPAN_K} THEN 1 ELSE 0 END
+           AS brk
+  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS p0, max(pos) AS p1
+  FROM isl2 GROUP BY doc_id, island
+),
+rem AS (
+  SELECT doc_id, unnest(range(p0, p1 + {_SPAN_K})) AS pos FROM spans
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+kept AS (
+  SELECT tokpos.doc_id, tokpos.pos, tokpos.tok
+  FROM tokpos ANTI JOIN rem USING (doc_id, pos)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.cleaned_text, '') AS cleaned_text
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("q120_substring_span_excision", oracle=_EXCISE_ORACLE)
+def q120_substring_span_excision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The transform half of q115 (the q53-audit/q113-redaction
+    pattern): ExactSubstr dedup as Lee et al. 2021 actually apply it
+    — REMOVE the duplicated spans and keep the rest of the document,
+    rather than dropping whole docs. Output carries the cleaned text
+    so the checked artifact IS the deliverable corpus.
+
+    Scale shape (operators/dedup.excise_spans): spans collapse to
+    one short array per affected doc (dup-density-bounded), joined
+    back doc-keyed; removal is a narrow indexed-lambda filter over
+    the token array — no corpus-grain position explode or
+    reassembly shuffle on the Spark side (the oracle reassembles via
+    explode + anti join + ordered string_agg, a mechanically
+    different route to the same rows, which is the point of the
+    cross-engine pin). Maximal spans never overlap, so the per-token
+    test is a short exists()."""
+    corpus = _span_corpus(spark, sf_dir)
+    out = D.excise_spans(corpus, k=_SPAN_K)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_kept",
+        F.array_join("toks_clean", " ").alias("cleaned_text"),
     )

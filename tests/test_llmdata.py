@@ -936,3 +936,52 @@ def test_fuzzy_contamination_hot_recount_is_exact(spark):
         ).collect()
     }
     assert {1, 2, 3} <= unc
+
+
+# ---------------------------------------------------------- excision
+
+
+def test_excise_spans_kernel(spark):
+    from samba_tv_ingest_etl_spark.operators.dedup import excise_spans
+
+    # docs 1/2 share head ("a b c d") and tail ("x y z") windows at
+    # k=3; doc 3 is untouched and must pass through verbatim
+    rows = [
+        (1, "a b c d m1 m2 m3 m4 x y z".split()),
+        (2, "a b c d n1 n2 n3 n4 x y z".split()),
+        (3, "p q r s t u v w".split()),
+    ]
+    toks = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    out = {r["doc_id"]: r for r in excise_spans(toks, k=3).collect()}
+    # doc 1: spans [0,4) + [8,11) removed -> middle survives
+    assert out[1]["toks_clean"] == ["m1", "m2", "m3", "m4"]
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (11, 4)
+    assert out[2]["toks_clean"] == ["n1", "n2", "n3", "n4"]
+    assert out[3]["toks_clean"] == rows[2][1]
+    assert out[3]["n_kept"] == 8
+
+
+def test_substring_span_excision_chimeras(spark):
+    """q120 on the chimera corpus: every chimera keeps EXACTLY its 9
+    unique filler tokens (both 12-token copied windows excised)."""
+    from samba_tv_ingest_etl_spark.queries import registry
+    from samba_tv_ingest_etl_spark.queries.llmdata import _SPAN_OFFSET
+
+    from .conftest import SF_DIR_ORACLE
+
+    out = registry()["q120_substring_span_excision"](
+        spark, SF_DIR_ORACLE
+    ).collect()
+    chimeras = [r for r in out if r["doc_id"] >= _SPAN_OFFSET]
+    assert chimeras
+    for r in chimeras:
+        src = r["doc_id"] - _SPAN_OFFSET
+        want = " ".join(f"zq{src}x{i}" for i in range(1, 10))
+        assert r["cleaned_text"] == want
+        assert (r["n_tokens"], r["n_kept"]) == (33, 9)
+    # conservation: kept tokens never exceed input tokens, and docs
+    # without any duplicated span are byte-identical pass-throughs
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_tokens"]
+        if r["n_kept"] == r["n_tokens"] and r["n_tokens"] > 0:
+            assert len(r["cleaned_text"].split()) == r["n_tokens"]
