@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_cumsum", "pack_sequences"]
+__all__ = ["global_cumsum", "global_cumsum_multi", "pack_sequences"]
 
 
 def global_cumsum(
@@ -39,41 +39,71 @@ def global_cumsum(
     plans as range exchange + pid hash exchange (two data movements;
     still never a single-partition window). Prefer a bucket when the
     key's shape allows one."""
+    return global_cumsum_multi(
+        df, [(value_col, out_col)], [F.col(order_col)],
+        bucket_of=bucket_of,
+    )
+
+
+def global_cumsum_multi(
+    df: DataFrame,
+    values: list,
+    order_by: list,
+    bucket_of=None,
+) -> DataFrame:
+    """``global_cumsum`` over several value columns in one pass, with
+    a multi-column (possibly descending) total order. ``values`` is a
+    list of ``(value_col, out_col)`` pairs; ``order_by`` a list of
+    Columns (use ``F.col(x).desc()`` for descending keys) that
+    together form a UNIQUE total order. All value columns share the
+    single range exchange, per-partition window, one driver pull of
+    ``#partitions`` longs per value, and one broadcast offset join —
+    the marginal cost of an extra value column is one long per
+    partition."""
     spark = df.sparkSession
     if bucket_of is not None:
         local = df.withColumn("_pid", bucket_of)
     else:
-        srt = df.repartitionByRange(F.col(order_col))
+        srt = df.repartitionByRange(*order_by)
         local = srt.withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy(F.col("_pid")).orderBy(order_col)
-    local = local.withColumn(
-        out_col,
-        F.coalesce(
-            F.sum(F.col(value_col).cast("long")).over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
+    w = Window.partitionBy(F.col("_pid")).orderBy(*order_by)
+    for value_col, out_col in values:
+        local = local.withColumn(
+            out_col,
+            F.coalesce(
+                F.sum(F.col(value_col).cast("long")).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
             ),
-            F.lit(0).cast("long"),
-        ),
-    )
+        )
     local = local.localCheckpoint(eager=True)  # totals + result read it
-    counts = sorted(
-        (r["_pid"], r["_t"])
-        for r in local.groupBy("_pid")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("_t"))
-        .collect()
+    totals = local.groupBy("_pid").agg(
+        *[
+            F.sum(F.col(v).cast("long")).alias(f"_t{i}")
+            for i, (v, _) in enumerate(values)
+        ]
     )
-    offsets, acc = [], 0
-    for pid, t in counts:
-        offsets.append((pid, acc))
-        acc += int(t or 0)
+    counts = sorted(
+        (r["_pid"], tuple(r[f"_t{i}"] for i in range(len(values))))
+        for r in totals.collect()
+    )
+    offsets, acc = [], [0] * len(values)
+    for pid, ts in counts:
+        offsets.append((pid, *acc))
+        acc = [a + int(t or 0) for a, t in zip(acc, ts)]
     if not offsets:
         return local.drop("_pid")
-    off = spark.createDataFrame(offsets, ["_pid", "_off"])
-    return (
-        local.join(F.broadcast(off), "_pid")
-        .withColumn(out_col, F.col(out_col) + F.col("_off"))
-        .drop("_pid", "_off")
+    off = spark.createDataFrame(
+        offsets,
+        ["_pid"] + [f"_off{i}" for i in range(len(values))],
     )
+    out = local.join(F.broadcast(off), "_pid")
+    for i, (_, out_col) in enumerate(values):
+        out = out.withColumn(
+            out_col, F.col(out_col) + F.col(f"_off{i}")
+        )
+    return out.drop("_pid", *[f"_off{i}" for i in range(len(values))])
 
 
 def pack_sequences(

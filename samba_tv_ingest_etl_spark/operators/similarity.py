@@ -804,7 +804,11 @@ def kmeans_centroids(
     move to the driver, one job; the length check runs driver-side on
     the collected frame) and raises with the fix (a smaller fraction)
     rather than OOMing the driver. Default cap = 10⁶ x 64 int64
-    ~ 0.5 GiB."""
+    ~ 0.5 GiB. Note the FAILURE path costs the same driver memory as
+    the success path: detecting a violation pulls cap+1 full vector
+    rows (not a vec_id-only probe) before raising — bounded by the
+    identical contract the success path needs, but a caller sizing a
+    much larger cap should know the error exit is not cheap."""
     import numpy as np
 
     from .sampling import stratified_sample

@@ -19,6 +19,17 @@ kill them —
 - **warn** ``Exchange SinglePartition``: a global window/limit/agg
   funneling everything through one task (the engine's two-phase
   cumsum in ``operators/packing.py`` is the standard fix).
+- **error** ``single_partition_window``: the subset of the above
+  that is never acceptable unseen — a ``Window`` whose input arrives
+  through an ``Exchange SinglePartition`` NOT fed by a limit
+  (``TakeOrderedAndProject``/``GlobalLimit``/``CollectLimit``). A
+  post-limit window runs over k rows (q117's top-k-then-rank shape);
+  an unlimited one funnels the whole input through one task, which
+  100x kills. Windows over a *bounded-grain aggregate* (day grain,
+  char-bigram grain) also match this pattern mechanically — those
+  queries declare the bounded grain via ``assert_scale_clean``'s
+  ``allow`` set, so every exception is named and justified rather
+  than silently tolerated.
 - **info** hash-exchange count: not wrong, but the number to watch
   when a pipeline composes operators.
 
@@ -47,6 +58,107 @@ class Finding:
 
 def _plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+# tree-string parsing for the single_partition_window check: Spark's
+# plan toString indents each level by 3 chars (":- ", "+- ", "   ");
+# node name starts after the last "- " and may carry a codegen "*(N) "
+# prefix. Good enough to recover (depth, name) per line — the only
+# structure the check needs.
+_NODE_RE = re.compile(r"^(?P<prefix>[\s:+-]*)(?:\*\(\d+\)\s*)?(?P<name>\w+)")
+
+# cardinality-bounding nodes: anything downstream of these is <= k
+# rows by construction, so a single-partition window over them is the
+# sanctioned top-k-then-rank shape
+_BOUNDING = {
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "LocalLimit",
+}
+# narrow 1:1-or-filter pass-throughs we look through when walking from
+# the exchange to the node that determines its input cardinality
+_PASS_THROUGH = {
+    "Project",
+    "Filter",
+    "Sort",
+    "ColumnarToRow",
+    "InputAdapter",
+    "SerializeFromObject",
+    "DeserializeToObject",
+    "Coalesce",
+    "WholeStageCodegen",
+}
+
+
+def _parse_tree(plan: str) -> list[tuple[int, str]]:
+    nodes: list[tuple[int, str]] = []
+    for line in plan.splitlines():
+        m = _NODE_RE.match(line)
+        if not m or not m.group("name"):
+            continue
+        depth = len(m.group("prefix")) // 3
+        nodes.append((depth, m.group("name")))
+    return nodes
+
+
+def _unbounded_single_partition_windows(plan: str) -> int:
+    """Count Window nodes whose input flows through an ``Exchange
+    SinglePartition`` that is not fed (through narrow pass-throughs)
+    by a limit node. Subquery sections parse as separate roots of the
+    same line list, which is fine: depth comparison only ever walks
+    *into* a subtree, never across section boundaries."""
+    nodes = _parse_tree(plan)
+    # recover which Exchange lines are SinglePartition (the name regex
+    # drops the argument list, so re-scan raw lines in lockstep)
+    raw = [
+        ln
+        for ln in plan.splitlines()
+        if _NODE_RE.match(ln) and _NODE_RE.match(ln).group("name")
+    ]
+    bad = 0
+    for i, (d, name) in enumerate(nodes):
+        if name != "Window":
+            continue
+        # subtree of this window = following lines with depth > d,
+        # until the first line at depth <= d
+        j = i + 1
+        found_exchange = None
+        while j < len(nodes) and nodes[j][0] > d:
+            if (
+                nodes[j][1] == "Exchange"
+                and "Exchange SinglePartition" in raw[j]
+            ):
+                found_exchange = j
+                break
+            if nodes[j][1] == "Window":
+                # nested window owns its own exchange; skip its
+                # subtree — it is audited by its own iteration
+                jd = nodes[j][0]
+                j += 1
+                while j < len(nodes) and nodes[j][0] > jd:
+                    j += 1
+                continue
+            j += 1
+        if found_exchange is None:
+            continue
+        # walk from the exchange through pass-throughs to the first
+        # cardinality-determining node
+        k = found_exchange + 1
+        ed = nodes[found_exchange][0]
+        bounded = False
+        while k < len(nodes) and nodes[k][0] > ed:
+            nm = nodes[k][1]
+            if nm in _BOUNDING:
+                bounded = True
+                break
+            if nm in _PASS_THROUGH:
+                k += 1
+                continue
+            break  # first non-pass-through, non-limit node: unbounded
+        if not bounded:
+            bad += 1
+    return bad
 
 
 def audit_plan(df: DataFrame) -> list[Finding]:
@@ -91,6 +203,20 @@ def audit_plan(df: DataFrame) -> list[Finding]:
                 "single_partition_exchange",
                 f"{n_single} Exchange SinglePartition node(s): global "
                 "funnel through one task",
+            )
+        )
+    n_spw = _unbounded_single_partition_windows(plan)
+    if n_spw:
+        out.append(
+            Finding(
+                "error",
+                "single_partition_window",
+                f"{n_spw} Window node(s) over an unlimited Exchange "
+                "SinglePartition: the whole input funnels through one "
+                "task — use orderBy().limit(k) before the window "
+                "(TakeOrderedAndProject) or the two-phase "
+                "global_cumsum; bounded-grain windows must be "
+                "allowlisted per query",
             )
         )
     n_hash = len(re.findall(r"Exchange hashpartitioning", plan))

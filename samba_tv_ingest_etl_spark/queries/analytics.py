@@ -948,11 +948,15 @@ def q104_revenue_concentration(
     cumulative share in integer ppm, and the 'top 80%' flag (a
     customer is in the head while the revenue BEFORE it is under
     80% of total). The event-grain work is one per-customer
-    aggregate; ranking windows run over customers, and at true scale
-    the global order comes from the two-phase cumsum (q87) instead
-    of the single-partition window — the small-table shortcut is the
-    deliberate choice here and the swap is one call."""
-    from pyspark.sql import Window
+    aggregate; the global order over CUSTOMER grain (unbounded at
+    100x) comes from the two-phase ``global_cumsum_multi`` — range
+    exchange on (cents DESC, user_id), per-partition window, then
+    #partitions longs to the driver become broadcast offsets. Rank
+    and cumulative revenue share the single pass (one extra long per
+    partition); the grand total is the last offset's closing
+    accumulator, read back here as one bounded aggregate over the
+    checkpointed pass. No single-partition exchange anywhere."""
+    from ..operators.packing import global_cumsum_multi
 
     s = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -965,18 +969,20 @@ def q104_revenue_concentration(
         .groupBy("user_id")
         .agg(F.sum("cents").cast("long").alias("cents"))
     )
-    w = Window.orderBy(F.col("cents").desc(), F.col("user_id"))
-    cum = (
-        Window.orderBy(F.col("cents").desc(), F.col("user_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    placed = global_cumsum_multi(
+        s.withColumn("_one", F.lit(1).cast("long")),
+        [("cents", "cum_before"), ("_one", "n_before")],
+        [F.col("cents").desc(), F.col("user_id")],
     )
-    tot = Window.partitionBy()
-    r = s.select(
+    total = int(
+        placed.agg(F.sum("cents").alias("t")).collect()[0]["t"] or 0
+    )
+    r = placed.select(
         "user_id",
         "cents",
-        F.row_number().over(w).cast("long").alias("rank"),
-        F.sum("cents").over(cum).alias("cum_cents"),
-        F.sum("cents").over(tot).alias("total"),
+        (F.col("n_before") + 1).cast("long").alias("rank"),
+        (F.col("cum_before") + F.col("cents")).alias("cum_cents"),
+        F.lit(total).cast("long").alias("total"),
     )
     return r.select(
         "user_id",

@@ -37,6 +37,32 @@ _STOP_SHINGLE_DF = 5
 
 # ---------------------------------------------------------------- corpora
 
+# Planted-id space for every corpus whose OUTPUT is keyed on (or
+# joined by) planted doc_ids: +1e12, far above any natural doc_id at
+# every measured sf (sf10 reaches 524,999, which collided with the
+# conventional +400000 space and killed the sf10 run via the q115
+# guard). Corpora that need TWO disjoint planted spaces use
+# _SPAN_OFFSET and 2*_SPAN_OFFSET. Guarded at use sites: natural ids
+# must stay below _SPAN_OFFSET or two documents silently merge in
+# every doc_id-keyed stage.
+_SPAN_OFFSET = 1_000_000_000_000
+
+def _guarded_doc_id(label: str):
+    """doc_id passed through the planted-space collision guard: raises
+    loudly if a natural id ever reaches _SPAN_OFFSET (the sf10 run
+    proved this fires rather than silently merging documents)."""
+    return F.when(
+        F.col("doc_id").between(0, _SPAN_OFFSET - 1), F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{label} doc_id collides with planted id space: "),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+
+
 # exact-copy corpus (q20, q23): every 25th doc duplicated verbatim
 _COPY_SQL = """
 corpus AS (
@@ -2903,9 +2929,12 @@ def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to weight, yet fully deterministic (hash-derived u,
     integer division, id tie-break), so the sample survives retries,
     repartitioning and engine swaps, unlike any rand()-based
-    reservoir. Priorities are a narrow map; selection is a top-k over
-    (priority, id) — at scale a per-partition top-k before the final
-    k-merge."""
+    reservoir. Priorities are a narrow map; selection is
+    ``orderBy(...).limit(k)`` — Spark plans TakeOrderedAndProject, a
+    per-partition top-k followed by a k-way merge, so no row outside
+    the k survivors ever crosses a single-partition boundary. The
+    rank window then runs over the k survivors only (k = 50), which
+    is the bounded global funnel the plan audit allows."""
     from pyspark.sql import Window
 
     docs = _documents(spark, sf_dir).filter(
@@ -2919,10 +2948,10 @@ def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 1, 15), 16, 10) AS BIGINT) DIV CAST(n_chars AS BIGINT)"
         ).alias("priority"),
     )
+    topk = pri.orderBy("priority", "doc_id").limit(_WSAMPLE_K)
     w = Window.orderBy("priority", "doc_id")
-    return (
-        pri.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _WSAMPLE_K)
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("long")
     )
 
 
@@ -3076,11 +3105,11 @@ def q111_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 5 whitespace tokens repeated 12x — a degenerate "stuck generator"
 # document that trips both filter rules (the natural corpus never
 # does: max top-bigram fraction is ~17% at sf0.01, thresholds 20%/30%)
-_LOOP_SQL = """
+_LOOP_SQL = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 300000,
+  SELECT doc_id + {_SPAN_OFFSET},
          rtrim(repeat(array_to_string(
            list_slice(string_split(text, ' '), 1, 5), ' ') || ' ', 12))
   FROM documents WHERE doc_id % 30 = 0
@@ -3152,10 +3181,14 @@ def q112_repetition_filters(
     with ZERO shuffle and no explode; at 100 TB it pipelines with
     the scan. The oracle computes the same counts by explode +
     GROUP BY, pinning the run-counting kernel against a second
-    engine's hash aggregate."""
-    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    engine's hash aggregate. Planted loop-docs live at +_SPAN_OFFSET
+    (guarded): the output is doc_id-keyed and the oracle LEFT JOINs
+    on doc_id, so a planted/natural collision would fan out rows."""
+    docs = _documents(spark, sf_dir).select(
+        _guarded_doc_id("q112").alias("doc_id"), "text"
+    )
     planted = docs.filter(F.col("doc_id") % 30 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
+        (F.col("doc_id") + _SPAN_OFFSET).alias("doc_id"),
         F.expr(
             "rtrim(repeat(concat(array_join("
             "slice(split(text, ' '), 1, 5), ' '), ' '), 12))"
@@ -3335,10 +3368,8 @@ _SPAN_K = 8
 # copied material, exactly what ExactSubstr span dedup exists to
 # catch. Each chimera yields two maximal spans, exercising the
 # interval-merge path the natural corpus (full-doc copies) doesn't.
-# Planted ids live at +1e12 — far above any natural doc_id at every
-# measured sf (sf10 reaches 524,999, which collided with the
-# conventional +400000 space and killed the sf10 run via the guard)
-_SPAN_OFFSET = 1_000_000_000_000
+# Planted ids live at +_SPAN_OFFSET (defined with the corpora at the
+# top of this module), guarded by _span_corpus's checked_id.
 
 _SPAN_SQL = f"""
 t0 AS (
@@ -3414,18 +3445,8 @@ def _span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     or two documents would silently merge in every doc_id-keyed
     stage — the sf10 run proved the guard fires."""
     docs = _documents(spark, sf_dir).select("doc_id", "text")
-    checked_id = F.when(
-        F.col("doc_id").between(0, _SPAN_OFFSET - 1), F.col("doc_id")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("q115 doc_id collides with planted id space: "),
-                F.col("doc_id").cast("string"),
-            )
-        )
-    )
     t0 = docs.select(
-        checked_id.alias("doc_id"),
+        _guarded_doc_id("q115").alias("doc_id"),
         X.tokens(F.col("text")).alias("toks"),
     )
     filler = F.transform(
@@ -3787,15 +3808,15 @@ def q117_dsir_importance_resample(
 # 'mirror' source (the cross-source mass), every 40th re-appears
 # under its OWN source (the within-source diagonal) — so the matrix
 # has both shapes the diagnostic exists to separate
-_XSRC_SQL = """
+_XSRC_SQL = f"""
 corpus AS (
   SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, text
   FROM documents
   UNION ALL
-  SELECT doc_id + 200000, 'mirror', CAST(n_chars AS BIGINT), text
+  SELECT doc_id + {_SPAN_OFFSET}, 'mirror', CAST(n_chars AS BIGINT), text
   FROM documents WHERE doc_id % 25 = 0
   UNION ALL
-  SELECT doc_id + 300000, source, CAST(n_chars AS BIGINT), text
+  SELECT doc_id + {2 * _SPAN_OFFSET}, source, CAST(n_chars AS BIGINT), text
   FROM documents WHERE doc_id % 40 = 0
 )
 """
@@ -3839,23 +3860,28 @@ def q118_cross_source_dup_matrix(
     beyond the hash input scan); owner attribution is
     first_value/row_number on that same window partitioning; the
     matrix aggregate is |sources|^2 rows. Dup groups are
-    dup-density-bounded, so the second aggregate's input is small."""
+    dup-density-bounded, so the second aggregate's input is small.
+    Owner attribution orders by doc_id, so planted ids MUST be
+    disjoint from natural ids (a collision mis-attributes the owner
+    and makes the exact-text tie's row_number nondeterministic):
+    mirror copies live at +_SPAN_OFFSET, within-source copies at
+    +2*_SPAN_OFFSET, natural ids guarded below _SPAN_OFFSET."""
     docs = _documents(spark, sf_dir).select(
-        "doc_id",
+        _guarded_doc_id("q118").alias("doc_id"),
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
         "text",
     )
     corpus = docs.unionByName(
         docs.filter(F.col("doc_id") % 25 == 0).select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
+            (F.col("doc_id") + F.lit(_SPAN_OFFSET)).alias("doc_id"),
             F.lit("mirror").alias("source"),
             "n_chars",
             "text",
         )
     ).unionByName(
         docs.filter(F.col("doc_id") % 40 == 0).select(
-            (F.col("doc_id") + 300000).alias("doc_id"),
+            (F.col("doc_id") + F.lit(2 * _SPAN_OFFSET)).alias("doc_id"),
             "source",
             "n_chars",
             "text",

@@ -29,6 +29,24 @@ _SKIP = {
     "q69_incremental_partitioned_backend",
 }
 
+# Queries whose single-partition windows run over a BOUNDED grain —
+# the input cardinality is fixed by construction, not by corpus size,
+# so the global funnel is O(1) rows no matter the scale factor. Every
+# exception is named with its grain; anything not listed here that
+# windows over an unlimited SinglePartition exchange fails the audit
+# (the q102 regression class).
+_ALLOW_SP_WINDOW = {
+    # day grain: <= #days in the data window rows reach the window
+    "q60_cumulative_reach_curve": frozenset({"single_partition_window"}),
+    # histogram-sketch grain: O(event_types x bins) rows, row-count
+    # independent by sketch construction
+    "q78_histogram_quantile_sketch": frozenset(
+        {"single_partition_window"}
+    ),
+    # contingency-cell grain: |nations| x |event_types| rows
+    "q95_joint_lift_cells": frozenset({"single_partition_window"}),
+}
+
 
 def test_detects_cartesian_product(spark):
     # both sides must exceed the broadcast threshold or the planner
@@ -79,4 +97,36 @@ def test_no_registered_query_has_scale_errors(spark, name):
     """Engine-wide invariant: zero cartesian products and zero
     row-at-a-time Python across the whole query surface."""
     df = Q.registry()[name](spark, SF_DIR)
-    assert_scale_clean(df)
+    assert_scale_clean(df, allow=_ALLOW_SP_WINDOW.get(name, frozenset()))
+
+
+def test_detects_corpus_grain_single_partition_window(spark):
+    """Regression for the q102 class: a rank window over the whole
+    input (no limit before it) must fail the audit as an error, not
+    slide through as a warning."""
+    from pyspark.sql import Window
+
+    rows = spark.range(100_000).withColumn("w", F.col("id") % 97)
+    bad = rows.withColumn(
+        "rank", F.row_number().over(Window.orderBy("w", "id"))
+    )
+    codes = {f.code for f in audit_plan(bad) if f.level == "error"}
+    assert "single_partition_window" in codes
+    with pytest.raises(AssertionError):
+        assert_scale_clean(bad)
+
+
+def test_topk_then_rank_window_passes(spark):
+    """The sanctioned shape (q117/q102): orderBy().limit(k) bounds
+    the window input to k rows — TakeOrderedAndProject feeds the
+    window, and the audit must accept it."""
+    from pyspark.sql import Window
+
+    rows = spark.range(100_000).withColumn("w", F.col("id") % 97)
+    topk = rows.orderBy("w", "id").limit(50)
+    good = topk.withColumn(
+        "rank", F.row_number().over(Window.orderBy("w", "id"))
+    )
+    codes = {f.code for f in audit_plan(good) if f.level == "error"}
+    assert "single_partition_window" not in codes
+    assert_scale_clean(good)
