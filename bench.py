@@ -102,12 +102,15 @@ def main() -> None:
     # 1m loadavg, which would both trip the gate spuriously and make
     # the recorded number measure ourselves). BENCH_r04 post-mortem:
     # committed on a box at loadavg 5.61, understating the engine
-    # ~7%. Wait up to ~2 min for external load to drop below the
-    # threshold; if it never does, still emit — but flagged
-    # "contended": true so the artifact says so.
+    # ~7%. BENCH_r06 post-mortem: the 2-min max wait expired and a
+    # contended 24.73 s number was committed (judge's idle re-run:
+    # 23.76 s) — the round-over-round comparison measured the box,
+    # not the round. Wait up to ~10 min now (30 x 20 s): a committed
+    # artifact is worth minutes; if the box never idles, still emit —
+    # flagged "contended": true so the artifact says so.
     load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "3.0"))
     contended = os.getloadavg()[0] > load_gate
-    for _ in range(6):
+    for _ in range(30):
         if not contended:
             break
         print(

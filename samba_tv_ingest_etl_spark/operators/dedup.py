@@ -126,15 +126,14 @@ def shingle_docs(
     )
 
 
-def jaccard_pairs(
+def overlap_pairs(
     shingled: DataFrame,
-    threshold_pct: int = 50,
     stop_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact set-similarity self-join: candidate pairs share >= 1
-    shingle; Jaccard compared in integer arithmetic
-    (``common * 100 >= pct * union``). Returns (doc_a, doc_b,
-    common, union_size) with doc_a < doc_b, similar pairs only.
+    """The exact set-overlap core shared by ``jaccard_pairs`` and
+    ``containment_pairs``: candidate pairs share >= 1 shingle;
+    returns (doc_a, doc_b, size_a, size_b, common) with doc_a <
+    doc_b and ``common`` the EXACT full-set intersection size.
 
     ``stop_shingle_df`` is the skew guard: shingles shared by more
     than that many docs are excluded from the candidate-generating
@@ -142,13 +141,12 @@ def jaccard_pairs(
     join key carrying ~n docs -> O(n²) pairs through one reducer).
     Verification stays EXACT: hot shingles are re-counted per
     candidate pair via per-doc hot-shingle arrays
-    (``array_intersect``), so ``common``/``union_size`` are the true
-    full-set values and the only approximation is candidacy itself —
-    a similar pair is missed only if it shares NO sub-threshold
-    shingle, which at τ ≥ 0.5 and shingle n ≥ 3 does not happen on
-    natural text. The distinct hot-shingle set is tiny by
-    construction (≤ total shingle occurrences / cap), so it
-    broadcasts, and the per-doc hot arrays are short."""
+    (``array_intersect``), so ``common`` is the true full-set value
+    and the only approximation is candidacy itself — a pair is
+    missed only if it shares NO sub-threshold shingle. The distinct
+    hot-shingle set is tiny by construction (≤ total shingle
+    occurrences / cap), so it broadcasts, and the per-doc hot arrays
+    are short."""
     ex = shingled.select(
         "doc_id", "set_size", F.explode("shingles").alias("shingle")
     )
