@@ -222,10 +222,46 @@ def overlap_pairs(
                 ),
             )
         )
+    return pairs.select("doc_a", "doc_b", "size_a", "size_b", "common")
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    threshold_pct: int = 50,
+    stop_shingle_df: int | None = None,
+) -> DataFrame:
+    """Pairs with exact n-gram Jaccard >= threshold_pct / 100.
+
+    Thin wrapper over ``overlap_pairs``: the similarity test is the
+    integer inequality ``common * 100 >= pct * union`` (no floats, so
+    the DuckDB oracle reproduces it bit-for-bit). Returns
+    (doc_a, doc_b, common, union_size)."""
+    pairs = overlap_pairs(shingled, stop_shingle_df=stop_shingle_df)
     union = F.col("size_a") + F.col("size_b") - F.col("common")
     return pairs.filter(
         F.col("common") * 100 >= F.lit(threshold_pct) * union
     ).select("doc_a", "doc_b", "common", union.alias("union_size"))
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    threshold_pct: int = 80,
+    stop_shingle_df: int | None = None,
+) -> DataFrame:
+    """Pairs where the SMALLER shingle set is >= threshold_pct
+    contained in the other: ``common * 100 >= pct * least(size_a,
+    size_b)``. Catches short-in-long near-containment (a boilerplate
+    page embedded in a larger document) that symmetric Jaccard
+    misses: a 50-shingle doc fully contained in a 5000-shingle doc
+    has Jaccard ~1% but containment 100%. Same exact core and skew
+    cap as ``jaccard_pairs``; integer-only test so the oracle
+    matches exactly. Returns (doc_a, doc_b, common, min_size)."""
+    pairs = overlap_pairs(shingled, stop_shingle_df=stop_shingle_df)
+    min_size = F.least(F.col("size_a"), F.col("size_b"))
+    return pairs.filter(
+        (min_size > 0)
+        & (F.col("common") * 100 >= F.lit(threshold_pct) * min_size)
+    ).select("doc_a", "doc_b", "common", min_size.alias("min_size"))
 
 
 def keep_min_id(df: DataFrame, pairs: DataFrame,

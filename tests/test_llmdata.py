@@ -46,6 +46,45 @@ def test_jaccard_pairs_and_survivors(spark, docs):
     assert kept == {1, 3, 5, 6}  # 2 and 4 dropped to 1
 
 
+def test_containment_catches_short_in_long(spark):
+    """A short fragment fully contained in a long doc: Jaccard is
+    far below 50 (invisible to jaccard_pairs) but containment of the
+    smaller set is 100%."""
+    long_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    frag = "alpha beta gamma delta epsilon"  # 3 shingles, all in long
+    df = spark.createDataFrame(
+        [(1, long_text), (2, frag), (3, "unrelated words entirely here")],
+        ["doc_id", "text"],
+    )
+    sh = D.shingle_docs(df)
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in D.jaccard_pairs(sh, threshold_pct=50).collect()}
+    assert (1, 2) not in jac
+    cont = {(r["doc_a"], r["doc_b"]): (r["common"], r["min_size"])
+            for r in D.containment_pairs(sh, threshold_pct=80).collect()}
+    assert cont == {(1, 2): (3, 3)}  # 100% containment, nothing else
+
+
+def test_containment_respects_skew_cap(spark, docs):
+    """The shared overlap_pairs core applies the hot-shingle cap to
+    containment_pairs too, with the documented semantics: a pair is
+    missed ONLY if every shared shingle is hot (candidacy loss), and
+    any surviving pair's common is still the EXACT full-set value.
+    Docs 1/2/4 share their prefix shingles (df=3, hot at cap 2); only
+    1 and 4 also share the df=2 'river bank' tail, so only (1,4)
+    survives — with common re-counted over hot shingles too."""
+    sh = D.shingle_docs(docs)
+    base = {(r["doc_a"], r["doc_b"]): (r["common"], r["min_size"])
+            for r in D.containment_pairs(sh, 80).collect()}
+    assert {(1, 2), (1, 4), (2, 4)} <= set(base)
+    capped = {(r["doc_a"], r["doc_b"]): (r["common"], r["min_size"])
+              for r in D.containment_pairs(sh, 80, stop_shingle_df=2).collect()}
+    assert capped == {(1, 4): base[(1, 4)]}  # exact common preserved
+
+
 def test_minhash_catches_what_jaccard_finds(spark, docs):
     """At these similarities (1.0 and ~0.9) the 4x4 banding must
     recover every true pair; empty-shingle docs (5,6) must NOT pair
