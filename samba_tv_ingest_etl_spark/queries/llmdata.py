@@ -4150,3 +4150,71 @@ def q120_substring_span_excision(
         "n_kept",
         F.array_join("toks_clean", " ").alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------- q121
+
+_CONTAIN_PCT = 80
+
+# snippet corpus: every 20th doc re-appears as its 20%-prefix — a
+# SHORT near-contained fragment. Its shingles are (almost) a subset
+# of the parent's, so containment of the smaller set is ~100% while
+# symmetric Jaccard is ~20% — below the q21 threshold. This is the
+# boilerplate-page-inside-a-crawl-document shape that containment
+# dedup exists to catch. Planted ids live at +_SPAN_OFFSET, natural
+# ids guarded below it (the planted-id hygiene rule, llmdata.py:39).
+_SNIPPET_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_SPAN_OFFSET},
+         substr(text, 1, CAST(floor(length(text) * 0.2) AS INT))
+  FROM documents WHERE doc_id % 20 = 0
+)
+"""
+
+
+def _snippet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).select(
+        _guarded_doc_id("q121").alias("doc_id"), "text"
+    )
+    return docs.unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + F.lit(_SPAN_OFFSET)).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, CAST(floor(length(text) * 0.2) AS INT))"
+            ).alias("text"),
+        )
+    )
+
+
+@query(
+    "q121_containment_pairs",
+    oracle=f"""
+WITH {_SNIPPET_SQL}, {_SHINGLE_SQL}, {_CAPPED_PAIRS_SQL}
+SELECT doc_a, doc_b, common,
+       CAST(least(size_a, size_b) AS BIGINT) AS min_size
+FROM pairs
+WHERE least(size_a, size_b) > 0
+  AND common * 100 >= {_CONTAIN_PCT} * least(size_a, size_b)
+""",
+)
+def q121_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment dedup: pairs where the SMALLER
+    shingle set is >= 80% contained in the other
+    (operators/dedup.containment_pairs). Shares the exact
+    set-overlap core (overlap_pairs: capped candidacy, exact
+    common) with q21 — only the final integer inequality differs,
+    which is the point of the core/wrapper split. Catches
+    short-in-long fragments Jaccard misses: the planted 20%-prefix
+    snippets score ~20% Jaccard (invisible to q21's 50% gate) but
+    ~100% containment."""
+    sh = D.shingle_docs(_snippet_corpus(spark, sf_dir), ngram=_NGRAM)
+    return D.containment_pairs(
+        sh, threshold_pct=_CONTAIN_PCT, stop_shingle_df=_STOP_SHINGLE_DF
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("min_size").cast("long").alias("min_size"),
+    )
