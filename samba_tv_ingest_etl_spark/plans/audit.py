@@ -116,47 +116,63 @@ def _unbounded_single_partition_windows(plan: str) -> int:
         for ln in plan.splitlines()
         if _NODE_RE.match(ln) and _NODE_RE.match(ln).group("name")
     ]
+
+    def _bounded_below(ei: int) -> bool:
+        # walk from the exchange through pass-throughs to the first
+        # cardinality-determining node
+        k = ei + 1
+        ed = nodes[ei][0]
+        while k < len(nodes) and nodes[k][0] > ed:
+            nm = nodes[k][1]
+            if nm in _BOUNDING:
+                return True
+            if nm in _PASS_THROUGH:
+                k += 1
+                continue
+            return False  # first non-pass-through, non-limit node
+        return False
+
+    # boundedness of every REAL SinglePartition exchange, so a
+    # ReusedExchange (a leaf that re-reads another exchange's shuffle
+    # output — it has no subtree of its own to walk) can be judged by
+    # the exchange(s) it could reference
+    real_single = [
+        i
+        for i, (_, name) in enumerate(nodes)
+        if name == "Exchange" and "SinglePartition" in raw[i]
+    ]
+    reused_bounded = bool(real_single) and all(
+        _bounded_below(i) for i in real_single
+    )
+
     bad = 0
     for i, (d, name) in enumerate(nodes):
         if name != "Window":
             continue
-        # subtree of this window = following lines with depth > d,
-        # until the first line at depth <= d
+        # walk ONLY the pass-through chain directly beneath the
+        # window (each pass-through has exactly one child, so the
+        # chain is consecutive deeper lines). Stopping at the first
+        # non-pass-through node keeps a single-partition exchange in
+        # an unrelated join branch — below an intervening hash
+        # exchange, join, or agg — from being attributed to this
+        # window. A nested Window ends the chain too: it owns its own
+        # partitioning and is audited by its own iteration.
         j = i + 1
-        found_exchange = None
+        bounded = None
         while j < len(nodes) and nodes[j][0] > d:
-            if (
-                nodes[j][1] == "Exchange"
-                and "Exchange SinglePartition" in raw[j]
-            ):
-                found_exchange = j
+            nm = nodes[j][1]
+            if nm == "Exchange" and "SinglePartition" in raw[j]:
+                bounded = _bounded_below(j)
                 break
-            if nodes[j][1] == "Window":
-                # nested window owns its own exchange; skip its
-                # subtree — it is audited by its own iteration
-                jd = nodes[j][0]
-                j += 1
-                while j < len(nodes) and nodes[j][0] > jd:
-                    j += 1
-                continue
-            j += 1
-        if found_exchange is None:
-            continue
-        # walk from the exchange through pass-throughs to the first
-        # cardinality-determining node
-        k = found_exchange + 1
-        ed = nodes[found_exchange][0]
-        bounded = False
-        while k < len(nodes) and nodes[k][0] > ed:
-            nm = nodes[k][1]
-            if nm in _BOUNDING:
-                bounded = True
+            if nm == "ReusedExchange" and "SinglePartition" in raw[j]:
+                bounded = reused_bounded
                 break
             if nm in _PASS_THROUGH:
-                k += 1
+                j += 1
                 continue
-            break  # first non-pass-through, non-limit node: unbounded
-        if not bounded:
+            break  # non-pass-through: the window's input partitioning
+            # is determined here, not by any deeper exchange
+        if bounded is False:
             bad += 1
     return bad
 

@@ -116,6 +116,51 @@ def test_detects_corpus_grain_single_partition_window(spark):
         assert_scale_clean(bad)
 
 
+def test_keyed_window_over_single_partition_join_branch_passes(spark):
+    """Walk-scoping regression (r7 advice): a PARTITIONED window
+    above a join whose other branch contains an unrelated
+    ``Exchange SinglePartition`` (here repartition(1) on the build
+    side) must NOT be attributed that exchange — the window's input
+    partitioning is the hash exchange directly beneath it."""
+    from pyspark.sql import Window
+
+    a = spark.range(10_000).withColumn("k", F.col("id") % 10)
+    b = (
+        spark.range(100)
+        .withColumnRenamed("id", "bid")
+        .withColumn("k", F.col("bid") % 10)
+        .repartition(1)  # renders as Exchange SinglePartition
+    )
+    df = a.join(b, "k").withColumn(
+        "r", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    codes = {f.code for f in audit_plan(df) if f.level == "error"}
+    assert "single_partition_window" not in codes
+
+
+def test_reused_single_partition_exchange_is_still_flagged(spark):
+    """Walk-scoping regression (r7 advice), false-negative side: when
+    exchange reuse replaces the second global window's exchange with
+    a ``ReusedExchange ... SinglePartition`` leaf, that window must
+    still be flagged if the real exchange it reuses is unbounded."""
+    from pyspark.sql import Window
+
+    rows = spark.range(100_000).withColumn("w", F.col("id") % 97)
+    ranked = rows.withColumn(
+        "rank", F.row_number().over(Window.orderBy("w", "id"))
+    )
+    both = ranked.union(ranked)  # identical subtrees -> reuse
+    plan = both._jdf.queryExecution().executedPlan().toString()
+    findings = [
+        f for f in audit_plan(both)
+        if f.level == "error" and f.code == "single_partition_window"
+    ]
+    assert findings, "unbounded global window must stay flagged"
+    if "ReusedExchange" in plan and "SinglePartition" in plan:
+        # reuse kicked in: BOTH windows must be counted
+        assert "2 " in findings[0].detail or "2" in findings[0].detail
+
+
 def test_topk_then_rank_window_passes(spark):
     """The sanctioned shape (q117/q102): orderBy().limit(k) bounds
     the window input to k rows — TakeOrderedAndProject feeds the
