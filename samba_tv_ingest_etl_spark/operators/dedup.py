@@ -729,10 +729,11 @@ def duplicated_spans(
     the suffix-array construction it replaces — and it runs ONCE:
     ``g`` feeds both the hash count and the candidate join, so it is
     localCheckpointed (the shingled-table discipline of
-    ``jaccard_pairs``/``minhash_lsh_pairs``: pay storage ~ gram
-    rows rather than recompute the dominant stage per consumer);
-    ``cand`` (dup-density-bounded) likewise feeds the exact re-count
-    and the position extraction.
+    ``jaccard_pairs``/``minhash_lsh_pairs``). The checkpoint carries
+    (doc_id, pos, hash) only — gram TEXT is re-derived for the
+    dup-density-bounded candidate rows by slicing the token arrays
+    (measured tradeoff: SCALING_r8.md); the candidate-gram table
+    likewise feeds the exact re-count and the position extraction.
     """
     spans = duplicated_span_intervals(toks_df, k, min_count)
     return spans.groupBy("doc_id").agg(
@@ -759,13 +760,20 @@ def duplicated_span_intervals(
     ``duplicated_spans``."""
     from pyspark.sql import Window
 
+    # the corpus-grain checkpoint carries (doc_id, pos, h) ONLY —
+    # never gram text (~24 B/row vs ~k x corpus bytes). Gram text for
+    # the exact re-count is re-derived for CANDIDATE rows only by
+    # slicing the token arrays. Measured at sf1/sf10 (SCALING_r8.md,
+    # tools/span_footprint.py): bit-identical output, 1.5x less
+    # checkpoint storage AND faster wall (10.7 -> 6.8 s sf1,
+    # 18.5 -> 17.2 s sf10) than checkpointing the gram-text explode.
     g = toks_df.select(
         "doc_id",
         F.posexplode(
             ngram_occurrences(F.col("toks"), k)
         ).alias("pos", "gram"),
-    ).withColumn(
-        "h", F.xxhash64("gram")
+    ).select(
+        "doc_id", "pos", F.xxhash64("gram").alias("h")
     ).localCheckpoint(eager=True)  # hot_h agg + cand probe; GC-owned
     hot_h = (
         g.groupBy("h")
@@ -773,16 +781,27 @@ def duplicated_span_intervals(
         .filter(F.col("c") >= min_count)
         .select("h")
     )
-    cand = g.join(hot_h, "h").localCheckpoint(
+    cand = g.join(hot_h, "h").select("doc_id", "pos")
+    # candidate-only gram re-derivation: doc-keyed join back to the
+    # token arrays, slice [pos, pos+k) (slice is 1-indexed). Must
+    # format grams exactly as ngram_occurrences does (concat_ws " ")
+    # or the exact re-count diverges.
+    cand_g = cand.join(toks_df, "doc_id").select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("pos") + 1, k)
+        ).alias("gram"),
+    ).localCheckpoint(
         eager=True
     )  # exact re-count + position extraction; GC-owned
     dup_gram = (
-        cand.groupBy("gram")
+        cand_g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)  # exact re-count, no hash trust
         .select("gram")
     )
-    pos_df = cand.join(dup_gram, "gram").select("doc_id", "pos")
+    pos_df = cand_g.join(dup_gram, "gram").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = pos_df.withColumn(
         "brk",

@@ -1,21 +1,19 @@
 #!/usr/bin/env python
-"""Measure the span-dedup kernel's checkpoint storage footprint and
-decide (with numbers) between the shipped gram-TEXT localCheckpoint
-and a hash-only checkpoint + candidate-only gram re-derivation.
+"""Measure the span-dedup kernel's checkpoint storage footprint:
+shipped hash-only checkpoint + candidate-only gram re-derivation vs
+the legacy gram-TEXT checkpoint.
 
-VERDICT r6 (performance section): ``duplicated_span_intervals``
-localCheckpoints the gram explode WITH gram text (dedup.py) — ~k x
-corpus bytes of executor-local storage at fleet scale. The proposed
-alternative checkpoints only (doc_id, pos, xxhash64(gram)) — ~24
-B/row — and re-derives gram text for CANDIDATE rows only (dup-
-density-bounded) by joining the candidate positions back to the
-token arrays and slicing ``toks[pos, pos+k)``. That trades ~8x less
-checkpoint storage for one extra doc-keyed join + per-row slice on
-the candidate subset. This script runs BOTH shapes at each given
-scale dir, verifies their outputs are bit-identical (multiset
-checksum), and reports wall seconds + checkpoint bytes (memory +
-disk, attributed by RDD id diff) so the decision is measured, not
-argued.
+DECIDED r8 (SCALING_r8.md, run from this script): the hash-only
+shape — corpus-grain checkpoint carries (doc_id, pos, xxhash64(gram))
+only; gram text is re-derived for CANDIDATE rows (dup-density-
+bounded) by joining positions back to the token arrays and slicing
+``toks[pos, pos+k)`` — was bit-identical at sf1 AND sf10, used 1.5x
+less checkpoint storage (391 MB -> 258 MB sf1; 3.90 GB -> 2.58 GB
+sf10), and was FASTER (10.74 -> 6.84 s sf1; 18.47 -> 17.15 s sf10):
+the per-candidate slice costs less than writing/reading gram text
+through the checkpoint. ``duplicated_span_intervals`` now ships the
+hash-only shape; ``span_intervals_gram_text`` below preserves the
+legacy shape so the comparison stays reproducible.
 
 Usage:
     python tools/span_footprint.py [DIR ...]   # default: .testdata/sf1 .testdata/sf10
@@ -45,44 +43,36 @@ from samba_tv_ingest_etl_spark.queries.llmdata import (  # noqa: E402
 from samba_tv_ingest_etl_spark.session import get_spark  # noqa: E402
 
 
-def span_intervals_hash_ckpt(toks_df, k: int, min_count: int = 2):
-    """The storage-light alternative: identical semantics to
+def span_intervals_gram_text(toks_df, k: int, min_count: int = 2):
+    """The LEGACY shape (shipped before r8): identical semantics to
     ``duplicated_span_intervals`` but the corpus-grain checkpoint
-    carries (doc_id, pos, h) only; gram text for the exact re-count
-    is re-derived for candidate rows by slicing the token arrays."""
+    carries the gram TEXT alongside (doc_id, pos, h) — ~k x corpus
+    bytes — so the candidate join keeps the gram without re-deriving
+    it. Kept here so the r8 decision stays reproducible."""
     from pyspark.sql import Window
 
-    gh = toks_df.select(
+    g = toks_df.select(
         "doc_id",
         F.posexplode(ngram_occurrences(F.col("toks"), k)).alias(
             "pos", "gram"
         ),
-    ).select(
-        "doc_id", "pos", F.xxhash64("gram").alias("h")
+    ).withColumn(
+        "h", F.xxhash64("gram")
     ).localCheckpoint(eager=True)
     hot_h = (
-        gh.groupBy("h")
+        g.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
         .select("h")
     )
-    cand = gh.join(hot_h, "h").select("doc_id", "pos")
-    # candidate-only gram re-derivation: doc-keyed join back to the
-    # token arrays, slice [pos, pos+k) (slice is 1-indexed)
-    cand_g = cand.join(toks_df, "doc_id").select(
-        "doc_id",
-        "pos",
-        F.concat_ws(
-            " ", F.slice(F.col("toks"), F.col("pos") + 1, k)
-        ).alias("gram"),
-    ).localCheckpoint(eager=True)  # feeds re-count + extraction
+    cand = g.join(hot_h, "h").localCheckpoint(eager=True)
     dup_gram = (
-        cand_g.groupBy("gram")
+        cand.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
         .select("gram")
     )
-    pos_df = cand_g.join(dup_gram, "gram").select("doc_id", "pos")
+    pos_df = cand.join(dup_gram, "gram").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = pos_df.withColumn(
         "brk",
@@ -143,27 +133,27 @@ def main() -> None:
     for d in dirs:
         corpus = _span_corpus(spark, d)  # checkpointed; shared input
         corpus.count()
-        shipped_chk, shipped_s, shipped_mem, shipped_disk = _run(
-            spark, lambda: duplicated_span_intervals(corpus, k=_SPAN_K)
+        legacy_chk, legacy_s, legacy_mem, legacy_disk = _run(
+            spark, lambda: span_intervals_gram_text(corpus, k=_SPAN_K)
         )
         hash_chk, hash_s, hash_mem, hash_disk = _run(
-            spark, lambda: span_intervals_hash_ckpt(corpus, k=_SPAN_K)
+            spark, lambda: duplicated_span_intervals(corpus, k=_SPAN_K)
         )
         out[d] = {
-            "identical": shipped_chk == hash_chk,
-            "n_spans": shipped_chk[0],
-            "shipped_gram_text": {
-                "wall_s": round(shipped_s, 2),
-                "ckpt_mem_bytes": shipped_mem,
-                "ckpt_disk_bytes": shipped_disk,
+            "identical": legacy_chk == hash_chk,
+            "n_spans": legacy_chk[0],
+            "legacy_gram_text": {
+                "wall_s": round(legacy_s, 2),
+                "ckpt_mem_bytes": legacy_mem,
+                "ckpt_disk_bytes": legacy_disk,
             },
-            "hash_only": {
+            "shipped_hash_only": {
                 "wall_s": round(hash_s, 2),
                 "ckpt_mem_bytes": hash_mem,
                 "ckpt_disk_bytes": hash_disk,
             },
             "storage_ratio": round(
-                (shipped_mem + shipped_disk)
+                (legacy_mem + legacy_disk)
                 / max(1, hash_mem + hash_disk),
                 2,
             ),
