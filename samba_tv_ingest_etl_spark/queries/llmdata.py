@@ -63,22 +63,27 @@ def _guarded_doc_id(label: str):
     )
 
 
-# exact-copy corpus (q20, q23): every 25th doc duplicated verbatim
-_COPY_SQL = """
+# exact-copy corpus (q20, q23): every 25th doc duplicated verbatim.
+# Planted ids at +_SPAN_OFFSET per the hygiene rule above — the old
+# +200000 space collided with natural doc_ids at sf10 (max 524,999).
+_COPY_SQL = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0
+  SELECT doc_id + {_SPAN_OFFSET}, text FROM documents
+  WHERE doc_id % 25 = 0
 )
 """
 
 # prefix-copy corpus (q21, q22): every 20th doc re-appears as its
-# 80%-prefix (a high-Jaccard near-dup, never byte-identical)
-_PREFIX_SQL = """
+# 80%-prefix (a high-Jaccard near-dup, never byte-identical).
+# Planted ids at +_SPAN_OFFSET (the old +100000 space collided with
+# natural ids at sf10).
+_PREFIX_SQL = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000,
+  SELECT doc_id + {_SPAN_OFFSET},
          substr(text, 1, CAST(floor(length(text) * 0.8) AS INT))
   FROM documents WHERE doc_id % 20 = 0
 )
@@ -102,19 +107,24 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _copy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    docs = _documents(spark, sf_dir).select(
+        _guarded_doc_id("copy_corpus").alias("doc_id"), "text"
+    )
     return docs.unionByName(
         docs.filter(F.col("doc_id") % 25 == 0).select(
-            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            (F.col("doc_id") + F.lit(_SPAN_OFFSET)).alias("doc_id"),
+            "text",
         )
     )
 
 
 def _prefix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    docs = _documents(spark, sf_dir).select(
+        _guarded_doc_id("prefix_corpus").alias("doc_id"), "text"
+    )
     return docs.unionByName(
         docs.filter(F.col("doc_id") % 20 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
+            (F.col("doc_id") + F.lit(_SPAN_OFFSET)).alias("doc_id"),
             F.expr(
                 "substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))"
             ).alias("text"),
