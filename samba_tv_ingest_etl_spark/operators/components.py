@@ -75,8 +75,12 @@ def connected_components(
             # loop) but strictly one fewer scheduling round-trip per
             # iteration at any scale.
             labels = labels.localCheckpoint(eager=False)
+            # decimal(38,0) sum: planted/synthetic ids live at ~1e12
+            # and fleet-scale graphs carry billions of labels, so a
+            # bigint sum could overflow (ANSI mode would abort the
+            # run; legacy mode would wrap and could fake convergence)
             cur = labels.agg(
-                F.sum(F.col("component").cast("long"))
+                F.sum(F.col("component").cast("decimal(38,0)"))
             ).collect()[0][0]
             if prev_sum is not None and cur == prev_sum:
                 return labels.select(
