@@ -387,6 +387,69 @@ def topk_bruteforce(
     )
 
 
+def contamination_matches(
+    corpus_q: DataFrame,
+    eval_q: DataFrame,
+    threshold_pct: int = 35,
+) -> DataFrame:
+    """Semantic (embedding-space) eval decontamination: for every
+    corpus vector whose cosine to SOME eval vector passes the integer
+    threshold (``dot > 0 and dot² · 10⁴ >= pct² · n_c · n_e`` — the
+    q24 exact-arithmetic test), return its best-matching eval vector:
+    (``vec_id``, ``eval_id``, ``cos_scaled``), argmax broken by
+    smallest ``eval_id``. The n-gram decontaminators (exact q62,
+    fuzzy q119) miss paraphrased eval leakage; this catches it at the
+    embedding layer.
+
+    Scale shape: eval sets are tiny by construction (thousands of
+    rows vs the corpus's billions), so the eval side broadcasts and
+    the corpus is scanned ONCE with no shuffle before the threshold
+    filter; only the HITS (contamination-density-bounded) reach the
+    per-corpus-id argmax, which is a hash aggregate with map-side
+    combine — max(struct(cos, -eval_id)) instead of a window, so no
+    sort and deterministic tie-breaks."""
+    ev = F.broadcast(
+        eval_q.select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("q").alias("q_e"),
+            F.col("norm2").alias("n_e"),
+        )
+    )
+    c = corpus_q.select(
+        "vec_id", F.col("q").alias("q_c"), F.col("norm2").alias("n_c")
+    )
+    dot = _dot(F.col("q_c"), F.col("q_e"))
+    pct2 = threshold_pct * threshold_pct
+    hits = (
+        c.crossJoin(ev)
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * 10000
+                >= F.lit(pct2) * F.col("n_c") * F.col("n_e")
+            )
+        )
+        .withColumn(
+            "cos_scaled",
+            _cos_scaled(F.col("dot"), F.col("n_c"), F.col("n_e")),
+        )
+    )
+    best = hits.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos_scaled").alias("c"),
+                (-F.col("eval_id")).alias("ne"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.ne")).cast("long").alias("eval_id"),
+        F.col("b.c").cast("long").alias("cos_scaled"),
+    )
+
+
 def hyperplane_bit(q: Column, plane: int, dim: int) -> Column:
     """Sign bit of <q, h_plane> with the deterministic integer
     hyperplane h_plane[d] = ((plane·dim + d)·2654435761 mod 2^31)

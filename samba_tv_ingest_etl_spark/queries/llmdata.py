@@ -4228,3 +4228,56 @@ def q121_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("common").cast("long").alias("common"),
         F.col("min_size").cast("long").alias("min_size"),
     )
+
+
+# ---------------------------------------------------------------- q122
+
+# deterministic eval split: every 97th vector is an eval item, the
+# rest are the training corpus — disjoint by construction
+_EVAL_MOD = 97
+
+
+@query(
+    "q122_semantic_decontamination",
+    oracle=f"""
+WITH {_QUANT_SQL},
+scored AS (
+  SELECT b.vec_id AS vec_id, a.vec_id AS eval_id,
+         {_DOT_SQL} AS dot, b.norm2 AS n_c, a.norm2 AS n_e
+  FROM quant a JOIN quant b
+    ON a.vec_id % {_EVAL_MOD} = 0 AND b.vec_id % {_EVAL_MOD} <> 0
+),
+hits AS (
+  SELECT vec_id, eval_id,
+         {_cos_scaled_sql('dot', 'n_c', 'n_e')} AS cos_scaled
+  FROM scored
+  WHERE dot > 0
+    AND dot * dot * 10000 >= {_COS_PCT * _COS_PCT} * n_c * n_e
+),
+ranked AS (
+  SELECT vec_id, eval_id, cos_scaled,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_scaled DESC, eval_id) AS rn
+  FROM hits
+)
+SELECT vec_id, CAST(eval_id AS BIGINT) AS eval_id, cos_scaled
+FROM ranked WHERE rn = 1
+""",
+)
+def q122_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space eval decontamination: every training vector
+    whose cosine to some eval vector passes tau=0.35, with its
+    best-matching eval item (operators/similarity
+    .contamination_matches). Catches PARAPHRASED eval leakage that
+    the n-gram decontaminators (exact q62, fuzzy q119) cannot see.
+    Eval = vec_id % 97 == 0 (tiny, broadcast); the corpus is scanned
+    once, only threshold hits are shuffled, argmax is a hash
+    aggregate — no window, no corpus-grain exchange."""
+    from ..operators.similarity import contamination_matches
+
+    emb = _embeddings_q(spark, sf_dir)
+    ev = emb.filter(F.col("vec_id") % _EVAL_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % _EVAL_MOD != 0)
+    return contamination_matches(corpus, ev, threshold_pct=_COS_PCT)

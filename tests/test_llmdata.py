@@ -100,6 +100,34 @@ def test_minhash_catches_what_jaccard_finds(spark, docs):
         assert (5, 6) not in pairs, mode
 
 
+def test_semantic_contamination_matches(spark):
+    """Planted leak: corpus vector 100 is a scaled copy of eval
+    vector 0 (cosine is scale-invariant -> exactly 1.0); corpus 101
+    is orthogonal to both eval vectors and must not match. Argmax
+    tie-break: corpus 102 matches eval 0 and eval 97 equally ->
+    smallest eval_id wins."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # eval (0 % 97 == 0)
+        (97, [0.0, 1.0, 0.0, 0.0]),    # eval
+        (100, [0.5, 0.0, 0.0, 0.0]),   # scaled copy of eval 0
+        (101, [0.0, 0.0, 1.0, 0.0]),   # orthogonal
+        (102, [1.0, 1.0, 0.0, 0.0]),   # equidistant from both evals
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = S.quantize(df)
+    out = {
+        r["vec_id"]: (r["eval_id"], r["cos_scaled"])
+        for r in S.contamination_matches(
+            q.filter(F.col("vec_id") % 97 != 0),
+            q.filter(F.col("vec_id") % 97 == 0),
+            threshold_pct=35,
+        ).collect()
+    }
+    assert out[100] == (0, 1_000_000)  # exact cosine 1.0
+    assert 101 not in out
+    assert out[102][0] == 0  # tie broken to the smaller eval_id
+
+
 def test_simhash_exact_dups_zero_hamming(spark, docs):
     fps = D.simhash_fingerprints(docs)
     pairs = {
