@@ -450,6 +450,92 @@ def contamination_matches(
     )
 
 
+def _band_keys(planes: int, bands: int):
+    """Split the ``planes``-bit hyperplane signature into ``bands``
+    contiguous bit groups: band b's key is
+    ``(bucket >> (b*r)) & (2^r - 1)`` with ``r = planes // bands``."""
+    r = planes // bands
+    mask = (1 << r) - 1
+    return [
+        F.shiftright(F.col("bucket"), b * r).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ]
+
+
+def contamination_matches_lsh(
+    corpus_q: DataFrame,
+    eval_q: DataFrame,
+    threshold_pct: int = 35,
+    planes: int = 8,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """The bucketed scale path of ``contamination_matches``: the
+    ``planes``-bit hyperplane signature (``lsh_buckets``) splits into
+    ``bands`` bit groups, and a (corpus, eval) pair becomes a
+    candidate when ANY band key matches — OR-amplification, the
+    hyperplane analogue of MinHash banding. At tau=0.35 a single
+    8-bit bucket has near-zero recall (P[all 8 planes agree] ~ 0.63^8
+    ~ 2%); 4 bands of 2 bits recover P[any band agrees] ~ 87% per
+    (pair, trial) while still cutting the dot-product count from
+    |corpus| x |eval| to band-matched pairs. Scoring of surviving
+    candidates stays exact integer arithmetic; a pair sharing
+    multiple bands is scored per shared band but the argmax is
+    unaffected (identical cos), so no dedup pass is needed. Same
+    output contract as ``contamination_matches``. At fleet scale the
+    band join replaces the broadcast nested loop: corpus side hashes
+    on (band, key) — or is band-partitioned at rest — and the tiny
+    eval side broadcasts."""
+    ev = F.broadcast(
+        lsh_buckets(eval_q, planes, dim).select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("q").alias("q_e"),
+            F.col("norm2").alias("n_e"),
+            F.posexplode(F.array(*_band_keys(planes, bands))).alias(
+                "band", "key"
+            ),
+        )
+    )
+    c = lsh_buckets(corpus_q, planes, dim).select(
+        "vec_id",
+        F.col("q").alias("q_c"),
+        F.col("norm2").alias("n_c"),
+        F.posexplode(F.array(*_band_keys(planes, bands))).alias(
+            "band", "key"
+        ),
+    )
+    dot = _dot(F.col("q_c"), F.col("q_e"))
+    pct2 = threshold_pct * threshold_pct
+    hits = (
+        c.join(ev, ["band", "key"])
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * 10000
+                >= F.lit(pct2) * F.col("n_c") * F.col("n_e")
+            )
+        )
+        .withColumn(
+            "cos_scaled",
+            _cos_scaled(F.col("dot"), F.col("n_c"), F.col("n_e")),
+        )
+    )
+    best = hits.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos_scaled").alias("c"),
+                (-F.col("eval_id")).alias("ne"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.ne")).cast("long").alias("eval_id"),
+        F.col("b.c").cast("long").alias("cos_scaled"),
+    )
+
+
 def hyperplane_bit(q: Column, plane: int, dim: int) -> Column:
     """Sign bit of <q, h_plane> with the deterministic integer
     hyperplane h_plane[d] = ((plane·dim + d)·2654435761 mod 2^31)

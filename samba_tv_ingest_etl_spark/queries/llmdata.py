@@ -4281,3 +4281,80 @@ def q122_semantic_decontamination(
     ev = emb.filter(F.col("vec_id") % _EVAL_MOD == 0)
     corpus = emb.filter(F.col("vec_id") % _EVAL_MOD != 0)
     return contamination_matches(corpus, ev, threshold_pct=_COS_PCT)
+
+
+# ---------------------------------------------------------------- q123
+
+
+_SEM_BANDS = 4
+
+
+def _semantic_lsh_oracle() -> str:
+    r = _LSH_PLANES // _SEM_BANDS
+    mask = (1 << r) - 1
+    return f"""
+WITH {_QUANT_SQL},
+bits AS (
+  SELECT vec_id, q, norm2, p.i AS plane,
+         CASE WHEN CAST(list_sum(list_transform(range(0, {_DIM}),
+           d -> q[d + 1] * (((p.i * {_DIM} + d) * 2654435761)
+                            % 2147483648 - 1073741824)))
+           AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM quant, unnest(range(0, {_LSH_PLANES})) AS p(i)
+),
+bucketed AS (
+  SELECT vec_id, any_value(q) AS q, any_value(norm2) AS norm2,
+         CAST(sum(bit * (1 << plane)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, q, norm2, b.i AS band,
+         (bucket >> (b.i * {r})) & {mask} AS key
+  FROM bucketed, unnest(range(0, {_SEM_BANDS})) AS b(i)
+),
+scored AS (
+  SELECT DISTINCT b.vec_id AS vec_id, a.vec_id AS eval_id,
+         {_DOT_SQL} AS dot, b.norm2 AS n_c, a.norm2 AS n_e
+  FROM banded a JOIN banded b ON b.band = a.band AND b.key = a.key
+  WHERE a.vec_id % {_EVAL_MOD} = 0 AND b.vec_id % {_EVAL_MOD} <> 0
+),
+hits AS (
+  SELECT vec_id, eval_id,
+         {_cos_scaled_sql('dot', 'n_c', 'n_e')} AS cos_scaled
+  FROM scored
+  WHERE dot > 0
+    AND dot * dot * 10000 >= {_COS_PCT * _COS_PCT} * n_c * n_e
+),
+ranked AS (
+  SELECT vec_id, eval_id, cos_scaled,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_scaled DESC, eval_id) AS rn
+  FROM hits
+)
+SELECT vec_id, CAST(eval_id AS BIGINT) AS eval_id, cos_scaled
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("q123_semantic_decontamination_lsh", oracle=_semantic_lsh_oracle())
+def q123_semantic_decontamination_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q122's bucketed scale path: candidate (corpus, eval) pairs
+    restricted to pairs sharing ANY of 4 two-bit hyperplane bands
+    (similarity.contamination_matches_lsh — OR-amplified banding,
+    the hyperplane analogue of q22's MinHash bands; a single 8-bit
+    bucket has ~2% recall at tau=0.35). The dot-product count drops
+    from |corpus| x |eval| to band-matched pairs; surviving scores
+    stay exact integers. The oracle implements the identical
+    deterministic hyperplanes and band split, so the driver pins
+    the bucketing, the banding, and the scores."""
+    from ..operators.similarity import contamination_matches_lsh
+
+    emb = _embeddings_q(spark, sf_dir)
+    ev = emb.filter(F.col("vec_id") % _EVAL_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % _EVAL_MOD != 0)
+    return contamination_matches_lsh(
+        corpus, ev, threshold_pct=_COS_PCT,
+        planes=_LSH_PLANES, bands=_SEM_BANDS, dim=_DIM,
+    )

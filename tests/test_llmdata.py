@@ -128,6 +128,37 @@ def test_semantic_contamination_matches(spark):
     assert out[102][0] == 0  # tie broken to the smaller eval_id
 
 
+def test_semantic_contamination_lsh_banding(spark):
+    """An exact planted copy shares EVERY hyperplane band with its
+    eval source, so OR-amplified banding must recover it with the
+    same (eval_id, cos_scaled) the brute-force path returns; a pair
+    sharing multiple bands must still emit one row (the argmax is
+    duplicate-proof, no dedup pass)."""
+    rows = [
+        (0, [1.0, 0.2, 0.0, 0.3]),
+        (97, [0.0, 1.0, 0.4, 0.0]),
+        (100, [0.5, 0.1, 0.0, 0.15]),  # scaled copy of eval 0
+        (101, [-1.0, 0.0, 0.0, 0.0]),  # anti-parallel: dot < 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = S.quantize(df)
+    corpus = q.filter(F.col("vec_id") % 97 != 0)
+    ev = q.filter(F.col("vec_id") % 97 == 0)
+    brute = {
+        r["vec_id"]: (r["eval_id"], r["cos_scaled"])
+        for r in S.contamination_matches(corpus, ev, 35).collect()
+    }
+    lsh = {
+        r["vec_id"]: (r["eval_id"], r["cos_scaled"])
+        for r in S.contamination_matches_lsh(
+            corpus, ev, 35, planes=8, bands=4, dim=4
+        ).collect()
+    }
+    assert brute[100] == (0, 1_000_000)
+    assert lsh[100] == brute[100]  # all bands shared -> found once
+    assert 101 not in brute and 101 not in lsh
+
+
 def test_simhash_exact_dups_zero_hamming(spark, docs):
     fps = D.simhash_fingerprints(docs)
     pairs = {
