@@ -23,9 +23,10 @@ from samba_tv_ingest_etl_spark import queries as Q  # noqa: E402
 from samba_tv_ingest_etl_spark.session import get_spark  # noqa: E402
 
 # Headline set: flagship pipeline stages + the heaviest operators.
-# 18 queries as of round 6 (q115/q117 joined) — round-over-round
-# totals compare the first 16 (the r1-r5 set); per-query history is
-# directly comparable throughout.
+# 20 queries as of round 8 (q121 containment / q123 banded semantic
+# decon joined; q115/q117 joined in round 6) — round-over-round
+# totals compare the first 16 (the r1-r5 set) or first 18 (r6-r7);
+# per-query history is directly comparable throughout.
 HEADLINE = [
     "q13_session_ids",
     "q14_sessions",
@@ -45,6 +46,8 @@ HEADLINE = [
     "q87_curriculum_order",
     "q115_substring_span_dedup",
     "q117_dsir_importance_resample",
+    "q121_containment_pairs",
+    "q123_semantic_decontamination_lsh",
 ]
 
 # a query's samples must agree within this max/min ratio (best 3 of
