@@ -465,27 +465,38 @@ def _band_keys(planes: int, bands: int):
 def contamination_matches_lsh(
     corpus_q: DataFrame,
     eval_q: DataFrame,
-    threshold_pct: int = 35,
-    planes: int = 8,
+    threshold_pct: int = 80,
+    planes: int = 32,
     bands: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """The bucketed scale path of ``contamination_matches``: the
-    ``planes``-bit hyperplane signature (``lsh_buckets``) splits into
-    ``bands`` bit groups, and a (corpus, eval) pair becomes a
-    candidate when ANY band key matches — OR-amplification, the
-    hyperplane analogue of MinHash banding. At tau=0.35 a single
-    8-bit bucket has near-zero recall (P[all 8 planes agree] ~ 0.63^8
-    ~ 2%); 4 bands of 2 bits recover P[any band agrees] ~ 87% per
-    (pair, trial) while still cutting the dot-product count from
-    |corpus| x |eval| to band-matched pairs. Scoring of surviving
-    candidates stays exact integer arithmetic; a pair sharing
-    multiple bands is scored per shared band but the argmax is
-    unaffected (identical cos), so no dedup pass is needed. Same
-    output contract as ``contamination_matches``. At fleet scale the
-    band join replaces the broadcast nested loop: corpus side hashes
-    on (band, key) — or is band-partitioned at rest — and the tiny
-    eval side broadcasts."""
+    """The bucketed scale path of ``contamination_matches`` for the
+    HIGH-similarity regime (verbatim / near-verbatim eval leakage,
+    tau >= ~0.8): the ``planes``-bit hyperplane signature
+    (``lsh_buckets``) splits into ``bands`` bit groups and a
+    (corpus, eval) pair becomes a candidate when ANY band key
+    matches — OR-amplification, the hyperplane analogue of MinHash
+    banding.
+
+    Band width is the pruning knob, and it must be WIDE. Measured
+    (SCALING_r8_queries.md): 4 bands of 2 bits at tau=0.35 scaled
+    47x for 10x rows — P[a RANDOM pair matches a 2-bit band] = 1/4,
+    OR over 4 bands ~ 68%, i.e. no pruning at all, quadratic cost
+    with extra steps. With 4 bands of 8 bits, random-pair candidacy
+    drops to ~4/256 ~ 1.6% (~60x fewer dot products) while a
+    verbatim copy (identical quantized vector -> identical
+    signature) matches ALL bands — recall 1 where this operator is
+    the right tool. Low-tau sweeps (paraphrase mining at 0.35,
+    where every hyperplane bit carries only a 0.61-vs-0.5 signal)
+    belong to the exact path ``contamination_matches`` instead.
+
+    Scoring of surviving candidates stays exact integer arithmetic;
+    a pair sharing multiple bands is scored per shared band but the
+    argmax is unaffected (identical cos), so no dedup pass is
+    needed. Same output contract as ``contamination_matches``. At
+    fleet scale the band join replaces the broadcast nested loop:
+    corpus side hashes on (band, key) — or is band-partitioned at
+    rest — and the tiny eval side broadcasts."""
     ev = F.broadcast(
         lsh_buckets(eval_q, planes, dim).select(
             F.col("vec_id").alias("eval_id"),

@@ -4286,25 +4286,50 @@ def q122_semantic_decontamination(
 # ---------------------------------------------------------------- q123
 
 
+# verbatim-leak regime: wide bands (4 x 8 bits of a 32-plane
+# signature) and a high threshold. 4 x 2-bit bands at tau=0.35 were
+# MEASURED quadratic — P[random pair matches a 2-bit band] = 1/4, OR
+# over 4 bands ~ 68%: no pruning, 47x wall for 10x rows
+# (SCALING_r8_queries.md). Wide bands prune (~4/256 random
+# candidacy) and a verbatim copy matches every band.
 _SEM_BANDS = 4
+_SEM_PLANES = 32
+_SEM_PCT = 80
 
 
 def _semantic_lsh_oracle() -> str:
-    r = _LSH_PLANES // _SEM_BANDS
+    r = _SEM_PLANES // _SEM_BANDS
     mask = (1 << r) - 1
     return f"""
-WITH {_QUANT_SQL},
+WITH corpus_emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_SPAN_OFFSET}, embedding FROM embeddings
+  WHERE vec_id % {_EVAL_MOD} = 0
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM corpus_emb
+),
+quant AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
+  FROM qv
+  WHERE list_sum(list_transform(q, v -> v * v)) > 0
+),
 bits AS (
   SELECT vec_id, q, norm2, p.i AS plane,
          CASE WHEN CAST(list_sum(list_transform(range(0, {_DIM}),
            d -> q[d + 1] * (((p.i * {_DIM} + d) * 2654435761)
                             % 2147483648 - 1073741824)))
            AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
-  FROM quant, unnest(range(0, {_LSH_PLANES})) AS p(i)
+  FROM quant, unnest(range(0, {_SEM_PLANES})) AS p(i)
 ),
 bucketed AS (
   SELECT vec_id, any_value(q) AS q, any_value(norm2) AS norm2,
-         CAST(sum(bit * (1 << plane)) AS BIGINT) AS bucket
+         CAST(sum(bit * (1::BIGINT << plane)) AS BIGINT) AS bucket
   FROM bits GROUP BY vec_id
 ),
 banded AS (
@@ -4316,14 +4341,15 @@ scored AS (
   SELECT DISTINCT b.vec_id AS vec_id, a.vec_id AS eval_id,
          {_DOT_SQL} AS dot, b.norm2 AS n_c, a.norm2 AS n_e
   FROM banded a JOIN banded b ON b.band = a.band AND b.key = a.key
-  WHERE a.vec_id % {_EVAL_MOD} = 0 AND b.vec_id % {_EVAL_MOD} <> 0
+  WHERE a.vec_id % {_EVAL_MOD} = 0 AND a.vec_id < {_SPAN_OFFSET}
+    AND (b.vec_id % {_EVAL_MOD} <> 0 OR b.vec_id >= {_SPAN_OFFSET})
 ),
 hits AS (
   SELECT vec_id, eval_id,
          {_cos_scaled_sql('dot', 'n_c', 'n_e')} AS cos_scaled
   FROM scored
   WHERE dot > 0
-    AND dot * dot * 10000 >= {_COS_PCT * _COS_PCT} * n_c * n_e
+    AND dot * dot * 10000 >= {_SEM_PCT * _SEM_PCT} * n_c * n_e
 ),
 ranked AS (
   SELECT vec_id, eval_id, cos_scaled,
@@ -4340,21 +4366,47 @@ FROM ranked WHERE rn = 1
 def q123_semantic_decontamination_lsh(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """q122's bucketed scale path: candidate (corpus, eval) pairs
-    restricted to pairs sharing ANY of 4 two-bit hyperplane bands
-    (similarity.contamination_matches_lsh — OR-amplified banding,
-    the hyperplane analogue of q22's MinHash bands; a single 8-bit
-    bucket has ~2% recall at tau=0.35). The dot-product count drops
-    from |corpus| x |eval| to band-matched pairs; surviving scores
-    stay exact integers. The oracle implements the identical
-    deterministic hyperplanes and band split, so the driver pins
-    the bucketing, the banding, and the scores."""
+    """Verbatim-leak decontamination at scale: every eval vector is
+    planted back into the corpus as an exact copy (+1e12 guarded id
+    space — the test-set-contamination scenario), and candidate
+    (corpus, eval) pairs are restricted to pairs sharing ANY of 4
+    8-bit hyperplane bands (similarity.contamination_matches_lsh).
+    A verbatim copy has an identical 32-bit signature, so recall on
+    the planted leaks is exactly 1, while random-pair candidacy is
+    ~4/256 — the dot-product count drops ~60x vs q122's broadcast
+    scan. The first cut of this query used 4 x 2-bit bands at
+    tau=0.35 and MEASURED 47x wall for 10x rows (no pruning —
+    SCALING_r8_queries.md); wide bands + the high-tau regime is the
+    honest LSH trade, and low-tau paraphrase sweeps stay on q122's
+    exact path. The oracle implements the identical hyperplanes,
+    band split, planting and guard, pinning all of it."""
     from ..operators.similarity import contamination_matches_lsh
 
-    emb = _embeddings_q(spark, sf_dir)
-    ev = emb.filter(F.col("vec_id") % _EVAL_MOD == 0)
-    corpus = emb.filter(F.col("vec_id") % _EVAL_MOD != 0)
+    emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    guarded = F.when(
+        F.col("vec_id").between(0, _SPAN_OFFSET - 1), F.col("vec_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q123 vec_id collides with planted id space: "),
+                F.col("vec_id").cast("string"),
+            )
+        )
+    )
+    base = emb_raw.select(guarded.alias("vec_id"), "embedding")
+    ev_raw = base.filter(F.col("vec_id") % _EVAL_MOD == 0)
+    corpus_raw = base.filter(F.col("vec_id") % _EVAL_MOD != 0).unionByName(
+        ev_raw.select(
+            (F.col("vec_id") + F.lit(_SPAN_OFFSET)).alias("vec_id"),
+            "embedding",
+        )
+    )
+    from ..operators.similarity import quantize
+    from ..sources.splits import widen_to_cores
+
     return contamination_matches_lsh(
-        corpus, ev, threshold_pct=_COS_PCT,
-        planes=_LSH_PLANES, bands=_SEM_BANDS, dim=_DIM,
+        quantize(widen_to_cores(corpus_raw)),
+        quantize(ev_raw),
+        threshold_pct=_SEM_PCT,
+        planes=_SEM_PLANES, bands=_SEM_BANDS, dim=_DIM,
     )
