@@ -387,10 +387,41 @@ def topk_bruteforce(
     )
 
 
+def _check_eval_budget(eval_q: DataFrame, max_eval_rows: int) -> None:
+    """Broadcast-budget guard for the decontamination operators: the
+    eval side is forced through the driver (exact path) or strongly
+    expected tiny (LSH path), so its row count must be bounded BY
+    CONSTRUCTION — a fixed eval suite or a fixed id range — never a
+    corpus-proportional split. A "tiny" eval side that secretly grows
+    1/k with the corpus turns the broadcast into a driver/executor
+    OOM at fleet scale, long after every test passed (r8 verdict).
+    The count is one job over the (filter-pushed) eval scan — cheap
+    precisely because a legitimate eval side is small. Raises loudly
+    (house rule: never ``assert`` — ``python -O`` strips asserts
+    exactly where the silent failure would hide)."""
+    n = eval_q.count()
+    if n > max_eval_rows:
+        raise ValueError(
+            f"decontamination eval side has {n} rows, over the "
+            f"broadcast budget of {max_eval_rows}: the eval set must "
+            "be bounded by construction (fixed suite / fixed id "
+            "range), not a corpus-proportional split — a growing "
+            "eval side makes the broadcast an OOM at scale. Bound "
+            "the eval selection or raise max_eval_rows deliberately."
+        )
+
+
+# ~100k rows x ~550 B/row (64 quantized longs + norm) ~ 55 MB
+# broadcast — roomy for any real eval suite, far below executor
+# memory. Deliberate larger evals pass a bigger budget explicitly.
+EVAL_BROADCAST_BUDGET_ROWS = 100_000
+
+
 def contamination_matches(
     corpus_q: DataFrame,
     eval_q: DataFrame,
     threshold_pct: int = 35,
+    max_eval_rows: int = EVAL_BROADCAST_BUDGET_ROWS,
 ) -> DataFrame:
     """Semantic (embedding-space) eval decontamination: for every
     corpus vector whose cosine to SOME eval vector passes the integer
@@ -401,13 +432,17 @@ def contamination_matches(
     fuzzy q119) miss paraphrased eval leakage; this catches it at the
     embedding layer.
 
-    Scale shape: eval sets are tiny by construction (thousands of
-    rows vs the corpus's billions), so the eval side broadcasts and
-    the corpus is scanned ONCE with no shuffle before the threshold
-    filter; only the HITS (contamination-density-bounded) reach the
-    per-corpus-id argmax, which is a hash aggregate with map-side
-    combine — max(struct(cos, -eval_id)) instead of a window, so no
-    sort and deterministic tie-breaks."""
+    Scale shape: eval sets are tiny BY CONTRACT — bounded by a fixed
+    suite or fixed id range, and ENFORCED by ``max_eval_rows``
+    (``_check_eval_budget`` raises on a corpus-proportional eval
+    split before the broadcast can OOM) — so the eval side
+    broadcasts and the corpus is scanned ONCE with no shuffle before
+    the threshold filter; only the HITS
+    (contamination-density-bounded) reach the per-corpus-id argmax,
+    which is a hash aggregate with map-side combine —
+    max(struct(cos, -eval_id)) instead of a window, so no sort and
+    deterministic tie-breaks."""
+    _check_eval_budget(eval_q, max_eval_rows)
     ev = F.broadcast(
         eval_q.select(
             F.col("vec_id").alias("eval_id"),
@@ -453,7 +488,17 @@ def contamination_matches(
 def _band_keys(planes: int, bands: int):
     """Split the ``planes``-bit hyperplane signature into ``bands``
     contiguous bit groups: band b's key is
-    ``(bucket >> (b*r)) & (2^r - 1)`` with ``r = planes // bands``."""
+    ``(bucket >> (b*r)) & (2^r - 1)`` with ``r = planes // bands``.
+    ``planes`` must divide evenly — silently ignoring the top
+    ``planes - bands*r`` bits (e.g. planes=8, bands=3 dropping 2
+    bits) would weaken pruning/recall with no signal, so the
+    mismatch raises (r8 advice; house rule: raise, never assert)."""
+    if planes % bands != 0:
+        raise ValueError(
+            f"banding mismatch: planes={planes} is not divisible by "
+            f"bands={bands} — the top {planes - bands * (planes // bands)} "
+            "signature bit(s) would be silently dropped"
+        )
     r = planes // bands
     mask = (1 << r) - 1
     return [
@@ -469,6 +514,7 @@ def contamination_matches_lsh(
     planes: int = 32,
     bands: int = 4,
     dim: int = 64,
+    max_eval_rows: int = EVAL_BROADCAST_BUDGET_ROWS,
 ) -> DataFrame:
     """The bucketed scale path of ``contamination_matches`` for the
     HIGH-similarity regime (verbatim / near-verbatim eval leakage,
@@ -496,8 +542,14 @@ def contamination_matches_lsh(
     needed. Same output contract as ``contamination_matches``. At
     fleet scale the band join replaces the broadcast nested loop:
     corpus side hashes on (band, key) — or is band-partitioned at
-    rest — and the tiny eval side broadcasts."""
-    ev = F.broadcast(
+    rest. The eval side carries NO broadcast hint: a genuinely tiny
+    eval auto-broadcasts under the planner's size threshold anyway,
+    and an eval near the budget ceiling can degrade to a shuffled
+    (band, key) equi-join instead of a forced driver round-trip —
+    the same ``max_eval_rows`` guard still rejects an eval side
+    that grows with the corpus (r8 verdict)."""
+    _check_eval_budget(eval_q, max_eval_rows)
+    ev = (
         lsh_buckets(eval_q, planes, dim).select(
             F.col("vec_id").alias("eval_id"),
             F.col("q").alias("q_e"),

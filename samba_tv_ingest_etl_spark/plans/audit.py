@@ -66,6 +66,9 @@ def _plan_string(df: DataFrame) -> str:
 # prefix. Good enough to recover (depth, name) per line — the only
 # structure the check needs.
 _NODE_RE = re.compile(r"^(?P<prefix>[\s:+-]*)(?:\*\(\d+\)\s*)?(?P<name>\w+)")
+# reuse-resolution tag: present on both a ReusedExchange line and the
+# real Exchange it reads, in AQE and non-AQE toString output alike
+_PLAN_ID_RE = re.compile(r"\[plan_id=(\d+)\]")
 
 # cardinality-bounding nodes: anything downstream of these is <= k
 # rows by construction, so a single-partition window over them is the
@@ -132,18 +135,35 @@ def _unbounded_single_partition_windows(plan: str) -> int:
             return False  # first non-pass-through, non-limit node
         return False
 
-    # boundedness of every REAL SinglePartition exchange, so a
-    # ReusedExchange (a leaf that re-reads another exchange's shuffle
-    # output — it has no subtree of its own to walk) can be judged by
-    # the exchange(s) it could reference
+    # A ReusedExchange is a leaf that re-reads another exchange's
+    # shuffle output — it has no subtree of its own to walk. Both the
+    # reuse line and the real exchange carry the same ``[plan_id=N]``
+    # tag in every toString variant (AQE final plan and the
+    # rule-based ReuseExchange path alike), so resolve the reuse to
+    # ITS exchange and judge only that one. The all-real-exchanges
+    # heuristic stays as the fallback for a tag-less plan string —
+    # judging by every exchange false-positives on a plan with one
+    # bounded reused window plus an unrelated unbounded single
+    # partition elsewhere (r8 advice).
     real_single = [
         i
         for i, (_, name) in enumerate(nodes)
         if name == "Exchange" and "SinglePartition" in raw[i]
     ]
-    reused_bounded = bool(real_single) and all(
+    exch_by_pid = {}
+    for i in real_single:
+        m = _PLAN_ID_RE.search(raw[i])
+        if m:
+            exch_by_pid[m.group(1)] = i
+    reused_bounded_fallback = bool(real_single) and all(
         _bounded_below(i) for i in real_single
     )
+
+    def _reused_bounded(ri: int) -> bool:
+        m = _PLAN_ID_RE.search(raw[ri])
+        if m and m.group(1) in exch_by_pid:
+            return _bounded_below(exch_by_pid[m.group(1)])
+        return reused_bounded_fallback
 
     bad = 0
     for i, (d, name) in enumerate(nodes):
@@ -165,7 +185,7 @@ def _unbounded_single_partition_windows(plan: str) -> int:
                 bounded = _bounded_below(j)
                 break
             if nm == "ReusedExchange" and "SinglePartition" in raw[j]:
-                bounded = reused_bounded
+                bounded = _reused_bounded(j)
                 break
             if nm in _PASS_THROUGH:
                 j += 1

@@ -4232,9 +4232,18 @@ def q121_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- q122
 
-# deterministic eval split: every 97th vector is an eval item, the
-# rest are the training corpus — disjoint by construction
+# deterministic eval split: every 97th vector UNDER A FIXED ID CAP
+# is an eval item, the rest are the training corpus — disjoint by
+# construction. The id cap is the scale contract (r8 verdict): a
+# bare `% 97` split grows linearly with the corpus, which silently
+# turns the decontamination operators' broadcast eval side into a
+# 100x-scale OOM; capping eval to a FIXED id range bounds it at
+# <= _EVAL_MAX_ID / _EVAL_MOD rows (~10.3k) no matter how large the
+# corpus grows, and the operators' _check_eval_budget guard enforces
+# the bound at call time. Every test-scale id sits below the cap, so
+# outputs are byte-identical to the uncapped split at sf <= 10.
 _EVAL_MOD = 97
+_EVAL_MAX_ID = 1_000_000
 
 
 @query(
@@ -4245,7 +4254,8 @@ scored AS (
   SELECT b.vec_id AS vec_id, a.vec_id AS eval_id,
          {_DOT_SQL} AS dot, b.norm2 AS n_c, a.norm2 AS n_e
   FROM quant a JOIN quant b
-    ON a.vec_id % {_EVAL_MOD} = 0 AND b.vec_id % {_EVAL_MOD} <> 0
+    ON a.vec_id % {_EVAL_MOD} = 0 AND a.vec_id < {_EVAL_MAX_ID}
+   AND NOT (b.vec_id % {_EVAL_MOD} = 0 AND b.vec_id < {_EVAL_MAX_ID})
 ),
 hits AS (
   SELECT vec_id, eval_id,
@@ -4272,15 +4282,20 @@ def q122_semantic_decontamination(
     best-matching eval item (operators/similarity
     .contamination_matches). Catches PARAPHRASED eval leakage that
     the n-gram decontaminators (exact q62, fuzzy q119) cannot see.
-    Eval = vec_id % 97 == 0 (tiny, broadcast); the corpus is scanned
-    once, only threshold hits are shuffled, argmax is a hash
-    aggregate — no window, no corpus-grain exchange."""
+    Eval = vec_id % 97 == 0 under the FIXED id cap _EVAL_MAX_ID
+    (bounded by construction, so the broadcast budget holds at any
+    corpus size — r8 verdict); the corpus is the complement. The
+    corpus is scanned once, only threshold hits are shuffled, argmax
+    is a hash aggregate — no window, no corpus-grain exchange."""
     from ..operators.similarity import contamination_matches
 
     emb = _embeddings_q(spark, sf_dir)
-    ev = emb.filter(F.col("vec_id") % _EVAL_MOD == 0)
-    corpus = emb.filter(F.col("vec_id") % _EVAL_MOD != 0)
-    return contamination_matches(corpus, ev, threshold_pct=_COS_PCT)
+    is_eval = (F.col("vec_id") % _EVAL_MOD == 0) & (
+        F.col("vec_id") < _EVAL_MAX_ID
+    )
+    return contamination_matches(
+        emb.filter(~is_eval), emb.filter(is_eval), threshold_pct=_COS_PCT
+    )
 
 
 # ---------------------------------------------------------------- q123
@@ -4305,7 +4320,7 @@ WITH corpus_emb AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + {_SPAN_OFFSET}, embedding FROM embeddings
-  WHERE vec_id % {_EVAL_MOD} = 0
+  WHERE vec_id % {_EVAL_MOD} = 0 AND vec_id < {_EVAL_MAX_ID}
 ),
 qv AS (
   SELECT vec_id,
@@ -4341,8 +4356,8 @@ scored AS (
   SELECT DISTINCT b.vec_id AS vec_id, a.vec_id AS eval_id,
          {_DOT_SQL} AS dot, b.norm2 AS n_c, a.norm2 AS n_e
   FROM banded a JOIN banded b ON b.band = a.band AND b.key = a.key
-  WHERE a.vec_id % {_EVAL_MOD} = 0 AND a.vec_id < {_SPAN_OFFSET}
-    AND (b.vec_id % {_EVAL_MOD} <> 0 OR b.vec_id >= {_SPAN_OFFSET})
+  WHERE a.vec_id % {_EVAL_MOD} = 0 AND a.vec_id < {_EVAL_MAX_ID}
+    AND NOT (b.vec_id % {_EVAL_MOD} = 0 AND b.vec_id < {_EVAL_MAX_ID})
 ),
 hits AS (
   SELECT vec_id, eval_id,
@@ -4394,8 +4409,11 @@ def q123_semantic_decontamination_lsh(
         )
     )
     base = emb_raw.select(guarded.alias("vec_id"), "embedding")
-    ev_raw = base.filter(F.col("vec_id") % _EVAL_MOD == 0)
-    corpus_raw = base.filter(F.col("vec_id") % _EVAL_MOD != 0).unionByName(
+    is_eval = (F.col("vec_id") % _EVAL_MOD == 0) & (
+        F.col("vec_id") < _EVAL_MAX_ID
+    )
+    ev_raw = base.filter(is_eval)
+    corpus_raw = base.filter(~is_eval).unionByName(
         ev_raw.select(
             (F.col("vec_id") + F.lit(_SPAN_OFFSET)).alias("vec_id"),
             "embedding",
@@ -4404,9 +4422,12 @@ def q123_semantic_decontamination_lsh(
     from ..operators.similarity import quantize
     from ..sources.splits import widen_to_cores
 
+    # norm2 > 0 after quantize mirrors the oracle's quant CTE
+    # structurally (zero vectors get no signature at all), not just
+    # observationally via the dot > 0 guard (r8 advice)
     return contamination_matches_lsh(
-        quantize(widen_to_cores(corpus_raw)),
-        quantize(ev_raw),
+        quantize(widen_to_cores(corpus_raw)).filter(F.col("norm2") > 0),
+        quantize(ev_raw).filter(F.col("norm2") > 0),
         threshold_pct=_SEM_PCT,
         planes=_SEM_PLANES, bands=_SEM_BANDS, dim=_DIM,
     )

@@ -159,6 +159,45 @@ def test_semantic_contamination_lsh_banding(spark):
     assert 101 not in brute and 101 not in lsh
 
 
+def test_contamination_eval_budget_guard(spark):
+    """Broadcast-budget contract (r8 verdict): an eval side larger
+    than max_eval_rows must raise LOUDLY before any broadcast plan
+    is built — both the exact and the LSH path — and a bounded eval
+    side must be unaffected by the guard's presence."""
+    rows = [(i, [1.0, float(i % 3), 0.0, 0.5]) for i in range(30)]
+    q = S.quantize(spark.createDataFrame(rows, ["vec_id", "embedding"]))
+    corpus = q.filter(F.col("vec_id") >= 10)
+    ev = q.filter(F.col("vec_id") < 10)  # 10 rows
+    with pytest.raises(ValueError, match="broadcast budget"):
+        S.contamination_matches(corpus, ev, 35, max_eval_rows=5)
+    with pytest.raises(ValueError, match="broadcast budget"):
+        S.contamination_matches_lsh(
+            corpus, ev, 35, planes=8, bands=4, dim=4, max_eval_rows=5
+        )
+    # at or under budget: identical rows to an effectively-unbounded
+    # budget (the guard never changes results, only failure mode)
+    tight = sorted(
+        map(tuple, S.contamination_matches(
+            corpus, ev, 35, max_eval_rows=10
+        ).collect())
+    )
+    loose = sorted(
+        map(tuple, S.contamination_matches(
+            corpus, ev, 35, max_eval_rows=1_000_000
+        ).collect())
+    )
+    assert tight == loose and tight
+
+
+def test_lsh_band_split_must_divide(spark):
+    """planes % bands != 0 silently dropped the top signature bits
+    (r8 advice) — now it raises."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    q = S.quantize(spark.createDataFrame(rows, ["vec_id", "embedding"]))
+    with pytest.raises(ValueError, match="not divisible"):
+        S.contamination_matches_lsh(q, q, 35, planes=8, bands=3, dim=4)
+
+
 def test_simhash_exact_dups_zero_hamming(spark, docs):
     fps = D.simhash_fingerprints(docs)
     pairs = {

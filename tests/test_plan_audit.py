@@ -3,6 +3,8 @@ that NO registered query plans a cartesian product or row-Python."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -157,8 +159,11 @@ def test_reused_single_partition_exchange_is_still_flagged(spark):
     ]
     assert findings, "unbounded global window must stay flagged"
     if "ReusedExchange" in plan and "SinglePartition" in plan:
-        # reuse kicked in: BOTH windows must be counted
-        assert "2 " in findings[0].detail or "2" in findings[0].detail
+        # reuse kicked in: BOTH windows must be counted (parse the
+        # leading count out of the detail — a bare substring check
+        # would match any digit anywhere, r8 advice)
+        m = re.match(r"^(\d+) ", findings[0].detail)
+        assert m and int(m.group(1)) == 2
 
 
 def test_topk_then_rank_window_passes(spark):
@@ -175,3 +180,51 @@ def test_topk_then_rank_window_passes(spark):
     codes = {f.code for f in audit_plan(good) if f.level == "error"}
     assert "single_partition_window" not in codes
     assert_scale_clean(good)
+
+
+def test_reused_exchange_resolved_by_plan_id():
+    """Reuse-resolution regression (r8 advice): a window over a
+    ReusedExchange that references a BOUNDED (post-limit) single
+    partition exchange must not be flagged merely because an
+    UNRELATED unbounded SinglePartition exchange exists elsewhere in
+    the plan. The reuse line's [plan_id=N] tag resolves to its real
+    exchange; only that exchange's boundedness matters."""
+    from samba_tv_ingest_etl_spark.plans.audit import (
+        _unbounded_single_partition_windows,
+    )
+
+    plan = "\n".join(
+        [
+            "Union",
+            # branch 1: bounded global window (top-k-then-rank)
+            ":- Window [row_number()]",
+            ":  +- Sort [a ASC], false, 0",
+            ":     +- Exchange SinglePartition, ENSURE_REQUIREMENTS,"
+            " [plan_id=7]",
+            ":        +- GlobalLimit 50",
+            ":           +- Range (0, 100, step=1, splits=8)",
+            # branch 2: same bounded window shape through reuse
+            ":- Window [row_number()]",
+            ":  +- Sort [a ASC], false, 0",
+            ":     +- ReusedExchange [a], Exchange SinglePartition,"
+            " ENSURE_REQUIREMENTS, [plan_id=7]",
+            # branch 3: an unrelated UNBOUNDED single-partition
+            # exchange (no window above it — e.g. a repartition(1)
+            # sink) that must not poison branch 2's judgement
+            "+- Exchange SinglePartition, REPARTITION_BY_NUM,"
+            " [plan_id=9]",
+            "   +- Range (0, 100000, step=1, splits=8)",
+        ]
+    )
+    assert _unbounded_single_partition_windows(plan) == 0
+
+    # false-negative side: reuse of an UNBOUNDED exchange stays
+    # flagged even when a bounded single-partition exchange exists
+    plan_bad = plan.replace("GlobalLimit 50", "Project [a]").replace(
+        "+- Exchange SinglePartition, REPARTITION_BY_NUM, [plan_id=9]\n"
+        "   +- Range (0, 100000, step=1, splits=8)",
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]\n"
+        "   +- GlobalLimit 50\n"
+        "      +- Range (0, 100000, step=1, splits=8)",
+    )
+    assert _unbounded_single_partition_windows(plan_bad) == 2
