@@ -264,6 +264,43 @@ def containment_pairs(
     ).select("doc_a", "doc_b", "common", min_size.alias("min_size"))
 
 
+def containment_survivors(
+    shingled: DataFrame,
+    threshold_pct: int = 80,
+    stop_shingle_df: int | None = None,
+) -> DataFrame:
+    """The cleaned-corpus half of containment dedup: docs that
+    survive after dropping the CONTAINED side of every qualifying
+    pair. Containment is asymmetric, so the survivorship rule is not
+    ``keep_min_id`` (which drops the larger doc_id regardless of
+    role): the contained fragment is the SMALLER shingle set — that
+    side drops, the parent survives. On a size tie either doc is "the
+    fragment"; the larger doc_id drops (doc_a < doc_b by
+    construction, so ties drop doc_b — deterministic and
+    oracle-reproducible). Chained containment (A ⊂ B ⊂ C) resolves
+    per-pair in one pass: A and B both drop, C survives — no
+    iteration, because "is contained somewhere" is a property of the
+    doc, not of the cluster.
+
+    One extra narrow shuffle beyond ``overlap_pairs``: the distinct
+    drop-ids (bounded by the qualifying-pair count) anti-join the
+    doc-grain input on doc_id. Returns (doc_id, set_size)."""
+    pairs = overlap_pairs(shingled, stop_shingle_df=stop_shingle_df)
+    min_size = F.least(F.col("size_a"), F.col("size_b"))
+    qualifying = pairs.filter(
+        (min_size > 0)
+        & (F.col("common") * 100 >= F.lit(threshold_pct) * min_size)
+    )
+    dropped = qualifying.select(
+        F.when(F.col("size_a") < F.col("size_b"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id")
+    ).distinct()
+    return shingled.select("doc_id", "set_size").join(
+        dropped, "doc_id", "left_anti"
+    )
+
+
 def keep_min_id(df: DataFrame, pairs: DataFrame,
                 id_col: str = "doc_id") -> DataFrame:
     """Drop every doc that is similar to a smaller-id doc."""

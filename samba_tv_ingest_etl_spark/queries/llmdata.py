@@ -4230,6 +4230,44 @@ def q121_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- q124
+
+
+@query(
+    "q124_containment_survivors",
+    oracle=f"""
+WITH {_SNIPPET_SQL}, {_SHINGLE_SQL}, {_CAPPED_PAIRS_SQL},
+dropped AS (
+  SELECT DISTINCT
+         CASE WHEN size_a < size_b THEN doc_a ELSE doc_b END AS doc_id
+  FROM pairs
+  WHERE least(size_a, size_b) > 0
+    AND common * 100 >= {_CONTAIN_PCT} * least(size_a, size_b)
+)
+SELECT s.doc_id, CAST(s.set_size AS BIGINT) AS set_size
+FROM sized s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+""",
+)
+def q124_containment_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Containment survivorship — the cleaned corpus q121's pair list
+    implies (the q115 -> q120 pattern at doc grain): for every
+    qualifying containment pair the CONTAINED side (the smaller
+    shingle set — ties drop the larger doc_id) drops, parents
+    survive. keep_min_id would be wrong here: containment is
+    asymmetric, and with the planted 20%-prefix snippets living at
+    +1e12 the fragment is always the HIGHER id — a min-id rule only
+    works by accident of the planting; the size rule is the
+    semantics. Every planted snippet must be dropped, every natural
+    doc survives unless genuinely contained."""
+    sh = D.shingle_docs(_snippet_corpus(spark, sf_dir), ngram=_NGRAM)
+    return D.containment_survivors(
+        sh, threshold_pct=_CONTAIN_PCT, stop_shingle_df=_STOP_SHINGLE_DF
+    ).select("doc_id", F.col("set_size").cast("long").alias("set_size"))
+
+
 # ---------------------------------------------------------------- q122
 
 # deterministic eval split: every 97th vector UNDER A FIXED ID CAP

@@ -159,6 +159,37 @@ def test_semantic_contamination_lsh_banding(spark):
     assert 101 not in brute and 101 not in lsh
 
 
+def test_containment_survivors_drops_contained_side(spark):
+    """Asymmetric survivorship: the SMALLER shingle set of a
+    qualifying pair drops regardless of id order (a keep_min_id rule
+    would wrongly keep the fragment when the fragment has the lower
+    id); size ties drop the larger doc_id; chains resolve in one
+    pass (fragment-of-fragment: both fragments drop, root parent
+    survives); unrelated docs survive untouched."""
+    docs = spark.createDataFrame(
+        [
+            # 0 = prefix fragment of parent 1 with a LOWER id than
+            # the parent (the keep_min_id trap: a min-id rule would
+            # keep the fragment and drop the parent)
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # 2/3: exact same text -> size tie -> larger id (3) drops
+            (2, "iota kappa lambda mu nu"),
+            (3, "iota kappa lambda mu nu"),
+            # 4: unrelated
+            (4, "omicron pi rho sigma tau upsilon"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = D.shingle_docs(docs, ngram=3)
+    out = {
+        r["doc_id"] for r in D.containment_survivors(
+            sh, threshold_pct=80
+        ).collect()
+    }
+    assert out == {1, 2, 4}
+
+
 def test_contamination_eval_budget_guard(spark):
     """Broadcast-budget contract (r8 verdict): an eval side larger
     than max_eval_rows must raise LOUDLY before any broadcast plan
