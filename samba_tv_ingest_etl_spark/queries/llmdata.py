@@ -4268,6 +4268,112 @@ def q124_containment_survivors(
     ).select("doc_id", F.col("set_size").cast("long").alias("set_size"))
 
 
+# ---------------------------------------------------------------- q125
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+WITH {_QUANT_SQL},
+queries AS (SELECT * FROM quant WHERE vec_id < 10),
+escored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         {_cos_scaled_sql(_DOT_SQL, 'a.norm2', 'b.norm2')} AS cos_scaled
+  FROM queries a JOIN quant b ON b.vec_id <> a.vec_id
+),
+eranked AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_scaled DESC, cand_id) AS rnk
+  FROM escored
+),
+exact_topk AS (SELECT query_id, cand_id FROM eranked WHERE rnk <= 10),
+bits AS (
+  SELECT vec_id, q, norm2, p.i AS plane,
+         CASE WHEN CAST(list_sum(list_transform(range(0, {_DIM}),
+           d -> q[d + 1] * (((p.i * {_DIM} + d) * 2654435761)
+                            % 2147483648 - 1073741824)))
+           AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM quant, unnest(range(0, {_LSH_PLANES})) AS p(i)
+),
+bucketed AS (
+  SELECT vec_id, any_value(q) AS q, any_value(norm2) AS norm2,
+         CAST(sum(bit * (1 << plane)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+),
+lqueries AS (SELECT * FROM bucketed WHERE vec_id < 10),
+lscored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         {_cos_scaled_sql(_DOT_SQL, 'a.norm2', 'b.norm2')} AS cos_scaled
+  FROM lqueries a
+  JOIN bucketed b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+),
+lranked AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_scaled DESC, cand_id) AS rnk
+  FROM lscored
+),
+lsh_topk AS (SELECT query_id, cand_id FROM lranked WHERE rnk <= 10)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits,
+       CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 100 // count(*) AS BIGINT) AS recall_pct
+FROM exact_topk e
+LEFT JOIN lsh_topk l
+  ON l.query_id = e.query_id AND l.cand_id = e.cand_id
+GROUP BY e.query_id
+"""
+
+
+@query("q125_ann_recall_audit", oracle=_ann_recall_oracle())
+def q125_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit: per-probe recall@10 of the LSH-bucketed
+    ANN (q26) against the exact brute-force top-10 (q25) — the
+    measurement a pipeline runs BEFORE trusting an approximate index
+    at fleet scale (the q123-banding lesson operationalized: every
+    approximation ships with its own recall meter). Exact integer
+    output: (query_id, n_exact, hits, recall_pct = hits*100 div
+    n_exact). Plan shape is q25's broadcast probe scan (the exact
+    side dominates; the audit is run on a probe SAMPLE, not the
+    corpus, so the brute-force side stays bounded by the probe
+    count) plus one narrow (query_id, cand_id) left join and a
+    10-row-per-probe aggregate.
+
+    Measured at sf0.01: mean recall@10 ~5% — the expected verdict
+    for SINGLE-bucket 8-plane hyperplane LSH on quasi-random
+    embeddings (top-10 neighbors sit near cos ~0.5, where each
+    hyperplane bit carries almost no signal — the same regime math
+    that refuted q123's narrow bands, SCALING_r8_queries.md). That
+    number is the point of the query: it is the meter that tells an
+    operator to move to q32's trained IVF (data-adaptive cells,
+    nprobe) or q123's wide-band high-tau regime instead of shipping
+    a near-blind index."""
+    from ..operators.similarity import topk_bruteforce, topk_lsh
+
+    q = _embeddings_q(spark, sf_dir)
+    probes = q.filter(F.col("vec_id") < 10)
+    ex = topk_bruteforce(q, probes, k=10).select("query_id", "cand_id")
+    ap = topk_lsh(
+        q, probes, k=10, planes=_LSH_PLANES, dim=_DIM
+    ).select("query_id", "cand_id", F.lit(1).alias("_hit"))
+    return (
+        ex.join(ap, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        )
+        .withColumn(
+            "recall_pct",
+            F.expr("hits * 100 DIV n_exact").cast("long"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- q122
 
 # deterministic eval split: every 97th vector UNDER A FIXED ID CAP
