@@ -23,10 +23,11 @@ from samba_tv_ingest_etl_spark import queries as Q  # noqa: E402
 from samba_tv_ingest_etl_spark.session import get_spark  # noqa: E402
 
 # Headline set: flagship pipeline stages + the heaviest operators.
-# 20 queries as of round 8 (q121 containment / q123 banded semantic
-# decon joined; q115/q117 joined in round 6) — round-over-round
-# totals compare the first 16 (the r1-r5 set) or first 18 (r6-r7);
-# per-query history is directly comparable throughout.
+# 22 queries as of round 9 (q124 containment survivorship / q125 ANN
+# recall audit joined; q121/q123 joined in r8, q115/q117 in r6) —
+# round-over-round totals compare the first 16 (the r1-r5 set),
+# first 18 (r6-r7), or first 20 (r8); per-query history is directly
+# comparable throughout.
 HEADLINE = [
     "q13_session_ids",
     "q14_sessions",
@@ -48,6 +49,8 @@ HEADLINE = [
     "q117_dsir_importance_resample",
     "q121_containment_pairs",
     "q123_semantic_decontamination_lsh",
+    "q124_containment_survivors",
+    "q125_ann_recall_audit",
 ]
 
 # a query's samples must agree within this max/min ratio (best 3 of
