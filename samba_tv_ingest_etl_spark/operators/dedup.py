@@ -582,6 +582,101 @@ def minhash_lsh_pairs(
     return cand.mapInPandas(verify, schema=out_schema)
 
 
+def incremental_minhash_survivors(
+    new_shingled: DataFrame,
+    index_shingled: DataFrame,
+    num_perm: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus index — the
+    production shape of MinHash dedup at fleet size, where the
+    corpus is never re-deduped wholesale: the index side's band keys
+    already exist AT REST (in production a table bucketed on
+    (band, slice); here computed inline from ``index_shingled``) and
+    every per-increment join is DRIVEN BY THE BATCH, so increment
+    cost is O(|batch| · bucket width), independent of re-pairing the
+    index against itself (q22's self-join shape, which this operator
+    exists to avoid repeating per increment).
+
+    A new doc drops when exact Jaccard >= threshold against (a) ANY
+    indexed doc — the index is the established corpus, it always
+    wins — or (b) a SMALLER-id doc within the same batch (the q22
+    min-id survivor rule applied intra-batch, so a duplicate pair
+    arriving together resolves deterministically). Candidates come
+    from band-key equality (new x index, new x new); verification is
+    the exact full-set intersection, so banding can only lose pairs,
+    never invent them. Returns surviving new docs as
+    (doc_id, set_size).
+
+    Signatures are per-doc and engine-deterministic
+    (``minhash_signatures`` sha2 mode), so signing the two sides
+    separately is bit-identical to signing their union — an
+    increment appended to the index later reproduces exactly the
+    keys this pass computed."""
+    signed_new = minhash_signatures(
+        new_shingled, num_perm, hash_mode="sha2"
+    ).localCheckpoint(eager=True)
+    signed_idx = minhash_signatures(
+        index_shingled, num_perm, hash_mode="sha2"
+    ).localCheckpoint(eager=True)
+    bn = _banded(signed_new, num_perm, bands)
+    bi = _banded(signed_idx, num_perm, bands)
+    b = bn.select(F.col("doc_id").alias("new_id"), "band", "slice")
+    cand_ni = b.join(
+        bi.select(F.col("doc_id").alias("match_id"), "band", "slice"),
+        ["band", "slice"],
+    ).select("new_id", "match_id")
+    cand_nn = (
+        b.join(
+            bn.select(
+                F.col("doc_id").alias("match_id"), "band", "slice"
+            ),
+            ["band", "slice"],
+        )
+        .filter(F.col("match_id") < F.col("new_id"))
+        .select("new_id", "match_id")
+    )
+    all_signed = signed_idx.select(
+        "doc_id", "set_size", "shingles"
+    ).unionByName(signed_new.select("doc_id", "set_size", "shingles"))
+    ver = (
+        cand_ni.unionByName(cand_nn)
+        .distinct()
+        .join(
+            all_signed.select(
+                F.col("doc_id").alias("match_id"),
+                F.col("set_size").alias("size_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "match_id",
+        )
+        .join(
+            signed_new.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("set_size").alias("size_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "new_id",
+        )
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("size_a") + F.col("size_b") - common
+    dropped = (
+        ver.withColumn("_c", common)
+        .withColumn("_u", union)
+        .filter(
+            (F.col("_u") > 0)
+            & (F.col("_c") * 100 >= F.lit(threshold_pct) * F.col("_u"))
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    return new_shingled.select("doc_id", "set_size").join(
+        dropped, "doc_id", "left_anti"
+    )
+
+
 def lsh_band_stats(
     signed: DataFrame,
     num_perm: int = MINHASH_PERMS,

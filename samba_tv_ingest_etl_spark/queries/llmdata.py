@@ -288,6 +288,87 @@ def q22_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.keep_min_id(corpus, pairs)
 
 
+# ---------------------------------------------------------------- q126
+
+
+def _incremental_minhash_oracle() -> str:
+    perms = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(D._minhash_coeffs(D.MINHASH_PERMS))
+    )
+    rows = D.MINHASH_PERMS // D.MINHASH_BANDS
+    return f"""
+WITH {_PREFIX_SQL}, {_SHINGLE_SQL},
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(sha256(shingle), 1, 15)) AS BIGINT)
+           % {_P} AS r
+  FROM ex
+),
+perms(i, a, b) AS (VALUES {perms}),
+sig AS (
+  SELECT doc_id, p.i, min((p.a * r + p.b) % {_P}) AS mh
+  FROM hashed CROSS JOIN perms p
+  GROUP BY doc_id, p.i
+),
+banded AS (
+  SELECT doc_id, i // {rows} AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS match_id
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE b.doc_id >= {_SPAN_OFFSET}
+    AND (a.doc_id < {_SPAN_OFFSET} OR a.doc_id < b.doc_id)
+),
+ver AS (
+  SELECT c.new_id,
+         len(list_intersect(sa.shingles, sb.shingles)) AS common,
+         sa.set_size + sb.set_size
+           - len(list_intersect(sa.shingles, sb.shingles)) AS u
+  FROM cand c
+  JOIN sized sa ON sa.doc_id = c.new_id
+  JOIN sized sb ON sb.doc_id = c.match_id
+),
+dropped AS (
+  SELECT DISTINCT new_id FROM ver
+  WHERE u > 0 AND common * 100 >= {_JACCARD_PCT} * u
+)
+SELECT s.doc_id, CAST(s.set_size AS BIGINT) AS set_size
+FROM sized s
+WHERE s.doc_id >= {_SPAN_OFFSET}
+  AND s.doc_id NOT IN (SELECT new_id FROM dropped)
+"""
+
+
+@query(
+    "q126_incremental_minhash_dedup",
+    oracle=_incremental_minhash_oracle(),
+)
+def q126_incremental_minhash_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental MinHash dedup — a NEW batch deduped against the
+    existing corpus index, the production shape at fleet size (you
+    never re-dedup 100 TB daily; you band the index once, at rest,
+    and join each day's batch against it —
+    dedup.incremental_minhash_survivors). Batch = the planted docs
+    (>= +1e12, the prefix near-dups), index = the natural corpus; a
+    new doc survives only if it near-dups no indexed doc and no
+    smaller-id batch doc. Signatures are per-doc deterministic, so
+    split-side signing is bit-identical to q22's whole-corpus pass —
+    the oracle pins that equivalence with the same sha256 minima."""
+    corpus = _prefix_corpus(spark, sf_dir)
+    sh = D.shingle_docs(corpus, ngram=_NGRAM)
+    new_sh = sh.filter(F.col("doc_id") >= _SPAN_OFFSET)
+    idx_sh = sh.filter(F.col("doc_id") < _SPAN_OFFSET)
+    return D.incremental_minhash_survivors(
+        new_sh, idx_sh, threshold_pct=_JACCARD_PCT
+    ).select("doc_id", F.col("set_size").cast("long").alias("set_size"))
+
+
 # ---------------------------------------------------------------- q108
 
 # hot-bucket cap for the capped LSH variant: bounds a band bucket's

@@ -190,6 +190,40 @@ def test_containment_survivors_drops_contained_side(spark):
     assert out == {1, 2, 4}
 
 
+def test_incremental_minhash_survivors(spark):
+    """Incremental dedup contract: (a) a new doc near-dupping an
+    INDEXED doc drops no matter the ids; (b) an intra-batch dup pair
+    resolves by min-id (smaller survives, larger drops) even with no
+    index match; (c) empty-shingle docs share the sentinel signature
+    but must never pair (union > 0 guard); (d) a genuinely new doc
+    survives."""
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota"
+    text_b = "kappa lambda mu nu xi omicron pi rho sigma"
+    idx = spark.createDataFrame(
+        [(1, text_a), (2, "tau upsilon phi chi psi omega alef bet")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (100, text_a),       # dup of indexed 1 -> drops
+            (101, text_b),       # intra-batch dup, smaller id -> survives
+            (102, text_b),       # intra-batch dup, larger id -> drops
+            (103, "gimel dalet he vav zayin het tet yod"),  # novel
+            (104, "x"),          # empty shingle set (under ngram)
+            (105, "y"),          # empty shingle set
+        ],
+        ["doc_id", "text"],
+    )
+    sh = lambda d: D.shingle_docs(d, ngram=3)  # noqa: E731
+    out = {
+        r["doc_id"]
+        for r in D.incremental_minhash_survivors(
+            sh(new), sh(idx), threshold_pct=50
+        ).collect()
+    }
+    assert out == {101, 103, 104, 105}
+
+
 def test_contamination_eval_budget_guard(spark):
     """Broadcast-budget contract (r8 verdict): an eval side larger
     than max_eval_rows must raise LOUDLY before any broadcast plan
