@@ -934,6 +934,17 @@ def duplicated_span_intervals(
         .select("gram")
     )
     pos_df = cand_g.join(dup_gram, "gram").select("doc_id", "pos")
+    return _merge_islands(pos_df, k)
+
+
+def _merge_islands(pos_df: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos) -> maximal spans (doc_id, p0, p1, npos): two
+    flagged gram starts belong to one span while their gap is <= k
+    (their covered ranges [pos, pos+k) touch or overlap). Shared by
+    the within-corpus and the eval-decontamination span kernels so
+    the merge rule can never diverge between them."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = pos_df.withColumn(
         "brk",
@@ -965,6 +976,17 @@ def excise_spans(
     > k, so covered ranges ``[p0, p1+k)`` are disjoint), making the
     per-token span test a short ``exists``."""
     spans = duplicated_span_intervals(toks_df, k, min_count)
+    return _apply_spans(toks_df, spans, k)
+
+
+def _apply_spans(
+    toks_df: DataFrame, spans: DataFrame, k: int
+) -> DataFrame:
+    """Remove every token covered by a span [p0, p1 + k) and return
+    (doc_id, n_tokens, n_kept, toks_clean). Shared by the
+    within-corpus excision and the eval-decontamination excision —
+    spans collapse to one short array per affected doc, joined back
+    doc-keyed, and removal is a narrow indexed-lambda filter."""
     span_arr = spans.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(F.struct("p0", "p1"))
@@ -988,3 +1010,80 @@ def excise_spans(
         F.size(cleaned).cast("long").alias("n_kept"),
         cleaned.alias("toks_clean"),
     )
+
+
+# bound on the broadcast eval gram set (distinct k-gram strings):
+# ~5M grams x ~60 B ~ 300 MB worst case — generous for any real
+# eval suite, far below executor memory, and enforced with a loud
+# raise (the q122/q123 eval-budget discipline at span grain)
+EVAL_GRAM_BUDGET = 5_000_000
+
+
+def contaminated_span_intervals(
+    train_toks: DataFrame,
+    eval_toks: DataFrame,
+    k: int = 8,
+    max_eval_grams: int = EVAL_GRAM_BUDGET,
+) -> DataFrame:
+    """Span-grain eval decontamination (the ExactSubstr machinery
+    pointed at a REFERENCE set): one row per maximal span of a
+    training doc whose every k-gram appears verbatim in SOME eval
+    doc — (doc_id, p0, p1, npos), span covering [p0, p1 + k). The
+    doc-level decontaminators (exact q62, fuzzy q119, semantic
+    q122/q123) decide keep-or-drop; this one finds WHERE the leak
+    sits so the excision transform can cut the quoted eval passage
+    and keep the rest of the document.
+
+    Scale shape: the eval side collapses to its DISTINCT k-gram
+    strings — bounded by the eval suite's size BY CONTRACT, enforced
+    against ``max_eval_grams`` with a loud raise (the q122/q123
+    broadcast-budget discipline) — and broadcasts; the training
+    corpus streams through ONE gram explode + broadcast semi-join
+    (map-side, no shuffle of gram text), and only the HITS
+    (leak-density-bounded) reach the island merge. Matching is exact
+    string equality on the gram, so there is no hash round-trip to
+    verify."""
+    ev = (
+        eval_toks.filter(F.size("toks") >= k)
+        .select(
+            F.explode(
+                ngram_occurrences(F.col("toks"), k)
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    n = ev.count()
+    if n > max_eval_grams:
+        raise ValueError(
+            f"eval side has {n} distinct {k}-grams, over the "
+            f"broadcast budget of {max_eval_grams}: the eval suite "
+            "must be bounded by construction, not a "
+            "corpus-proportional split — shrink the eval selection "
+            "or raise max_eval_grams deliberately"
+        )
+    g = train_toks.select(
+        "doc_id",
+        F.posexplode(
+            ngram_occurrences(F.col("toks"), k)
+        ).alias("pos", "gram"),
+    )
+    pos_df = g.join(F.broadcast(ev), "gram", "left_semi").select(
+        "doc_id", "pos"
+    )
+    return _merge_islands(pos_df, k)
+
+
+def excise_contaminated_spans(
+    train_toks: DataFrame,
+    eval_toks: DataFrame,
+    k: int = 8,
+    max_eval_grams: int = EVAL_GRAM_BUDGET,
+) -> DataFrame:
+    """The transform half of ``contaminated_span_intervals`` (the
+    q120 pattern at the eval boundary): remove every training-doc
+    token covered by a contaminated span, keep the rest of the
+    document. Returns (doc_id, n_tokens, n_kept, toks_clean)."""
+    spans = contaminated_span_intervals(
+        train_toks, eval_toks, k, max_eval_grams
+    )
+    return _apply_spans(train_toks, spans, k)

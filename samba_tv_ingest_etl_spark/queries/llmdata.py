@@ -4243,6 +4243,141 @@ def q120_substring_span_excision(
     )
 
 
+# ---------------------------------------------------------------- q127
+
+# eval split at span grain: every 50th doc is an eval item; training
+# corpus = the complement PLUS planted leaks — every doc with
+# doc_id % 100 == 10 re-appears (at +_SPAN_OFFSET) with the first 12
+# tokens of eval doc (doc_id - 10) appended, a quoted eval passage
+# inside an otherwise-original document. Doc-level decontamination
+# would have to drop the whole doc; span excision cuts the quote.
+_DECON_SPAN_MOD = 50
+
+_DECON_SPAN_SQL = f"""
+t0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+ev AS (SELECT doc_id, toks FROM t0 WHERE doc_id % {_DECON_SPAN_MOD} = 0),
+t AS (
+  SELECT doc_id, toks FROM t0 WHERE doc_id % {_DECON_SPAN_MOD} <> 0
+  UNION ALL
+  SELECT a.doc_id + {_SPAN_OFFSET},
+         list_concat(a.toks, list_slice(b.toks, 1, 12))
+  FROM t0 a JOIN t0 b ON b.doc_id = a.doc_id - 10
+  WHERE a.doc_id % 100 = 10
+)
+"""
+
+_DECON_SPAN_ORACLE = f"""
+WITH {_DECON_SPAN_SQL},
+eg AS (
+  SELECT DISTINCT
+         array_to_string(list_slice(toks, i, i + {_SPAN_K} - 1), ' ')
+           AS gram
+  FROM ev, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(toks) >= {_SPAN_K}
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + {_SPAN_K} - 1), ' ')
+           AS gram
+  FROM t, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(toks) >= {_SPAN_K}
+),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN eg USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w > {_SPAN_K} THEN 1 ELSE 0 END
+           AS brk
+  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS p0, max(pos) AS p1
+  FROM isl2 GROUP BY doc_id, island
+),
+rem AS (
+  SELECT doc_id, unnest(range(p0, p1 + {_SPAN_K})) AS pos FROM spans
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+kept AS (
+  SELECT tokpos.doc_id, tokpos.pos, tokpos.tok
+  FROM tokpos ANTI JOIN rem USING (doc_id, pos)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.cleaned_text, '') AS cleaned_text
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("q127_eval_span_excision", oracle=_DECON_SPAN_ORACLE)
+def q127_eval_span_excision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-grain eval decontamination as a TRANSFORM: cut every
+    training-doc span whose k-grams appear verbatim in some eval
+    doc, keep the rest of the document
+    (dedup.excise_contaminated_spans). Completes the
+    decontamination family along the second axis — q62/q119/q122/
+    q123 decide keep-or-drop at DOC grain; this excises at SPAN
+    grain, the right tool when a training doc merely QUOTES an eval
+    passage (dropping it wholesale wastes the original 95%). The
+    planted leaks (eval-prefix quotes appended to natural docs at
+    +1e12) must come back clipped to their original token count;
+    eval-side grams are bounded by the fixed eval split and
+    enforced against the broadcast gram budget (the q122/q123
+    eval-contract discipline at span grain)."""
+    docs = _documents(spark, sf_dir).select(
+        _guarded_doc_id("q127").alias("doc_id"), "text"
+    )
+    t0 = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    ev = t0.filter(F.col("doc_id") % _DECON_SPAN_MOD == 0)
+    planted = (
+        t0.filter(F.col("doc_id") % 100 == 10)
+        .alias("a")
+        .join(
+            t0.select(
+                F.col("doc_id").alias("_eid"),
+                F.col("toks").alias("_etoks"),
+            ).alias("b"),
+            F.col("_eid") == F.col("doc_id") - 10,
+        )
+        .select(
+            (F.col("doc_id") + F.lit(_SPAN_OFFSET)).alias("doc_id"),
+            F.concat(
+                F.col("toks"), F.slice(F.col("_etoks"), 1, 12)
+            ).alias("toks"),
+        )
+    )
+    train = t0.filter(
+        F.col("doc_id") % _DECON_SPAN_MOD != 0
+    ).unionByName(planted)
+    out = D.excise_contaminated_spans(train, ev, k=_SPAN_K)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_kept",
+        F.array_join("toks_clean", " ").alias("cleaned_text"),
+    )
+
+
 # ---------------------------------------------------------------- q121
 
 _CONTAIN_PCT = 80

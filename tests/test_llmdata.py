@@ -190,6 +190,33 @@ def test_containment_survivors_drops_contained_side(spark):
     assert out == {1, 2, 4}
 
 
+def test_eval_span_excision(spark):
+    """A training doc quoting >= k consecutive eval tokens comes back
+    with exactly the quoted span cut and everything else kept; docs
+    with no leak pass through; an eval side over the gram budget
+    raises loudly."""
+    ev_toks = [f"e{i}" for i in range(12)]
+    own = [f"w{i}" for i in range(10)]
+    evals = spark.createDataFrame([(0, ev_toks)], ["doc_id", "toks"])
+    train = spark.createDataFrame(
+        [
+            (1, own + ev_toks[:9]),   # quotes 9 eval tokens (k=8)
+            (2, own),                 # clean
+            (3, ev_toks[2:11]),       # is ENTIRELY a quote -> emptied
+        ],
+        ["doc_id", "toks"],
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["toks_clean"])
+        for r in D.excise_contaminated_spans(train, evals, k=8).collect()
+    }
+    assert out[1] == (19, 10, own)    # quote cut, original kept
+    assert out[2] == (10, 10, own)    # untouched
+    assert out[3][1] == 0             # fully excised, doc retained
+    with pytest.raises(ValueError, match="gram"):
+        D.excise_contaminated_spans(train, evals, k=8, max_eval_grams=2)
+
+
 def test_incremental_minhash_survivors(spark):
     """Incremental dedup contract: (a) a new doc near-dupping an
     INDEXED doc drops no matter the ids; (b) an intra-batch dup pair
