@@ -224,3 +224,70 @@ def test_fuzzy_contamination_cap_law(spark, case):
     assert set(capped) == expected_keys
     for key in capped:
         assert capped[key] == uncapped[key]  # exact recount
+
+
+# ---------------------------------------------------------------
+# span-excision law: the Spark kernel (gram explode -> island merge
+# -> indexed-lambda filter) must agree with a direct Python
+# reference on ANY token layout — quote at the start/middle/end,
+# overlapping quotes, repeated quotes, docs shorter than k
+
+
+def _ref_excise(doc_toks: list[str], eval_grams: set[tuple], k: int):
+    """Brute-force reference: flag every position whose k-gram is an
+    eval gram, merge flagged positions into islands (gap > k breaks),
+    drop tokens covered by [p0, p1 + k)."""
+    pos = [
+        i
+        for i in range(max(0, len(doc_toks) - k + 1))
+        if tuple(doc_toks[i:i + k]) in eval_grams
+    ]
+    covered = set()
+    if pos:
+        start = prev = pos[0]
+        for p in pos[1:] + [None]:
+            if p is None or p - prev > k:
+                covered.update(range(start, prev + k))
+                start = p
+            prev = p if p is not None else prev
+    return [t for i, t in enumerate(doc_toks) if i not in covered]
+
+
+@st.composite
+def decon_cases(draw):
+    """Eval doc of 8-16 tokens; training docs built by interleaving
+    original tokens with 0-2 quoted eval windows of length >= k."""
+    k = 4
+    ev = [f"e{j}" for j in range(draw(st.integers(8, 16)))]
+    docs = []
+    for d in range(draw(st.integers(1, 3))):
+        own = [f"d{d}w{j}" for j in range(draw(st.integers(0, 10)))]
+        toks = list(own)
+        for q in range(draw(st.integers(0, 2))):
+            at = draw(st.integers(0, len(toks)))
+            qstart = draw(st.integers(0, len(ev) - k))
+            qlen = draw(st.integers(k, len(ev) - qstart))
+            toks = toks[:at] + ev[qstart:qstart + qlen] + toks[at:]
+        docs.append((d, toks))
+    return k, ev, docs
+
+
+@settings(max_examples=10, deadline=None)
+@given(decon_cases())
+def test_eval_span_excision_matches_reference(spark, case):
+    k, ev, docs = case
+    eval_grams = {
+        tuple(ev[i:i + k]) for i in range(len(ev) - k + 1)
+    }
+    train = spark.createDataFrame(
+        docs, "doc_id long, toks array<string>"
+    )
+    evals = spark.createDataFrame([(0, ev)], ["doc_id", "toks"])
+    got = {
+        r["doc_id"]: list(r["toks_clean"])
+        for r in D.excise_contaminated_spans(train, evals, k=k).collect()
+    }
+    for doc_id, toks in docs:
+        assert got[doc_id] == _ref_excise(toks, eval_grams, k), (
+            doc_id, toks,
+        )
