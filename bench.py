@@ -23,9 +23,10 @@ from samba_tv_ingest_etl_spark import queries as Q  # noqa: E402
 from samba_tv_ingest_etl_spark.session import get_spark  # noqa: E402
 
 # Headline set: flagship pipeline stages + the heaviest operators.
-# 24 queries as of round 9 (q124 containment survivorship / q125 ANN
-# recall audit / q126 incremental dedup / q127 eval span excision
-# joined; q121/q123 joined in r8, q115/q117 in r6) —
+# 25 queries as of round 9 (q124 containment survivorship / q125 ANN
+# recall audit / q126 incremental dedup / q127 eval span excision /
+# q128 composed curation pipeline joined; q121/q123 joined in r8,
+# q115/q117 in r6) —
 # round-over-round totals compare the first 16 (the r1-r5 set),
 # first 18 (r6-r7), or first 20 (r8); per-query history is directly
 # comparable throughout.
@@ -54,6 +55,7 @@ HEADLINE = [
     "q125_ann_recall_audit",
     "q126_incremental_minhash_dedup",
     "q127_eval_span_excision",
+    "q128_curation_pipeline",
 ]
 
 # a query's samples must agree within this max/min ratio (best 3 of

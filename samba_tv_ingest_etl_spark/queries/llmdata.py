@@ -4378,6 +4378,86 @@ def q127_eval_span_excision(
     )
 
 
+# ---------------------------------------------------------------- q128
+
+# composed-pipeline gate: survivors must keep >= half their tokens
+# after span excision (the q115 keep rule) AND >= this floor
+_PIPE_MIN_KEPT = 20
+
+_PIPELINE_ORACLE = f"""
+WITH {_COPY_SQL},
+keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+t AS (
+  SELECT c.doc_id,
+         list_filter(regexp_split_to_array(lower(c.text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM corpus c JOIN keep USING (doc_id)
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + {_SPAN_K} - 1), ' ')
+           AS gram
+  FROM t, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(toks) >= {_SPAN_K}
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w > {_SPAN_K} THEN 1 ELSE 0 END
+           AS brk
+  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS p0, max(pos) AS p1
+  FROM isl2 GROUP BY doc_id, island
+),
+cut AS (
+  SELECT doc_id, CAST(sum(p1 - p0 + {_SPAN_K}) AS BIGINT) AS n_cut
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(c.n_cut, 0) AS BIGINT) AS n_kept
+FROM t LEFT JOIN cut c USING (doc_id)
+WHERE (len(t.toks) - COALESCE(c.n_cut, 0)) * 2 >= len(t.toks)
+  AND len(t.toks) - COALESCE(c.n_cut, 0) >= {_PIPE_MIN_KEPT}
+"""
+
+
+@query("q128_curation_pipeline", oracle=_PIPELINE_ORACLE)
+def q128_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline — exact dedup -> within-corpus span
+    excision -> quality gate — in ONE lazy DataFrame chain, the way a
+    user actually strings the engine's operators together: no
+    materialization between stages, so Catalyst plans the whole
+    pipeline as one job and each stage keeps the scale shape it was
+    measured with individually (narrow sha2 dedup shuffle; hash-only
+    span checkpoint; gate as a plain filter). Corpus = documents plus
+    verbatim copies planted at +1e12 (the q20 corpus), so stage 1
+    has real work; survivors keep a doc iff, after cutting maximal
+    duplicated spans, at least half its tokens AND >= 20 tokens
+    remain (the q115 keep rule with a floor). Oracle composes the
+    same three stages in SQL."""
+    corpus = _copy_corpus(spark, sf_dir)
+    survivors = corpus.join(
+        D.exact_dedup(corpus).select("doc_id"), "doc_id", "left_semi"
+    )
+    t = survivors.select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    out = D.excise_spans(t, k=_SPAN_K)
+    return out.filter(
+        (F.col("n_kept") * 2 >= F.col("n_tokens"))
+        & (F.col("n_kept") >= _PIPE_MIN_KEPT)
+    ).select("doc_id", "n_tokens", "n_kept")
+
+
 # ---------------------------------------------------------------- q121
 
 _CONTAIN_PCT = 80

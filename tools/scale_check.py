@@ -2,7 +2,7 @@
 """Scale-proofing harness: bench + plan-audit the engine at 10x data.
 
 VERDICT r2 asked for empirical validation of the scale playbook
-(next-round item 3): run the bench HEADLINE set (24 queries as of r9) at a scale factor 10x
+(next-round item 3): run the bench HEADLINE set (25 queries as of r9) at a scale factor 10x
 the base, with per-query scaling ratios vs a same-box base run and a
 plan-audit diff — any super-linear query or NEW warn-level plan
 finding at the bigger size must have a named cause. r4 ran
