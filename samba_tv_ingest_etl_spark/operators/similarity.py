@@ -387,7 +387,7 @@ def topk_bruteforce(
     )
 
 
-def _check_eval_budget(eval_q: DataFrame, max_eval_rows: int) -> None:
+def _check_eval_budget(eval_q: DataFrame, max_eval_rows: int) -> DataFrame:
     """Broadcast-budget guard for the decontamination operators: the
     eval side is forced through the driver (exact path) or strongly
     expected tiny (LSH path), so its row count must be bounded BY
@@ -395,10 +395,14 @@ def _check_eval_budget(eval_q: DataFrame, max_eval_rows: int) -> None:
     corpus-proportional split. A "tiny" eval side that secretly grows
     1/k with the corpus turns the broadcast into a driver/executor
     OOM at fleet scale, long after every test passed (r8 verdict).
-    The count is one job over the (filter-pushed) eval scan — cheap
-    precisely because a legitimate eval side is small. Raises loudly
-    (house rule: never ``assert`` — ``python -O`` strips asserts
-    exactly where the silent failure would hide)."""
+    The eval lineage is consumed twice — this count plus the
+    caller's broadcast/band join — so it is materialized here once
+    (localCheckpoint) and the CHECKPOINTED frame is returned for the
+    caller to join against; counting then joining the raw lineage
+    would run the eval quantize/filter pipeline twice per query.
+    Raises loudly (house rule: never ``assert`` — ``python -O``
+    strips asserts exactly where the silent failure would hide)."""
+    eval_q = eval_q.localCheckpoint(eager=True)
     n = eval_q.count()
     if n > max_eval_rows:
         raise ValueError(
@@ -409,6 +413,7 @@ def _check_eval_budget(eval_q: DataFrame, max_eval_rows: int) -> None:
             "eval side makes the broadcast an OOM at scale. Bound "
             "the eval selection or raise max_eval_rows deliberately."
         )
+    return eval_q
 
 
 # ~100k rows x ~550 B/row (64 quantized longs + norm) ~ 55 MB
@@ -442,7 +447,7 @@ def contamination_matches(
     which is a hash aggregate with map-side combine —
     max(struct(cos, -eval_id)) instead of a window, so no sort and
     deterministic tie-breaks."""
-    _check_eval_budget(eval_q, max_eval_rows)
+    eval_q = _check_eval_budget(eval_q, max_eval_rows)
     ev = F.broadcast(
         eval_q.select(
             F.col("vec_id").alias("eval_id"),
@@ -548,7 +553,7 @@ def contamination_matches_lsh(
     (band, key) equi-join instead of a forced driver round-trip —
     the same ``max_eval_rows`` guard still rejects an eval side
     that grows with the corpus (r8 verdict)."""
-    _check_eval_budget(eval_q, max_eval_rows)
+    eval_q = _check_eval_budget(eval_q, max_eval_rows)
     ev = (
         lsh_buckets(eval_q, planes, dim).select(
             F.col("vec_id").alias("eval_id"),
@@ -1214,6 +1219,83 @@ def topk_lsh(
             "cos_scaled",
             _cos_scaled(F.col("dot"), F.col("n_q"), F.col("n_c")),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_scaled").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos_scaled")
+    )
+
+
+def topk_lsh_banded(
+    corpus_q: DataFrame,
+    queries_q: DataFrame,
+    k: int = 10,
+    planes: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k with the OR-construction over ``bands``
+    bands of ``planes // bands`` hyperplane bits: a corpus vector is
+    a candidate if it matches the query's key in ANY band (the
+    MinHash-LSH banding shape applied to hyperplane signatures).
+    Same output shape and (score, id) tie-break as
+    ``topk_bruteforce``.
+
+    Why this exists (r9 verdict #2): single-bucket AND-matching on
+    all bits (``topk_lsh``) has per-neighbor match probability
+    p^planes with p = 1 - θ/π — measured recall@10 ~5% at the
+    corpus's cos≈0.5 neighbor regime. Banding flips the curve:
+    P(candidate) = 1 - (1 - p^r)^bands with r = planes/bands, so
+    recall is tunable against candidate cost. Defaults come from the
+    measured frontier (SCALING_r10.md, tools/ann_frontier.py), not
+    theory: (32, 8) at sf0.1.
+
+    Scale shape: the probe side broadcasts (probes are few by
+    contract); the corpus streams through the map-side band join as
+    narrow (vec_id, band, key) rows plus the vector payload for
+    scoring; a pair that matches several bands is deduped by the
+    (query_id, cand_id) aggregate — max(cos) of identical values —
+    one narrow shuffle, no pair recompute joins. At 100 TB the
+    (band, key) pair becomes the partition key of a persisted index
+    (the ``write_band_index`` discipline at vector grain) and a probe
+    touches ``bands`` partitions."""
+    from pyspark.sql import Window
+
+    qs = F.broadcast(
+        lsh_buckets(queries_q, planes, dim).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("q_q"),
+            F.col("norm2").alias("n_q"),
+            F.posexplode(F.array(*_band_keys(planes, bands))).alias(
+                "band", "key"
+            ),
+        )
+    )
+    c = lsh_buckets(corpus_q, planes, dim).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("q_c"),
+        F.col("norm2").alias("n_c"),
+        F.posexplode(F.array(*_band_keys(planes, bands))).alias(
+            "band", "key"
+        ),
+    )
+    dot = _dot(F.col("q_q"), F.col("q_c"))
+    scored = (
+        c.join(qs, ["band", "key"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("dot", dot)
+        .withColumn(
+            "cos_scaled",
+            _cos_scaled(F.col("dot"), F.col("n_q"), F.col("n_c")),
+        )
+        # multi-band matches collapse here: cos is identical per
+        # (query, cand) pair, so max() is pure dedup
+        .groupBy("query_id", "cand_id")
+        .agg(F.max("cos_scaled").alias("cos_scaled"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_scaled").desc(), F.col("cand_id")

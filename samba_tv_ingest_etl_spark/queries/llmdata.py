@@ -369,6 +369,44 @@ def q126_incremental_minhash_dedup(
     ).select("doc_id", F.col("set_size").cast("long").alias("set_size"))
 
 
+# ---------------------------------------------------------------- q129
+
+
+@query(
+    "q129_indexed_incremental_dedup",
+    oracle=_incremental_minhash_oracle(),
+)
+def q129_indexed_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q126 through the PERSISTED band index (r9 verdict #1): the
+    corpus side is signed and banded ONCE, written at rest
+    (dedup.write_band_index — docs/ + band-partitioned bands/), and
+    the increment reads it back instead of re-signing — per-increment
+    work is O(|batch|) signing + a batch-broadcast band join + one
+    streamed verify probe, never an O(corpus) sha256 pass. Shares
+    q126's oracle verbatim: the per-doc determinism contract says the
+    at-rest path must produce byte-identical survivors, so the
+    DuckDB hash match IS the end-to-end proof that persistence
+    round-trips signatures, band keys, and shingle sets exactly
+    (tests/test_dedup_incremental.py pins the same equivalence plus
+    the multi-increment ≡ wholesale property)."""
+    import tempfile
+
+    corpus = _prefix_corpus(spark, sf_dir)
+    sh = D.shingle_docs(corpus, ngram=_NGRAM)
+    new_sh = sh.filter(F.col("doc_id") >= _SPAN_OFFSET)
+    idx_sh = sh.filter(F.col("doc_id") < _SPAN_OFFSET)
+    # mkdtemp, not TemporaryDirectory: the returned frame reads these
+    # files lazily — the caller collects after this function returns
+    path = tempfile.mkdtemp(prefix="q129_band_index_")
+    D.write_band_index(idx_sh, path)
+    idx_docs, idx_bands = D.read_band_index(spark, path)
+    return D.incremental_minhash_survivors_indexed(
+        new_sh, idx_docs, idx_bands, threshold_pct=_JACCARD_PCT
+    ).select("doc_id", F.col("set_size").cast("long").alias("set_size"))
+
+
 # ---------------------------------------------------------------- q108
 
 # hot-bucket cap for the capped LSH variant: bounds a band bucket's
@@ -4245,13 +4283,21 @@ def q120_substring_span_excision(
 
 # ---------------------------------------------------------------- q127
 
-# eval split at span grain: every 50th doc is an eval item; training
+# eval split at span grain: every 50th doc UNDER A FIXED ID CAP is an
+# eval item — the cap (≤ _DECON_EVAL_CAP/_DECON_SPAN_MOD = 10k docs no
+# matter how large the corpus) is the q122/q123 _EVAL_MAX_ID treatment
+# at span grain (r9 advice): an uncapped % 50 split is
+# corpus-proportional, so its distinct-gram count grows linearly and
+# eventually trips contaminated_span_intervals' EVAL_GRAM_BUDGET
+# raise while the docstring claims the eval side is bounded. Training
 # corpus = the complement PLUS planted leaks — every doc with
-# doc_id % 100 == 10 re-appears (at +_SPAN_OFFSET) with the first 12
-# tokens of eval doc (doc_id - 10) appended, a quoted eval passage
-# inside an otherwise-original document. Doc-level decontamination
-# would have to drop the whole doc; span excision cuts the quote.
+# doc_id % 100 == 10 (same cap, so plants track the eval set) re-
+# appears (at +_SPAN_OFFSET) with the first 12 tokens of eval doc
+# (doc_id - 10) appended: a quoted eval passage inside an otherwise-
+# original document. Doc-level decontamination would have to drop the
+# whole doc; span excision cuts the quote.
 _DECON_SPAN_MOD = 50
+_DECON_EVAL_CAP = 500_000
 
 _DECON_SPAN_SQL = f"""
 t0 AS (
@@ -4260,14 +4306,19 @@ t0 AS (
                      x -> x <> '') AS toks
   FROM documents
 ),
-ev AS (SELECT doc_id, toks FROM t0 WHERE doc_id % {_DECON_SPAN_MOD} = 0),
+ev AS (
+  SELECT doc_id, toks FROM t0
+  WHERE doc_id % {_DECON_SPAN_MOD} = 0 AND doc_id < {_DECON_EVAL_CAP}
+),
 t AS (
-  SELECT doc_id, toks FROM t0 WHERE doc_id % {_DECON_SPAN_MOD} <> 0
+  SELECT doc_id, toks FROM t0
+  WHERE NOT (doc_id % {_DECON_SPAN_MOD} = 0
+             AND doc_id < {_DECON_EVAL_CAP})
   UNION ALL
   SELECT a.doc_id + {_SPAN_OFFSET},
          list_concat(a.toks, list_slice(b.toks, 1, 12))
   FROM t0 a JOIN t0 b ON b.doc_id = a.doc_id - 10
-  WHERE a.doc_id % 100 = 10
+  WHERE a.doc_id % 100 = 10 AND a.doc_id < {_DECON_EVAL_CAP}
 )
 """
 
@@ -4341,16 +4392,23 @@ def q127_eval_span_excision(
     passage (dropping it wholesale wastes the original 95%). The
     planted leaks (eval-prefix quotes appended to natural docs at
     +1e12) must come back clipped to their original token count;
-    eval-side grams are bounded by the fixed eval split and
-    enforced against the broadcast gram budget (the q122/q123
-    eval-contract discipline at span grain)."""
+    eval-side grams are bounded BY CONSTRUCTION — the split carries
+    the fixed id cap _DECON_EVAL_CAP, never a corpus-proportional
+    % 50 alone — and enforced against the broadcast gram budget
+    (the q122/q123 eval-contract discipline at span grain)."""
     docs = _documents(spark, sf_dir).select(
         _guarded_doc_id("q127").alias("doc_id"), "text"
     )
     t0 = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
-    ev = t0.filter(F.col("doc_id") % _DECON_SPAN_MOD == 0)
+    is_eval = (F.col("doc_id") % _DECON_SPAN_MOD == 0) & (
+        F.col("doc_id") < _DECON_EVAL_CAP
+    )
+    ev = t0.filter(is_eval)
     planted = (
-        t0.filter(F.col("doc_id") % 100 == 10)
+        t0.filter(
+            (F.col("doc_id") % 100 == 10)
+            & (F.col("doc_id") < _DECON_EVAL_CAP)
+        )
         .alias("a")
         .join(
             t0.select(
@@ -4366,9 +4424,7 @@ def q127_eval_span_excision(
             ).alias("toks"),
         )
     )
-    train = t0.filter(
-        F.col("doc_id") % _DECON_SPAN_MOD != 0
-    ).unionByName(planted)
+    train = t0.filter(~is_eval).unionByName(planted)
     out = D.excise_contaminated_spans(train, ev, k=_SPAN_K)
     return out.select(
         "doc_id",
