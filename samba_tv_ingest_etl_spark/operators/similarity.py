@@ -1230,12 +1230,26 @@ def topk_lsh(
     )
 
 
+# Shipped banded-ANN defaults — from the MEASURED frontier
+# (tools/ann_frontier.py, SCALING_r10.md), not theory: (48, 16) is
+# the only grid point with recall@10 >= 0.8 at BOTH measured scales
+# (0.886 at sf0.1 n=2k, 0.922 at sf1 n=20k) — the r9 target "recall
+# >= 0.8 with stated cost". Its cost is ~0.7x brute force per probe
+# in this corpus's low-similarity regime (top-10 near cos ~0.5);
+# the same frontier shows IVF reaching 0.818 at nprobe/k ~ 0.15
+# (4.6x cheaper) once n >= ~20k — the at-scale router: verbatim /
+# high-tau -> narrow-band LSH (q123), low-sim small-n -> banded LSH
+# or exact, low-sim at fleet n -> IVF with nprobe ~ 0.15-0.2 k.
+LSH_TOPK_PLANES = 48
+LSH_TOPK_BANDS = 16
+
+
 def topk_lsh_banded(
     corpus_q: DataFrame,
     queries_q: DataFrame,
     k: int = 10,
-    planes: int = 32,
-    bands: int = 8,
+    planes: int = LSH_TOPK_PLANES,
+    bands: int = LSH_TOPK_BANDS,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k with the OR-construction over ``bands``
@@ -1252,7 +1266,7 @@ def topk_lsh_banded(
     P(candidate) = 1 - (1 - p^r)^bands with r = planes/bands, so
     recall is tunable against candidate cost. Defaults come from the
     measured frontier (SCALING_r10.md, tools/ann_frontier.py), not
-    theory: (32, 8) at sf0.1.
+    theory — see ``LSH_TOPK_PLANES``/``LSH_TOPK_BANDS``.
 
     Scale shape: the probe side broadcasts (probes are few by
     contract); the corpus streams through the map-side band join as

@@ -413,6 +413,29 @@ def derived_weights(d: int, a: int = 2654435761, m: int = 2001,
     return [(b * a) % m - shift for b in range(d)]
 
 
+def linear_score_over(
+    tokens_col: Column, weights: list[int], intercept: int = 0
+) -> Column:
+    """The ``hashed_linear_score`` scoring expression over an
+    ALREADY-TOKENIZED array column — needed wherever scoring runs
+    downstream of a token-grain transform (q131 scores the
+    post-excision ``toks_clean``, where re-materializing text just to
+    re-tokenize it would be a wasted corpus pass). Same portable
+    60-bit sha256 bucket, literal weight vector, and aggregate HOF;
+    an empty array scores the bare intercept."""
+    d = len(weights)
+    wlit = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    bucket = lambda t: (  # noqa: E731 — portable_hash60 on a lambda var
+        F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10)
+        .cast("long") % F.lit(d)
+    ).cast("int")
+    return F.aggregate(
+        tokens_col,
+        F.lit(int(intercept)).cast("long"),
+        lambda acc, t: acc + F.element_at(wlit, bucket(t) + 1),
+    )
+
+
 def hashed_linear_score(
     df: DataFrame,
     id_col: str,
@@ -435,21 +458,11 @@ def hashed_linear_score(
     single map pass. The weight vector is a plan literal (fine to a
     few thousand dims); for large models broadcast a (bucket, weight)
     table and explode+join instead."""
-    d = len(weights)
-    wlit = F.array(*[F.lit(int(w)).cast("long") for w in weights])
     out = df.select(
         id_col, *keep, tokens(F.col(text_col)).alias("_toks")
     )
     toks = F.col("_toks")
-    bucket = lambda t: (  # noqa: E731 — portable_hash60 on a lambda var
-        F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10)
-        .cast("long") % F.lit(d)
-    ).cast("int")
-    score = F.aggregate(
-        toks,
-        F.lit(int(intercept)).cast("long"),
-        lambda acc, t: acc + F.element_at(wlit, bucket(t) + 1),
-    )
+    score = linear_score_over(toks, weights, intercept)
     return out.select(
         id_col,
         *keep,

@@ -973,6 +973,95 @@ def q26_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# ---------------------------------------------------------------- q130
+
+# shipped banded-ANN configuration — the measured frontier's pick
+# (operators.similarity.LSH_TOPK_PLANES/BANDS, SCALING_r10.md): the
+# only grid point with recall@10 >= 0.8 at both measured scales
+_LSH_TOPK_PLANES = 48
+_LSH_TOPK_BANDS = 16
+
+
+def _banded_bits_sql(planes: int, bands: int) -> str:
+    """bits -> bucket -> per-band keys CTEs for ``planes`` hyperplane
+    bits cut into ``bands`` groups — the SQL mirror of
+    ``lsh_buckets`` + ``_band_keys``."""
+    r = planes // bands
+    mask = (1 << r) - 1
+    return f"""
+bits AS (
+  SELECT vec_id, q, norm2, p.i AS plane,
+         CASE WHEN CAST(list_sum(list_transform(range(0, {_DIM}),
+           d -> q[d + 1] * (((p.i * {_DIM} + d) * 2654435761)
+                            % 2147483648 - 1073741824)))
+           AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM quant, unnest(range(0, {planes})) AS p(i)
+),
+bucketed AS (
+  SELECT vec_id, any_value(q) AS q, any_value(norm2) AS norm2,
+         CAST(sum(bit * (1::BIGINT << plane)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, b.i AS band,
+         (bucket >> (b.i * {r})) & {mask} AS key
+  FROM bucketed, unnest(range(0, {bands})) AS b(i)
+)"""
+
+
+def _lsh_banded_oracle() -> str:
+    return f"""
+WITH {_QUANT_SQL},
+{_banded_bits_sql(_LSH_TOPK_PLANES, _LSH_TOPK_BANDS)},
+qb AS (SELECT * FROM bands WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS cand_id
+  FROM qb a JOIN bands c ON c.band = a.band AND c.key = a.key
+  WHERE c.vec_id <> a.vec_id
+),
+scored AS (
+  SELECT cd.query_id, cd.cand_id,
+         {_cos_scaled_sql(_DOT_SQL, 'a.norm2', 'b.norm2')} AS cos_scaled
+  FROM cand cd
+  JOIN quant a ON a.vec_id = cd.query_id
+  JOIN quant b ON b.vec_id = cd.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_scaled,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cos_scaled DESC, cand_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, rank, cos_scaled FROM ranked WHERE rank <= 10
+"""
+
+
+@query("q130_ann_topk_lsh_banded", oracle=_lsh_banded_oracle())
+def q130_ann_topk_lsh_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate top-10 via the banded OR-construction over
+    hyperplane bits — the SHIPPED ANN configuration for this corpus's
+    low-similarity regime (r9 verdict #2 closed): q26's single-bucket
+    AND-matching measured recall@10 ~5-7%, so the defaults were
+    re-picked from the measured frontier (tools/ann_frontier.py,
+    SCALING_r10.md) — (48 planes, 16 bands) is the only grid point
+    with recall >= 0.8 at BOTH measured scales (0.886 at sf0.1,
+    0.922 at sf1), at ~0.7x brute-force candidate cost; the same
+    frontier records IVF reaching 0.818 at ~0.15x cost once n >= 20k
+    (the at-scale router's cheap path). q125 audits this exact
+    configuration; q26 remains the single-bucket reference."""
+    from ..operators.similarity import topk_lsh_banded
+
+    q = _embeddings_q(spark, sf_dir)
+    out = topk_lsh_banded(
+        q, q.filter(F.col("vec_id") < 10), k=10,
+        planes=_LSH_TOPK_PLANES, bands=_LSH_TOPK_BANDS, dim=_DIM,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # Cluster counts DERIVE from corpus size (operators.similarity
 # .derived_cluster_count): k = max(kmin, ceil(n / target)), keeping
 # mean cluster membership <= target at any scale — a fixed k would
@@ -4514,6 +4603,202 @@ def q128_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "n_kept")
 
 
+# ---------------------------------------------------------------- q131
+
+# full curation shape (r9 verdict #4): q128 proved dedup -> excision
+# -> gate composes; this one runs the ENTIRE curation sequence a
+# training-data pipeline actually ships — exact dedup -> span-grain
+# EVAL decontamination -> quality gate -> scored token-budget head.
+# Corpus plants one trap per stage: verbatim copies at +_SPAN_OFFSET
+# (dedup's work — and a copy of an EVAL doc, whose original is not in
+# the training pool, slips PAST dedup and must be emptied by
+# decontamination: the cross-stage case no standalone query covers),
+# plus quote-appender docs at +2*_SPAN_OFFSET (span excision's work:
+# clip the 12-token eval quote, keep the original).
+_CURATE_BUDGET = 12_000
+
+_CURATE_ORACLE = f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+tok0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM base
+),
+ev AS (
+  SELECT doc_id, toks FROM tok0
+  WHERE doc_id % {_DECON_SPAN_MOD} = 0 AND doc_id < {_DECON_EVAL_CAP}
+),
+train AS (
+  SELECT doc_id, text FROM base
+  WHERE NOT (doc_id % {_DECON_SPAN_MOD} = 0
+             AND doc_id < {_DECON_EVAL_CAP})
+  UNION ALL
+  SELECT doc_id + {_SPAN_OFFSET}, text FROM base WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT a.doc_id + {2 * _SPAN_OFFSET},
+         a.text || ' ' || array_to_string(list_slice(b.toks, 1, 12), ' ')
+  FROM base a JOIN tok0 b ON b.doc_id = a.doc_id - 10
+  WHERE a.doc_id % 100 = 10 AND a.doc_id < {_DECON_EVAL_CAP}
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY text),
+t AS (
+  SELECT tr.doc_id,
+         list_filter(regexp_split_to_array(lower(tr.text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM train tr JOIN keep USING (doc_id)
+),
+eg AS (
+  SELECT DISTINCT
+         array_to_string(list_slice(toks, i, i + {_SPAN_K} - 1), ' ')
+           AS gram
+  FROM ev, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(toks) >= {_SPAN_K}
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + {_SPAN_K} - 1), ' ')
+           AS gram
+  FROM t, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(toks) >= {_SPAN_K}
+),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN eg USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w > {_SPAN_K} THEN 1 ELSE 0 END
+           AS brk
+  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS p0, max(pos) AS p1
+  FROM isl2 GROUP BY doc_id, island
+),
+rem AS (
+  SELECT doc_id, unnest(range(p0, p1 + {_SPAN_K})) AS pos FROM spans
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+kept AS (
+  SELECT tokpos.doc_id, tokpos.tok
+  FROM tokpos ANTI JOIN rem USING (doc_id, pos)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         {_CLS_INTERCEPT} + CAST(coalesce(sum({_CLS_W_SQL}), 0)
+           AS BIGINT) AS score_milli
+  FROM kept GROUP BY doc_id
+),
+gated AS (
+  SELECT t.doc_id,
+         CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         COALESCE(a.n_kept, 0) AS n_kept,
+         COALESCE(a.score_milli, {_CLS_INTERCEPT}) AS score_milli
+  FROM t LEFT JOIN agg a USING (doc_id)
+  WHERE COALESCE(a.n_kept, 0) * 2 >= len(t.toks)
+    AND COALESCE(a.n_kept, 0) >= {_PIPE_MIN_KEPT}
+),
+placed AS (
+  SELECT doc_id, n_tokens, n_kept, score_milli,
+         CAST(coalesce(sum(n_kept) OVER (
+           ORDER BY score_milli DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM gated
+)
+SELECT doc_id, n_tokens, n_kept, score_milli, cum_before
+FROM placed WHERE cum_before + n_kept <= {_CURATE_BUDGET}
+"""
+
+
+@query("q131_full_curation_pipeline", oracle=_CURATE_ORACLE)
+def q131_full_curation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The engine's curation operators composed END TO END, the shape
+    a training-data pipeline actually ships: exact dedup (q20) ->
+    span-grain eval decontamination with excision (q127) -> quality
+    gate (q128's keep rule) -> classifier-scored token-budget head
+    (q111's greedy best-first prefix, spending the budget on
+    POST-excision tokens). Cross-stage traps the standalone queries
+    can't cover: a verbatim copy of an EVAL doc survives dedup (its
+    original is not in the training pool) and must be emptied by
+    decontamination, then dropped by the gate; quote-appender docs
+    come back clipped and still compete for budget with their
+    post-excision score. Everything through the gate is ONE lazy
+    chain (narrow sha2 dedup shuffle, broadcast eval-gram semi-join,
+    filters); the budget placement is the two-phase global cumsum —
+    range exchange + per-partition offsets, never a single-partition
+    window — ordered by (score DESC, doc_id). Output pins each kept
+    doc's exact offset, so the hash match proves dedup membership,
+    excision arithmetic, gate decisions, AND the total order at
+    once."""
+    from ..operators.packing import global_cumsum_multi
+    from ..operators.text import derived_weights, linear_score_over
+
+    docs = _documents(spark, sf_dir).select(
+        _guarded_doc_id("q131").alias("doc_id"), "text"
+    )
+    tok0 = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    is_eval = (F.col("doc_id") % _DECON_SPAN_MOD == 0) & (
+        F.col("doc_id") < _DECON_EVAL_CAP
+    )
+    ev = tok0.filter(is_eval)
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(_SPAN_OFFSET)).alias("doc_id"), "text"
+    )
+    plants = (
+        docs.filter(
+            (F.col("doc_id") % 100 == 10)
+            & (F.col("doc_id") < _DECON_EVAL_CAP)
+        )
+        .join(
+            tok0.select(
+                F.col("doc_id").alias("_eid"),
+                F.col("toks").alias("_etoks"),
+            ),
+            F.col("_eid") == F.col("doc_id") - 10,
+        )
+        .select(
+            (F.col("doc_id") + F.lit(2 * _SPAN_OFFSET)).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.array_join(F.slice("_etoks", 1, 12), " "),
+            ).alias("text"),
+        )
+    )
+    train = docs.filter(~is_eval).unionByName(copies).unionByName(plants)
+    surv = train.join(
+        D.exact_dedup(train).select("doc_id"), "doc_id", "left_semi"
+    )
+    t = surv.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    out = D.excise_contaminated_spans(t, ev, k=_SPAN_K)
+    score = linear_score_over(
+        F.col("toks_clean"), derived_weights(_CLS_D), _CLS_INTERCEPT
+    )
+    gated = out.filter(
+        (F.col("n_kept") * 2 >= F.col("n_tokens"))
+        & (F.col("n_kept") >= _PIPE_MIN_KEPT)
+    ).select(
+        "doc_id", "n_tokens", "n_kept", score.alias("score_milli")
+    )
+    placed = global_cumsum_multi(
+        gated,
+        [("n_kept", "cum_before")],
+        [F.col("score_milli").desc(), F.col("doc_id")],
+    )
+    return placed.filter(
+        F.col("cum_before") + F.col("n_kept") <= F.lit(_CURATE_BUDGET)
+    ).select("doc_id", "n_tokens", "n_kept", "score_milli", "cum_before")
+
+
 # ---------------------------------------------------------------- q121
 
 _CONTAIN_PCT = 80
@@ -4639,25 +4924,19 @@ eranked AS (
   FROM escored
 ),
 exact_topk AS (SELECT query_id, cand_id FROM eranked WHERE rnk <= 10),
-bits AS (
-  SELECT vec_id, q, norm2, p.i AS plane,
-         CASE WHEN CAST(list_sum(list_transform(range(0, {_DIM}),
-           d -> q[d + 1] * (((p.i * {_DIM} + d) * 2654435761)
-                            % 2147483648 - 1073741824)))
-           AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
-  FROM quant, unnest(range(0, {_LSH_PLANES})) AS p(i)
+{_banded_bits_sql(_LSH_TOPK_PLANES, _LSH_TOPK_BANDS).lstrip()},
+qb AS (SELECT * FROM bands WHERE vec_id < 10),
+lcand AS (
+  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS cand_id
+  FROM qb a JOIN bands c ON c.band = a.band AND c.key = a.key
+  WHERE c.vec_id <> a.vec_id
 ),
-bucketed AS (
-  SELECT vec_id, any_value(q) AS q, any_value(norm2) AS norm2,
-         CAST(sum(bit * (1 << plane)) AS BIGINT) AS bucket
-  FROM bits GROUP BY vec_id
-),
-lqueries AS (SELECT * FROM bucketed WHERE vec_id < 10),
 lscored AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+  SELECT cd.query_id, cd.cand_id,
          {_cos_scaled_sql(_DOT_SQL, 'a.norm2', 'b.norm2')} AS cos_scaled
-  FROM lqueries a
-  JOIN bucketed b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+  FROM lcand cd
+  JOIN quant a ON a.vec_id = cd.query_id
+  JOIN quant b ON b.vec_id = cd.cand_id
 ),
 lranked AS (
   SELECT query_id, cand_id,
@@ -4681,8 +4960,8 @@ GROUP BY e.query_id
 
 @query("q125_ann_recall_audit", oracle=_ann_recall_oracle())
 def q125_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index-quality audit: per-probe recall@10 of the LSH-bucketed
-    ANN (q26) against the exact brute-force top-10 (q25) — the
+    """Index-quality audit: per-probe recall@10 of the SHIPPED banded
+    ANN (q130) against the exact brute-force top-10 (q25) — the
     measurement a pipeline runs BEFORE trusting an approximate index
     at fleet scale (the q123-banding lesson operationalized: every
     approximation ships with its own recall meter). Exact integer
@@ -4693,22 +4972,25 @@ def q125_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     count) plus one narrow (query_id, cand_id) left join and a
     10-row-per-probe aggregate.
 
-    Measured at sf0.01: mean recall@10 ~5% — the expected verdict
-    for SINGLE-bucket 8-plane hyperplane LSH on quasi-random
-    embeddings (top-10 neighbors sit near cos ~0.5, where each
-    hyperplane bit carries almost no signal — the same regime math
-    that refuted q123's narrow bands, SCALING_r8_queries.md). That
-    number is the point of the query: it is the meter that tells an
-    operator to move to q32's trained IVF (data-adaptive cells,
-    nprobe) or q123's wide-band high-tau regime instead of shipping
-    a near-blind index."""
-    from ..operators.similarity import topk_bruteforce, topk_lsh
+    History this meter wrote (r9 -> r10): pointed at the original
+    single-bucket 8-plane index it measured recall ~5% at sf0.01 —
+    the expected verdict for AND-matching all bits on quasi-random
+    embeddings (top-10 near cos ~0.5, each hyperplane bit near
+    signal-free; the regime math that refuted q123's narrow bands,
+    SCALING_r8_queries.md). That reading drove the r10 frontier
+    measurement (tools/ann_frontier.py, SCALING_r10.md) and the
+    re-picked defaults this audit now tracks: the banded
+    (48, 16) OR-construction, recall@10 0.886/0.922 at sf0.1/sf1 —
+    above the stated >= 0.8 target. q26 keeps the single-bucket
+    reference alive for comparison."""
+    from ..operators.similarity import topk_bruteforce, topk_lsh_banded
 
     q = _embeddings_q(spark, sf_dir)
     probes = q.filter(F.col("vec_id") < 10)
     ex = topk_bruteforce(q, probes, k=10).select("query_id", "cand_id")
-    ap = topk_lsh(
-        q, probes, k=10, planes=_LSH_PLANES, dim=_DIM
+    ap = topk_lsh_banded(
+        q, probes, k=10,
+        planes=_LSH_TOPK_PLANES, bands=_LSH_TOPK_BANDS, dim=_DIM,
     ).select("query_id", "cand_id", F.lit(1).alias("_hit"))
     return (
         ex.join(ap, ["query_id", "cand_id"], "left")
