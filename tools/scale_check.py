@@ -2,12 +2,15 @@
 """Scale-proofing harness: bench + plan-audit the engine at 10x data.
 
 VERDICT r2 asked for empirical validation of the scale playbook
-(next-round item 3): run the bench HEADLINE set (25 queries as of r9) at a scale factor 10x
-the base, with per-query scaling ratios vs a same-box base run and a
-plan-audit diff — any super-linear query or NEW warn-level plan
-finding at the bigger size must have a named cause. r4 ran
+(next-round item 3): run the bench HEADLINE set (whatever bench.py
+currently ships — the import below, never a copy) at a scale factor
+10x the base, with per-query scaling ratios vs a same-box base run
+and a plan-audit diff — any super-linear query or NEW warn-level
+plan finding at the bigger size must have a named cause. r4 ran
 sf0.1 -> sf1 (SCALING_r4.md); r5 pushes the curve another decade,
-sf1 -> sf10 (SCALING_r5.md), so the sizes are now parameters.
+sf1 -> sf10 (SCALING_r5.md), so the sizes are now parameters. A
+query must have a committed 10x row BEFORE joining HEADLINE (the r9
+process; run it through --extra-queries first).
 
 Usage:
     python tools/scale_check.py [--base DIR --base-label sf1]
