@@ -901,6 +901,56 @@ def dedup_increment_against_index(
     return survivors.unionByName(new_empty)
 
 
+def dedup_increment_against_index_replay_safe(
+    new_shingled: DataFrame,
+    path: str,
+    num_perm: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    threshold_pct: int = 50,
+    append: bool = True,
+) -> DataFrame:
+    """``dedup_increment_against_index`` hardened for at-least-once
+    replays — the contract a streaming ``foreachBatch`` caller needs
+    (``streaming/dedup.dedup_stream_against_index``): after a crash
+    between "batch appended to the index" and "offsets committed",
+    the restarted query replays the SAME batch, whose docs are now
+    ON the index side — the plain increment would self-match every
+    doc into the dropped set. Here the index side anti-joins away
+    the batch's own doc_ids (broadcast — the batch is micro-batch
+    sized), restoring exactly the pre-append index: a replay is
+    bit-identical to the first run. The re-append then duplicates
+    the batch's index rows, which ``append_band_index`` documents as
+    result-neutral (candidates and the dropped set are distinct
+    downstream) — duplicate-tolerant re-append is REQUIRED here, not
+    just tolerated: skipping "already present" docs would break on a
+    crash that wrote ``docs/`` but not ``bands/``, leaving docs the
+    band join can never see. Single-writer assumption: batch N+1
+    only runs after batch N's offsets commit, so the exclusion never
+    races a sibling append."""
+    spark = new_shingled.sparkSession
+    idx_docs, idx_bands = read_band_index(spark, path)
+    new_ne, new_empty = _split_empty(new_shingled)
+    signed_new = minhash_signatures(
+        new_ne, num_perm, hash_mode="sha2"
+    ).localCheckpoint(eager=True)
+    batch_ids = signed_new.select("doc_id")
+    survivors = _increment_survivors(
+        signed_new,
+        idx_docs.select("doc_id", "set_size", "shingles").join(
+            F.broadcast(batch_ids), "doc_id", "left_anti"
+        ),
+        idx_bands.select("doc_id", "band", "slice").join(
+            F.broadcast(batch_ids), "doc_id", "left_anti"
+        ),
+        num_perm,
+        bands,
+        threshold_pct,
+    ).localCheckpoint(eager=True)
+    if append:
+        append_band_index(signed_new, path, num_perm, bands)
+    return survivors.unionByName(new_empty)
+
+
 def lsh_band_stats(
     signed: DataFrame,
     num_perm: int = MINHASH_PERMS,

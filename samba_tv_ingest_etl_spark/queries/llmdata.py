@@ -407,6 +407,68 @@ def q129_indexed_incremental_dedup(
     ).select("doc_id", F.col("set_size").cast("long").alias("set_size"))
 
 
+# ---------------------------------------------------------------- q132
+
+
+@query(
+    "q132_streaming_dedup_against_index",
+    oracle=_incremental_minhash_oracle(),
+)
+def q132_streaming_dedup_against_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q129 as a STREAM: the planted batch arrives as two staged
+    parquet files drained by one availableNow run
+    (maxFilesPerTrigger=1 → two micro-batches), each deduped against
+    the at-rest band index via the replay-safe foreachBatch handler
+    (streaming/dedup.DedupAgainstIndexBatch) and appended to it, so
+    batch 2 sees batch 1's docs — the continuous-arrival production
+    shape of the reference's incremental DAG (etl-dag.sql:33-46).
+    Shares q126/q129's oracle VERBATIM: by the multi-increment ≡
+    wholesale property (tests/test_dedup_incremental.py) the
+    survivor set is independent of how the batch is micro-batched,
+    so the DuckDB hash match proves the whole chain — persistence
+    round-trip, per-batch exclusion, exactly-once sink — end to end.
+    Survivor set_size is recomputed by re-shingling the sink output,
+    pinning the text round-trip too."""
+    import tempfile
+
+    from ..streaming.dedup import dedup_stream_against_index
+    from ..streaming.ingest import read_feed_stream
+
+    corpus = _prefix_corpus(spark, sf_dir)
+    sh = D.shingle_docs(corpus, ngram=_NGRAM)
+    idx_sh = sh.filter(F.col("doc_id") < _SPAN_OFFSET)
+    new = corpus.filter(F.col("doc_id") >= _SPAN_OFFSET)
+
+    tmp = tempfile.mkdtemp(prefix="q132_")
+    idx = f"{tmp}/band_index"
+    stage, out, ckpt = f"{tmp}/stage", f"{tmp}/out", f"{tmp}/ckpt"
+    D.write_band_index(idx_sh, idx)
+    # two stage files = two micro-batches (order irrelevant by the
+    # increments≡wholesale property; parity split exercises both the
+    # new-x-index and new-x-prior-batch candidate paths)
+    for par in (0, 1):
+        new.filter(F.col("doc_id") % 2 == par).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    q = dedup_stream_against_index(
+        read_feed_stream(
+            spark, stage, new.schema, max_files_per_trigger=1
+        ),
+        idx,
+        out,
+        ckpt,
+        ngram=_NGRAM,
+        threshold_pct=_JACCARD_PCT,
+    )
+    q.awaitTermination()
+    survived = spark.read.parquet(out).select("doc_id", "text")
+    return D.shingle_docs(survived, ngram=_NGRAM).select(
+        "doc_id", F.col("set_size").cast("long").alias("set_size")
+    )
+
+
 # ---------------------------------------------------------------- q108
 
 # hot-bucket cap for the capped LSH variant: bounds a band bucket's

@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dedup_stream", "windowed_counts"]
+__all__ = [
+    "dedup_stream",
+    "windowed_counts",
+    "DedupAgainstIndexBatch",
+    "dedup_stream_against_index",
+]
 
 
 def _event_time(df: DataFrame, ts_col: str) -> tuple[DataFrame, str]:
@@ -101,4 +106,118 @@ def windowed_counts(
             "n_events",
             *aggs.keys(),
         )
+    )
+
+
+class DedupAgainstIndexBatch:
+    """``foreachBatch`` handler: MinHash-dedup each micro-batch of
+    documents against the PERSISTED band index, append the batch to
+    the index, and write surviving rows exactly-once — the streaming
+    twin of the batch increment (``operators/dedup.
+    dedup_increment_against_index``), which is itself the
+    reference's watermark-driven touch-only-new-rows shape
+    (etl-dag.sql:33-46) applied to dedup.
+
+    Per batch: skip entirely if the output ledger already has
+    ``(app_id, batch_id)`` (a fully-committed replay); otherwise
+    shingle the batch, dedup it via the REPLAY-SAFE increment (the
+    index side excludes the batch's own ids, so a crash between
+    index append and output commit replays bit-identically —
+    ``dedup_increment_against_index_replay_safe``), append the batch
+    to the index (every seen doc, survivors AND dropped: the min-id
+    shadow rule), and write the surviving document rows through the
+    batch-id-partitioned exactly-once sink.
+
+    Scale: per-batch work is O(|batch|) signing + one band join
+    driven by the batch's band keys (the ``bands/`` side is
+    partition-pruned to those bands) + one column-pruned verify
+    probe of ``docs/`` — the index is never re-signed, so a
+    long-running stream's per-batch cost is flat in index size
+    (measured in SCALING_r10.md for the batch path this wraps).
+    State lives in the index files + the sink ledger, NOT the
+    streaming state store — restarts are free and the stream can be
+    driven by availableNow crons like the batch DAG."""
+
+    def __init__(
+        self,
+        index_path: str,
+        out_path: str,
+        app_id: str = "minhash-dedup",
+        ngram: int = 3,
+        num_perm: int | None = None,
+        bands: int | None = None,
+        threshold_pct: int = 50,
+    ):
+        from ..operators import dedup as D
+        from .sink import ExactlyOnceForeachBatch
+
+        self.index_path = index_path
+        self.ngram = ngram
+        self.num_perm = num_perm if num_perm is not None else D.MINHASH_PERMS
+        self.bands = bands if bands is not None else D.MINHASH_BANDS
+        self.threshold_pct = threshold_pct
+        self._sink = ExactlyOnceForeachBatch(out_path, app_id)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators import dedup as D
+
+        spark = batch_df.sparkSession
+        if self._sink.seen(spark, batch_id):
+            return  # durably committed: no re-dedup, no re-append
+        batch_df = batch_df.localCheckpoint(eager=True)
+        shingled = D.shingle_docs(
+            batch_df.select("doc_id", "text"), ngram=self.ngram
+        )
+        survivors = D.dedup_increment_against_index_replay_safe(
+            shingled,
+            self.index_path,
+            num_perm=self.num_perm,
+            bands=self.bands,
+            threshold_pct=self.threshold_pct,
+        )
+        # full surviving rows (all batch columns), not just ids — the
+        # sink output is the deduped feed downstream jobs read
+        self._sink(
+            batch_df.join(
+                F.broadcast(survivors.select("doc_id")),
+                "doc_id",
+                "left_semi",
+            ),
+            batch_id,
+        )
+
+
+def dedup_stream_against_index(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    app_id: str = "minhash-dedup",
+    ngram: int = 3,
+    num_perm: int | None = None,
+    bands: int | None = None,
+    threshold_pct: int = 50,
+):
+    """Start the streaming dedup: ``stream`` (doc_id, text, ...) →
+    ``DedupAgainstIndexBatch`` → exactly-once survivor feed at
+    ``out_path``, index growing at ``index_path``. AvailableNow
+    trigger — drain everything pending, then stop — so it runs from
+    the same cron entry point as the batch DAG (``ingest_once``'s
+    operating model); re-trigger with the same checkpoint to pick up
+    only new files. The index must exist (``write_band_index``,
+    possibly over an empty corpus) before the first batch."""
+    handler = DedupAgainstIndexBatch(
+        index_path,
+        out_path,
+        app_id=app_id,
+        ngram=ngram,
+        num_perm=num_perm,
+        bands=bands,
+        threshold_pct=threshold_pct,
+    )
+    return (
+        stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

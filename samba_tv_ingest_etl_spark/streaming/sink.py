@@ -64,6 +64,13 @@ class ExactlyOnceForeachBatch:
             + f"/_txn_app_id={self.app_id}/_batch_id={batch_id}"
         )
 
+    def seen(self, spark, batch_id: int) -> bool:
+        """True iff ``(app_id, batch_id)`` is durably committed —
+        public so composite handlers (e.g. streaming dedup against
+        the band index) can skip ALL their side effects on a
+        replayed batch, not just the final write."""
+        return self._seen(spark, batch_id)
+
     def _seen(self, spark, batch_id: int) -> bool:
         sc = spark.sparkContext
         jvm = sc._jvm

@@ -148,3 +148,117 @@ def test_dedup_stream_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+# ---------------------------------------------------------------
+# streaming MinHash dedup against the persisted band index
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_IDX_DOCS = [
+    (1, "a b c d e f g h"),
+    (2, "p q r s t u v w"),
+]
+_B1 = [
+    (101, "a b c d e f g h"),   # verbatim copy of index doc 1 -> drop
+    (102, "m n o k l j h g f"),  # unique -> survives
+]
+_B2 = [
+    (103, "m n o k l j h g f"),  # copy of batch-1 survivor -> drop
+    (104, "zz"),                 # < ngram tokens: empty set, survives
+    (105, "q w e r t y u i o"),  # unique -> survives
+]
+
+
+def _start_index(spark, tmp_path):
+    from samba_tv_ingest_etl_spark.operators import dedup as D
+
+    idx = str(tmp_path / "band_index")
+    D.write_band_index(
+        D.shingle_docs(
+            spark.createDataFrame(_IDX_DOCS, DOC_SCHEMA), ngram=3
+        ),
+        idx,
+    )
+    return idx
+
+
+def test_streaming_dedup_against_index(spark, tmp_path):
+    """Two micro-batches drained through the foreachBatch handler:
+    cross-index dups drop, cross-batch dups drop (the index grew
+    between drains), short docs survive unconditionally, and the
+    survivor feed carries full rows."""
+    from samba_tv_ingest_etl_spark.streaming.dedup import (
+        dedup_stream_against_index,
+    )
+
+    idx = _start_index(spark, tmp_path)
+    stage, out, ckpt = (
+        str(tmp_path / d) for d in ("stage", "out", "ckpt")
+    )
+
+    def drain():
+        q = dedup_stream_against_index(
+            read_feed_stream(spark, stage, DOC_SCHEMA),
+            idx,
+            out,
+            ckpt,
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(_B1, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    drain()
+    spark.createDataFrame(_B2, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    drain()
+
+    got = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in got.collect()) == [102, 104, 105]
+    # full rows, not just ids
+    texts = {r["doc_id"]: r["text"] for r in got.collect()}
+    assert texts[102] == "m n o k l j h g f"
+
+
+def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
+    """At-least-once hardening, both crash windows: (a) replay AFTER
+    output commit is skipped outright; (b) replay after the index
+    append but BEFORE output commit re-runs bit-identically — the
+    replay-safe increment excludes the batch's own ids from the
+    index side, so the already-appended batch cannot self-match."""
+    from samba_tv_ingest_etl_spark.operators import dedup as D
+    from samba_tv_ingest_etl_spark.streaming.dedup import (
+        DedupAgainstIndexBatch,
+    )
+
+    idx = _start_index(spark, tmp_path)
+    out = str(tmp_path / "out")
+    handler = DedupAgainstIndexBatch(idx, out)
+    batch = spark.createDataFrame(_B1, DOC_SCHEMA)
+
+    # (b) crash-window replay: increment ran (index appended), output
+    # never committed -> handler re-runs the full increment
+    sh = D.shingle_docs(batch, ngram=3)
+    first = sorted(
+        r["doc_id"]
+        for r in D.dedup_increment_against_index_replay_safe(
+            sh, idx
+        ).collect()
+    )
+    handler(batch, 0)  # replay: batch docs are already in the index
+    got = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in got.collect()) == first == [102]
+
+    # (a) committed replay: a second call with the same batch_id is a
+    # no-op — same rows, no duplicate output
+    handler(batch, 0)
+    again = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in again.collect()) == [102]
