@@ -1124,8 +1124,6 @@ def topk_ivf(
     through the broadcast centroid table (``_join_dist``). Nothing
     here re-codegens per run; the literal map-side ``ivf_assign``
     remains the partition-key writer for a persisted 100 TB index."""
-    from pyspark.sql import Window
-
     spark = corpus_q.sparkSession
     # no persist here: training manages (and releases) its own cache
     # inside kmeans_centroids; after it returns eagerly, the corpus is
@@ -1142,14 +1140,30 @@ def topk_ivf(
         )
     else:
         assigned = _assign_pandas(corpus_q, cents, keep=["q", "norm2"])
+    return _probe_topk(cdf, assigned, queries_q, k, nprobe)
+
+
+def _probe_topk(
+    cdf: DataFrame,
+    assigned: DataFrame,
+    queries_q: DataFrame,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """The IVF probe/score stage, shared by the inline path
+    (``topk_ivf``) and the at-rest path (``topk_ivf_indexed``) so the
+    two are bit-identical by construction: nprobe nearest centroids
+    per query through the broadcast centroid table (same (dist, id)
+    ordering as the assignment tie-break), candidates joined on the
+    cluster key, exact int64 dot + scaled cosine, row_number top-k."""
+    from pyspark.sql import Window
+
     c = assigned.select(
         F.col("vec_id").alias("cand_id"),
         F.col("q").alias("q_c"),
         F.col("norm2").alias("n_c"),
         "cluster",
     )
-    # nprobe nearest centroids per query: same (dist, id) ordering as
-    # the assignment tie-break
     pw = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("c"))
     qs = F.broadcast(
         queries_q.crossJoin(F.broadcast(cdf))
@@ -1180,6 +1194,157 @@ def topk_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cos_scaled")
+    )
+
+
+def write_ivf_index(
+    corpus_q: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    train_sample: tuple[int, int] | None = None,
+    route_width: int | None = None,
+    cents: dict[int, list[int]] | None = None,
+) -> dict[int, list[int]]:
+    """Materialize the IVF index AT REST — the ANN twin of
+    ``dedup.write_band_index``: train (or accept) the codebook ONCE,
+    assign the corpus ONCE, persist both, and every later probe
+    reads nprobe cluster partitions instead of re-training and
+    re-assigning the corpus per query batch (``topk_ivf``'s inline
+    shape, which at 100 TB is a full-corpus matmul pass per call).
+
+    Layout under ``path``::
+
+        centroids/  (c, cv, cn)                  — the codebook
+        vectors/    cluster=<c>/ (vec_id, q, norm2)
+
+    ``vectors/`` is hive-partitioned on the cluster ordinal, so a
+    probe's ``cluster IN (...)`` filter prunes to the probed
+    directories at the file-listing level — the "query touches
+    nprobe partitions" claim made physical. Pass ``cents`` to freeze
+    an existing codebook (the append/bootstrap path: assignment is
+    per-row given the codebook, so writing in parts ≡ writing whole —
+    pinned by ``tests/test_ivf_index.py``). Returns the codebook."""
+    from ..sources import writer
+
+    spark = corpus_q.sparkSession
+    if cents is None:
+        cents = kmeans_centroids(
+            corpus_q, k=n_centroids, iters=iters, dim=dim,
+            train_sample=train_sample,
+        )
+    writer.atomic_overwrite(
+        _centroid_df(spark, cents), path.rstrip("/") + "/centroids"
+    )
+    writer.atomic_overwrite(
+        _assign_with(corpus_q, cents, route_width),
+        path.rstrip("/") + "/vectors",
+        partition_by=["cluster"],
+    )
+    return cents
+
+
+def _assign_with(
+    corpus_q: DataFrame,
+    cents: dict[int, list[int]],
+    route_width: int | None,
+) -> DataFrame:
+    if route_width is not None:
+        return _assign_pandas_routed(
+            corpus_q, cents, coarse_route(cents), route_width,
+            keep=["q", "norm2"],
+        )
+    return _assign_pandas(corpus_q, cents, keep=["q", "norm2"])
+
+
+def append_ivf_index(
+    new_q: DataFrame,
+    path: str,
+    route_width: int | None = None,
+) -> None:
+    """Append new vectors to an at-rest IVF index under the FROZEN
+    codebook — the daily-increment shape (the reference's
+    touch-only-new-rows discipline, etl-dag.sql:33-46, applied to
+    the vector side): per-increment work is one assignment pass over
+    the batch, never a retrain or corpus re-assign. Assignment is a
+    pure per-row function of the codebook, so incremental appends
+    are bit-identical to having written the union at once. Retrain
+    (a fresh ``write_ivf_index``) remains a deliberate offline event
+    when drift degrades recall — the q125-style audit is the meter.
+    ``route_width`` must match the index's writer: routed assignment
+    is part of the index's (oracle-pinned) assignment function, not
+    a per-call tuning knob."""
+    from ..sources import writer
+
+    cents, _ = read_ivf_index(new_q.sparkSession, path)
+    writer.append(
+        _assign_with(new_q, cents, route_width),
+        path.rstrip("/") + "/vectors",
+        partition_by=["cluster"],
+    )
+
+
+def read_ivf_index(
+    spark, path: str
+) -> tuple[dict[int, list[int]], DataFrame]:
+    """(codebook dict, vectors frame) of an at-rest IVF index. The
+    codebook is a bounded collect by construction (one row per
+    centroid; k ∝ corpus/target with a 64-dim int64 vector each —
+    the same driver-size class as the broadcast it feeds). The
+    partition column comes back as its partition-inferred type, so
+    it is cast to the long the probe join expects."""
+    p = path.rstrip("/")
+    cents = {
+        int(r["c"]): [int(v) for v in r["cv"]]
+        for r in spark.read.parquet(p + "/centroids").collect()
+    }
+    vectors = spark.read.parquet(p + "/vectors").withColumn(
+        "cluster", F.col("cluster").cast("long")
+    )
+    return cents, vectors
+
+
+def topk_ivf_indexed(
+    spark,
+    path: str,
+    queries_q: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k against the PERSISTED index: read the codebook,
+    compute each query's nprobe nearest centroids, and scan ONLY
+    those cluster partitions (the probed-cluster set is collected —
+    bounded by |queries| * nprobe, and the query side is
+    broadcast-sized by the same contract the inline path already
+    assumes — and pushed down as a partition ``IN`` filter, so the
+    file listing itself prunes to the probed directories). Identical
+    output to ``topk_ivf`` given the same codebook — the probe/score
+    stage IS ``_probe_topk``, shared code, and the pre-filter only
+    removes clusters no query probes."""
+    cents, vectors = read_ivf_index(spark, path)
+    cdf = _centroid_df(spark, cents)
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("c"))
+    probed = [
+        r["c"]
+        for r in (
+            queries_q.crossJoin(F.broadcast(cdf))
+            .withColumn("d", _join_dist())
+            .withColumn("_pr", F.row_number().over(pw))
+            .filter(F.col("_pr") <= nprobe)
+            .select("c")
+            .distinct()
+            .collect()
+        )
+    ]
+    return _probe_topk(
+        cdf,
+        vectors.filter(F.col("cluster").isin(probed)),
+        queries_q,
+        k,
+        nprobe,
     )
 
 

@@ -1368,6 +1368,96 @@ def q32_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# ---------------------------------------------------------------- q133
+
+
+@query("q133_ivf_index_persisted", oracle=_ivf_oracle())
+def q133_ivf_index_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q32 through the PERSISTED IVF index (the q129 treatment on
+    the ANN side): codebook trained once and written at rest with
+    the cluster-partitioned corpus (similarity.write_ivf_index),
+    probe reads the codebook plus ONLY the probed cluster
+    partitions — the probed-cluster IN filter prunes directories at
+    the file listing, so per-probe cost is independent of corpus
+    size instead of q32's train+assign pass per call. Shares q32's
+    oracle VERBATIM: probe/score is the same shared stage, so the
+    DuckDB hash match proves the persistence round-trips codebook
+    and assignments exactly (tests/test_ivf_index.py pins
+    indexed≡inline, append≡wholesale, and the partition pruning)."""
+    import tempfile
+
+    from ..operators.similarity import (
+        derived_cluster_count,
+        topk_ivf_indexed,
+        write_ivf_index,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    q = _embeddings_q(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="q133_ivf_index_")
+    write_ivf_index(
+        q, path,
+        n_centroids=derived_cluster_count(n, _IVF_KMIN, _IVF_TARGET),
+        iters=_IVF_ITERS, dim=_DIM, train_sample=_IVF_SAMPLE,
+        route_width=_ROUTE_WIDTH,
+    )
+    out = topk_ivf_indexed(
+        spark, path, q.filter(F.col("vec_id") < 10),
+        k=10, nprobe=_IVF_NPROBE,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------- q134
+
+
+@query("q134_ivf_index_append", oracle=_ivf_oracle())
+def q134_ivf_index_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IVF daily-increment shape: index written from HALF the
+    corpus, the other half APPENDED under the frozen codebook
+    (similarity.append_ivf_index — one assignment pass over the
+    batch, no retrain, no corpus re-assign), then probed. The
+    codebook is trained on the full corpus's deterministic sample
+    exactly as q32 does, so assignment-per-row determinism makes the
+    parts-then-append index bit-identical to the wholesale one —
+    which is why this query can share q32's oracle verbatim, and the
+    hash match IS the proof the append path loses nothing."""
+    import tempfile
+
+    from ..operators.similarity import (
+        append_ivf_index,
+        derived_cluster_count,
+        kmeans_centroids,
+        topk_ivf_indexed,
+        write_ivf_index,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    q = _embeddings_q(spark, sf_dir)
+    cents = kmeans_centroids(
+        q, k=derived_cluster_count(n, _IVF_KMIN, _IVF_TARGET),
+        iters=_IVF_ITERS, dim=_DIM, train_sample=_IVF_SAMPLE,
+    )
+    path = tempfile.mkdtemp(prefix="q134_ivf_index_")
+    write_ivf_index(
+        q.filter(F.col("vec_id") % 2 == 0), path,
+        cents=cents, route_width=_ROUTE_WIDTH,
+    )
+    append_ivf_index(
+        q.filter(F.col("vec_id") % 2 == 1), path,
+        route_width=_ROUTE_WIDTH,
+    )
+    out = topk_ivf_indexed(
+        spark, path, q.filter(F.col("vec_id") < 10),
+        k=10, nprobe=_IVF_NPROBE,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ---------------------------------------------------------------- q76
 
 # SemDeDup wants MANY small clusters (bounded n_c -> bounded pair

@@ -1,0 +1,88 @@
+"""Persisted IVF index: the at-rest path must be bit-identical to
+the inline ``topk_ivf`` (same codebook, shared probe stage), appends
+under a frozen codebook must equal a wholesale write, and the probe
+must physically prune to the probed cluster partitions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from samba_tv_ingest_etl_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    return (
+        S.quantize(spark.read.parquet(SF_DIR + "/embeddings.parquet"))
+        .filter(F.col("norm2") > 0)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["cand_id"], r["rank"], r["cos_scaled"])
+        for r in df.collect()
+    )
+
+
+def test_indexed_probe_matches_inline(spark, tmp_path):
+    q = _corpus(spark)
+    probes = q.filter(F.col("vec_id") < 10)
+    inline = S.topk_ivf(
+        q, probes, k=10, n_centroids=8, iters=2, nprobe=2,
+        train_sample=(1, 4), route_width=4,
+    )
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(
+        q, path, n_centroids=8, iters=2,
+        train_sample=(1, 4), route_width=4,
+    )
+    indexed = S.topk_ivf_indexed(spark, path, probes, k=10, nprobe=2)
+    assert _rows(indexed) == _rows(inline)
+
+
+def test_append_equals_wholesale(spark, tmp_path):
+    """Assignment is per-row given the codebook, so write(part1) +
+    append(part2) must be bit-identical to write(whole) — the
+    increments≡wholesale property, ported from the dedup index."""
+    q = _corpus(spark)
+    probes = q.filter(F.col("vec_id") < 10)
+    cents = S.kmeans_centroids(q, k=8, iters=2, train_sample=(1, 4))
+
+    whole = str(tmp_path / "whole")
+    S.write_ivf_index(q, whole, cents=cents, route_width=4)
+
+    parts = str(tmp_path / "parts")
+    S.write_ivf_index(
+        q.filter(F.col("vec_id") % 2 == 0), parts,
+        cents=cents, route_width=4,
+    )
+    S.append_ivf_index(
+        q.filter(F.col("vec_id") % 2 == 1), parts, route_width=4
+    )
+
+    got = S.topk_ivf_indexed(spark, parts, probes, k=10, nprobe=2)
+    want = S.topk_ivf_indexed(spark, whole, probes, k=10, nprobe=2)
+    assert _rows(got) == _rows(want)
+
+
+def test_probe_prunes_partitions(spark, tmp_path):
+    """The probed-cluster IN filter must reach the scan as a
+    PARTITION filter (directory pruning), not a post-scan filter —
+    the physical form of 'a query touches nprobe partitions'."""
+    q = _corpus(spark)
+    probes = q.filter(F.col("vec_id") < 2)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(q, path, n_centroids=8, iters=2)
+    plan = (
+        S.topk_ivf_indexed(spark, path, probes, k=10, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*cluster", plan)
+    assert m, plan[:2000]
