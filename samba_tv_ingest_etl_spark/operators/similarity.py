@@ -1348,6 +1348,103 @@ def topk_ivf_indexed(
     )
 
 
+def semdedup_increment_against_index(
+    new_q: DataFrame,
+    path: str,
+    threshold_pct: int = 80,
+    route_width: int | None = None,
+    append: bool = True,
+) -> DataFrame:
+    """SemDeDup as a daily increment against the at-rest IVF index —
+    the third consumer of one persisted index (probe: ``topk_ivf_
+    indexed``; grow: ``append_ivf_index``; dedup: here), mirroring
+    ``dedup.dedup_increment_against_index`` on the embedding side. A
+    new vector is dropped when a near-duplicate (cosine >= τ, the
+    exact integer decision of ``cosine_pairs``) shares its cluster
+    and is either already indexed or a smaller-id batch member (the
+    min-id rule of the wholesale ``semdedup_drops``, with the index
+    playing the "older" side exactly as in the MinHash increment).
+    Returns surviving (``vec_id``, ``cluster``); with ``append``,
+    the WHOLE batch joins the index — survivors and dropped alike,
+    the shadow rule — so the next increment sees it.
+
+    Scale shape: per-increment work is one O(|batch|) assignment
+    pass under the frozen codebook, then the index is read ONLY for
+    the clusters the batch actually landed in (the collected cluster
+    set is bounded by |batch| and pushed down as a partition ``IN``
+    filter — directory-level pruning), with the batch broadcast into
+    that scan: candidate volume is Σ |batch_c| · width_c, never
+    corpus-sized, and nothing is retrained or re-assigned. Replay-
+    safe like the MinHash twin: the index side anti-joins away the
+    batch's own ids, so an at-least-once re-run after a crashed
+    append is bit-identical."""
+    from ..sources import writer
+
+    spark = new_q.sparkSession
+    cents, vectors = read_ivf_index(spark, path)
+    assigned = _assign_with(
+        new_q, cents, route_width
+    ).localCheckpoint(eager=True)
+    ids = assigned.select("vec_id")
+    clusters = [
+        r["cluster"]
+        for r in assigned.select("cluster").distinct().collect()
+    ]
+    dom_idx = (
+        vectors.filter(F.col("cluster").isin(clusters))
+        .join(F.broadcast(ids), "vec_id", "left_anti")
+        .select(
+            F.lit(-1).cast("long").alias("dom_id"),  # index side: any id dominates
+            F.col("q").alias("q_d"),
+            F.col("norm2").alias("n_d"),
+            "cluster",
+        )
+    )
+    dom_new = assigned.select(
+        F.col("vec_id").alias("dom_id"),
+        F.col("q").alias("q_d"),
+        F.col("norm2").alias("n_d"),
+        "cluster",
+    )
+    b = F.broadcast(
+        assigned.select("vec_id", "q", "norm2", "cluster")
+    )
+    pct2 = threshold_pct * threshold_pct
+
+    def _dropped(dom: DataFrame, need_lower_id: bool) -> DataFrame:
+        cand = dom.join(b, "cluster")
+        if need_lower_id:
+            cand = cand.filter(F.col("dom_id") < F.col("vec_id"))
+        return (
+            cand.withColumn("dot", _dot(F.col("q_d"), F.col("q")))
+            .filter(
+                (F.col("dot") > 0)
+                & (
+                    F.col("dot") * F.col("dot") * 10_000
+                    >= F.lit(pct2) * F.col("n_d") * F.col("norm2")
+                )
+            )
+            .select("vec_id")
+        )
+
+    dropped = (
+        _dropped(dom_idx, need_lower_id=False)
+        .unionByName(_dropped(dom_new, need_lower_id=True))
+        .distinct()
+    )
+    survivors = (
+        assigned.select("vec_id", "cluster")
+        .join(dropped, "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    if append:
+        writer.append(
+            assigned, path.rstrip("/") + "/vectors",
+            partition_by=["cluster"],
+        )
+    return survivors
+
+
 def topk_lsh(
     corpus_q: DataFrame,
     queries_q: DataFrame,

@@ -1548,6 +1548,88 @@ def q109_semdedup_split_prune(
     )
 
 
+# ---------------------------------------------------------------- q135
+
+# incremental SemDeDup batch split: every 5th vector is the "new"
+# batch, the rest is the standing indexed corpus
+_SEM_INCR_MOD = 5
+
+
+def _semdedup_incr_oracle() -> str:
+    """Same trained-and-routed assignment as q76 (``_ivf_assign_
+    parts`` with the SemDeDup k), consumed by the INCREMENT rule: a
+    new doc (vec_id % {_SEM_INCR_MOD} == 0) is dropped iff a
+    near-dup shares its cluster and is indexed (any id) or a
+    smaller-id batch member; survivors are the rest of the batch."""
+    parts = _ivf_assign_parts(kmin=_SEM_KMIN, target=_SEM_TARGET)
+    last = _IVF_ITERS
+    parts.append(f"""
+cand AS (
+  SELECT b.vec_id AS new_id, {_DOT_SQL} AS dot,
+         a.norm2 AS n_a, b.norm2 AS n_b
+  FROM m{last} a
+  JOIN m{last} b
+    ON a.c = b.c
+   AND b.vec_id % {_SEM_INCR_MOD} = 0
+   AND (a.vec_id % {_SEM_INCR_MOD} <> 0 OR a.vec_id < b.vec_id)
+),
+dropped AS (
+  SELECT DISTINCT new_id FROM cand
+  WHERE dot > 0
+    AND dot * dot * 10000 >= {_COS_PCT * _COS_PCT} * n_a * n_b
+)""")
+    return (
+        "WITH "
+        + ",".join(p.strip().rstrip(",") for p in parts)
+        + f"""
+SELECT vec_id, c AS cluster FROM m{last}
+WHERE vec_id % {_SEM_INCR_MOD} = 0
+  AND vec_id NOT IN (SELECT new_id FROM dropped)"""
+    )
+
+
+@query("q135_semdedup_increment", oracle=_semdedup_incr_oracle())
+def q135_semdedup_increment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SemDeDup against the persisted IVF index — the
+    third consumer of the q133/q134 index and the embedding-side
+    twin of q126/q129's incremental MinHash: the standing corpus is
+    clustered AT REST, and a daily batch is assigned under the
+    frozen codebook, compared only against its own clusters'
+    members (partition-pruned read + broadcast batch), and appended.
+    A batch doc survives unless a cosine-τ near-dup is indexed or a
+    smaller-id batch member shares its cluster
+    (similarity.semdedup_increment_against_index). The codebook is
+    trained on the full corpus's deterministic sample exactly as
+    q76, so the oracle reproduces assignments bit-for-bit and the
+    hash match pins the whole incremental chain."""
+    import tempfile
+
+    from ..operators.similarity import (
+        derived_cluster_count,
+        kmeans_centroids,
+        semdedup_increment_against_index,
+        write_ivf_index,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    q = _embeddings_q(spark, sf_dir)
+    cents = kmeans_centroids(
+        q, k=derived_cluster_count(n, _SEM_KMIN, _SEM_TARGET),
+        iters=_IVF_ITERS, dim=_DIM, train_sample=_IVF_SAMPLE,
+    )
+    path = tempfile.mkdtemp(prefix="q135_ivf_index_")
+    write_ivf_index(
+        q.filter(F.col("vec_id") % _SEM_INCR_MOD != 0), path,
+        cents=cents, route_width=_ROUTE_WIDTH,
+    )
+    return semdedup_increment_against_index(
+        q.filter(F.col("vec_id") % _SEM_INCR_MOD == 0), path,
+        threshold_pct=_COS_PCT, route_width=_ROUTE_WIDTH,
+    )
+
+
 # ---------------------------------------------------------------- q30
 
 @query(

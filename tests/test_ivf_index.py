@@ -86,3 +86,63 @@ def test_probe_prunes_partitions(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[[^\]]*cluster", plan)
     assert m, plan[:2000]
+
+
+def test_semdedup_increment_sequential_equals_union(spark, tmp_path):
+    """Two ordered increments (each appending) must equal one
+    increment of their union when the first batch's ids are lower —
+    the same increments≡wholesale shape the MinHash index pins."""
+    q = _corpus(spark)
+    cents = S.kmeans_centroids(q, k=8, iters=2, train_sample=(1, 4))
+    idx_side = q.filter(F.col("vec_id") % 3 == 0)
+    batch = q.filter(F.col("vec_id") % 3 != 0)
+    b1 = batch.filter(F.col("vec_id") < 100)
+    b2 = batch.filter(F.col("vec_id") >= 100)
+
+    seq = str(tmp_path / "seq")
+    S.write_ivf_index(idx_side, seq, cents=cents, route_width=4)
+    s1 = S.semdedup_increment_against_index(
+        b1, seq, threshold_pct=35, route_width=4
+    )
+    s2 = S.semdedup_increment_against_index(
+        b2, seq, threshold_pct=35, route_width=4
+    )
+    got = sorted(
+        r["vec_id"] for r in s1.unionByName(s2).collect()
+    )
+
+    uni = str(tmp_path / "uni")
+    S.write_ivf_index(idx_side, uni, cents=cents, route_width=4)
+    want = sorted(
+        r["vec_id"]
+        for r in S.semdedup_increment_against_index(
+            batch, uni, threshold_pct=35, route_width=4
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_semdedup_increment_replay_identical(spark, tmp_path):
+    """A replay after the append (crash window) must be
+    bit-identical: the index side excludes the batch's own ids."""
+    q = _corpus(spark)
+    cents = S.kmeans_centroids(q, k=8, iters=2, train_sample=(1, 4))
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(
+        q.filter(F.col("vec_id") % 3 == 0), path,
+        cents=cents, route_width=4,
+    )
+    batch = q.filter(F.col("vec_id") % 3 != 0)
+    first = sorted(
+        r["vec_id"]
+        for r in S.semdedup_increment_against_index(
+            batch, path, threshold_pct=35, route_width=4
+        ).collect()
+    )
+    replay = sorted(
+        r["vec_id"]
+        for r in S.semdedup_increment_against_index(
+            batch, path, threshold_pct=35, route_width=4
+        ).collect()
+    )
+    assert replay == first
