@@ -23,13 +23,13 @@ from samba_tv_ingest_etl_spark import queries as Q  # noqa: E402
 from samba_tv_ingest_etl_spark.session import get_spark  # noqa: E402
 
 # Headline set: flagship pipeline stages + the heaviest operators.
-# 25 queries as of round 9 (q124 containment survivorship / q125 ANN
-# recall audit / q126 incremental dedup / q127 eval span excision /
-# q128 composed curation pipeline joined; q121/q123 joined in r8,
-# q115/q117 in r6) —
+# 30 queries as of round 10 (q129 indexed incremental dedup / q130
+# banded ANN / q131 full curation pipeline / q133 persisted IVF
+# probe / q135 incremental SemDeDup joined; q124-q128 joined in r9,
+# q121/q123 in r8, q115/q117 in r6) —
 # round-over-round totals compare the first 16 (the r1-r5 set),
-# first 18 (r6-r7), or first 20 (r8); per-query history is directly
-# comparable throughout.
+# first 18 (r6-r7), first 20 (r8), or first 25 (r9); per-query
+# history is directly comparable throughout.
 HEADLINE = [
     "q13_session_ids",
     "q14_sessions",
@@ -56,6 +56,14 @@ HEADLINE = [
     "q126_incremental_minhash_dedup",
     "q127_eval_span_excision",
     "q128_curation_pipeline",
+    # r10 joiners — sf1->sf10 rows in SCALING_r10_queries.md BEFORE
+    # joining (q132/q134 measured there but stay out: streaming /
+    # append-variant)
+    "q129_indexed_incremental_dedup",
+    "q130_ann_topk_lsh_banded",
+    "q131_full_curation_pipeline",
+    "q133_ivf_index_persisted",
+    "q135_semdedup_increment",
 ]
 
 # a query's samples must agree within this max/min ratio (best 3 of

@@ -1216,14 +1216,23 @@ def write_ivf_index(
 
     Layout under ``path``::
 
-        centroids/  (c, cv, cn)                  — the codebook
-        vectors/    cluster=<c>/ (vec_id, q, norm2)
+        centroids/  (c, cv, cn)                        — the codebook
+        vectors/    cell=<g>/ (vec_id, q, norm2, cluster)
 
-    ``vectors/`` is hive-partitioned on the cluster ordinal, so a
-    probe's ``cluster IN (...)`` filter prunes to the probed
-    directories at the file-listing level — the "query touches
-    nprobe partitions" claim made physical. Pass ``cents`` to freeze
-    an existing codebook (the append/bootstrap path: assignment is
+    ``vectors/`` is hive-partitioned on the COARSE routing cell
+    (``coarse_route`` — ⌈√k⌉ cells), with the fine ``cluster`` id an
+    in-file column: a probe's ``cell IN (...)`` prunes directories at
+    the file-listing level and ``cluster IN (...)`` prunes inside
+    them. Partitioning on the fine cluster itself was measured
+    pathological (first cut, SCALING_r10): with k ∝ n the directory
+    count grows linearly (3,125 dirs of ~64 tiny files each at sf10 —
+    q133's first sweep measured 267 s, dominated by file listing and
+    open/close), while the two-level layout bounds directories at
+    O(√k) and compacts each cell to ~one file (the pre-write
+    ``repartition("cell")``). The cluster→cell map is a pure function
+    of the codebook (``coarse_route`` is deterministic), so it is
+    recomputed on read, never stored. Pass ``cents`` to freeze an
+    existing codebook (the append/bootstrap path: assignment is
     per-row given the codebook, so writing in parts ≡ writing whole —
     pinned by ``tests/test_ivf_index.py``). Returns the codebook."""
     from ..sources import writer
@@ -1238,9 +1247,10 @@ def write_ivf_index(
         _centroid_df(spark, cents), path.rstrip("/") + "/centroids"
     )
     writer.atomic_overwrite(
-        _assign_with(corpus_q, cents, route_width),
+        _with_cell(_assign_with(corpus_q, cents, route_width), cents)
+        .repartition("cell"),
         path.rstrip("/") + "/vectors",
-        partition_by=["cluster"],
+        partition_by=["cell"],
     )
     return cents
 
@@ -1256,6 +1266,21 @@ def _assign_with(
             keep=["q", "norm2"],
         )
     return _assign_pandas(corpus_q, cents, keep=["q", "norm2"])
+
+
+def _with_cell(
+    assigned: DataFrame, cents: dict[int, list[int]]
+) -> DataFrame:
+    """Attach the coarse partition cell (``coarse_route``'s
+    cluster→cell map) via a broadcast join on the tiny mapping table
+    — a literal CASE/map over k entries would re-codegen per build
+    and blow up Janino at derived k."""
+    _, cell_of = coarse_route(cents)
+    spark = assigned.sparkSession
+    m = spark.createDataFrame(
+        sorted(cell_of.items()), "cluster long, cell long"
+    )
+    return assigned.join(F.broadcast(m), "cluster")
 
 
 def append_ivf_index(
@@ -1279,9 +1304,10 @@ def append_ivf_index(
 
     cents, _ = read_ivf_index(new_q.sparkSession, path)
     writer.append(
-        _assign_with(new_q, cents, route_width),
+        _with_cell(_assign_with(new_q, cents, route_width), cents)
+        .repartition("cell"),
         path.rstrip("/") + "/vectors",
-        partition_by=["cluster"],
+        partition_by=["cell"],
     )
 
 
@@ -1291,16 +1317,16 @@ def read_ivf_index(
     """(codebook dict, vectors frame) of an at-rest IVF index. The
     codebook is a bounded collect by construction (one row per
     centroid; k ∝ corpus/target with a 64-dim int64 vector each —
-    the same driver-size class as the broadcast it feeds). The
+    the same driver-size class as the broadcast it feeds). The cell
     partition column comes back as its partition-inferred type, so
-    it is cast to the long the probe join expects."""
+    it is cast to the long the probe filters expect."""
     p = path.rstrip("/")
     cents = {
         int(r["c"]): [int(v) for v in r["cv"]]
         for r in spark.read.parquet(p + "/centroids").collect()
     }
     vectors = spark.read.parquet(p + "/vectors").withColumn(
-        "cluster", F.col("cluster").cast("long")
+        "cell", F.col("cell").cast("long")
     )
     return cents, vectors
 
@@ -1313,15 +1339,16 @@ def topk_ivf_indexed(
     nprobe: int = 2,
 ) -> DataFrame:
     """IVF top-k against the PERSISTED index: read the codebook,
-    compute each query's nprobe nearest centroids, and scan ONLY
-    those cluster partitions (the probed-cluster set is collected —
-    bounded by |queries| * nprobe, and the query side is
-    broadcast-sized by the same contract the inline path already
-    assumes — and pushed down as a partition ``IN`` filter, so the
-    file listing itself prunes to the probed directories). Identical
+    compute each query's nprobe nearest centroids, and scan ONLY the
+    probed data (the probed-cluster set is collected — bounded by
+    |queries| * nprobe, and the query side is broadcast-sized by the
+    same contract the inline path already assumes — then pushed down
+    twice: the clusters' COARSE CELLS as a partition ``IN`` filter,
+    so the file listing prunes to the probed directories, and the
+    cluster ids as an in-file filter over those cells). Identical
     output to ``topk_ivf`` given the same codebook — the probe/score
-    stage IS ``_probe_topk``, shared code, and the pre-filter only
-    removes clusters no query probes."""
+    stage IS ``_probe_topk``, shared code, and the pre-filters only
+    remove data no query probes."""
     cents, vectors = read_ivf_index(spark, path)
     cdf = _centroid_df(spark, cents)
     from pyspark.sql import Window
@@ -1339,9 +1366,13 @@ def topk_ivf_indexed(
             .collect()
         )
     ]
+    _, cell_of = coarse_route(cents)
+    cells = sorted({cell_of[c] for c in probed})
     return _probe_topk(
         cdf,
-        vectors.filter(F.col("cluster").isin(probed)),
+        vectors.filter(
+            F.col("cell").isin(cells) & F.col("cluster").isin(probed)
+        ),
         queries_q,
         k,
         nprobe,
@@ -1390,8 +1421,12 @@ def semdedup_increment_against_index(
         r["cluster"]
         for r in assigned.select("cluster").distinct().collect()
     ]
+    _, cell_of = coarse_route(cents)
+    cells = sorted({cell_of[c] for c in clusters})
     dom_idx = (
-        vectors.filter(F.col("cluster").isin(clusters))
+        vectors.filter(
+            F.col("cell").isin(cells) & F.col("cluster").isin(clusters)
+        )
         .join(F.broadcast(ids), "vec_id", "left_anti")
         .select(
             F.lit(-1).cast("long").alias("dom_id"),  # index side: any id dominates
@@ -1439,8 +1474,9 @@ def semdedup_increment_against_index(
     )
     if append:
         writer.append(
-            assigned, path.rstrip("/") + "/vectors",
-            partition_by=["cluster"],
+            _with_cell(assigned, cents).repartition("cell"),
+            path.rstrip("/") + "/vectors",
+            partition_by=["cell"],
         )
     return survivors
 

@@ -69,9 +69,12 @@ def test_append_equals_wholesale(spark, tmp_path):
 
 
 def test_probe_prunes_partitions(spark, tmp_path):
-    """The probed-cluster IN filter must reach the scan as a
-    PARTITION filter (directory pruning), not a post-scan filter —
-    the physical form of 'a query touches nprobe partitions'."""
+    """The probed clusters' coarse cells must reach the scan as a
+    PARTITION filter (directory pruning) with the cluster ids pushed
+    as an in-file data filter — the physical form of 'a query
+    touches nprobe partitions' under the two-level layout (the flat
+    cluster-partitioned first cut measured pathological at derived
+    k: 3,125 directories of tiny files at sf10, SCALING_r10)."""
     q = _corpus(spark)
     probes = q.filter(F.col("vec_id") < 2)
     path = str(tmp_path / "ivf")
@@ -84,8 +87,10 @@ def test_probe_prunes_partitions(spark, tmp_path):
     )
     import re
 
-    m = re.search(r"PartitionFilters: \[[^\]]*cluster", plan)
-    assert m, plan[:2000]
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan[:2000]
+    assert re.search(r"PushedFilters: \[[^\]]*[Ii]n\(cluster", plan), (
+        plan[:2000]
+    )
 
 
 def test_semdedup_increment_sequential_equals_union(spark, tmp_path):
