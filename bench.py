@@ -2,9 +2,12 @@
 """Benchmark harness (driver contract).
 
 Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+result JSON twice: a verbose line (timings + spreads + loadavg
+context) followed by a COMPACT final line {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...} — the
+driver captures only the tail of stdout, so the last line must fit
+its 2,000-char window (BENCH_r10 post-mortem).
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect, no result materialization cost).
@@ -186,7 +189,31 @@ def main() -> None:
         "spread": spreads,
         "noisy": sorted(noisy),
     }
+    # Two output lines, verbose then COMPACT-LAST: the driver records
+    # only the tail of stdout (2,000 chars — BENCH_r10 post-mortem:
+    # the single verbose line with 30 queries + spreads overflowed it
+    # and the committed artifact parsed as null). The verbose line
+    # (spreads, loadavg context) comes first for humans and local
+    # artifacts; the LAST line carries everything round-over-round
+    # tooling compares, minified, with a loud warning if it ever
+    # approaches the capture window.
     print(json.dumps(out))
+    compact = {
+        k: out[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf", "contended",
+            "noisy",
+        )
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:
+        print(
+            f"WARNING: compact bench line is {len(line)} chars — "
+            "nearing the driver's 2,000-char stdout tail; trim the "
+            "HEADLINE or shorten query names",
+            file=sys.stderr,
+        )
+    print(line)
 
 
 if __name__ == "__main__":
