@@ -89,6 +89,15 @@ def contamination(
     regex tokenizer into the gram lambda (O(L²) per doc, the trap
     ``shingle_docs`` documents; re-measured here: the corpus-side
     shingle pass at sf10 dropped ~70 s -> seconds).
+
+    NOT fully lazy: the eval-side budget check runs Spark jobs at
+    CALL time (``_checked_eval_grams`` — one eager localCheckpoint
+    of the exploded eval grams + one count), so the budget violation
+    raises here, before any action on the returned frame (pinned by
+    ``tests/test_contamination.py``), and the checkpointed eval
+    blocks stay pinned in executor storage for the session. The
+    CORPUS side stays lazy — eval sets are benchmark-sized by the
+    enforced contract, so the eager cost is bounded and tiny.
     """
     from .dedup import shingle_docs
 
@@ -221,7 +230,12 @@ def fuzzy_contamination(
     "Tiny eval gram set" is enforced, not assumed:
     ``_checked_eval_grams`` raises past ``max_eval_grams`` exploded
     rows, so a corpus-proportional eval split fails loudly instead
-    of planning an unbounded broadcast chain."""
+    of planning an unbounded broadcast chain. As with
+    ``contamination``, that check makes the call EAGER on the eval
+    side: the exploded eval grams are localCheckpointed and counted
+    at call time (raising before any action on the result), and the
+    checkpointed blocks stay pinned in executor storage for the
+    session — bounded by the same budget that gates them."""
     from .dedup import shingle_docs
 
     dx = shingle_docs(docs, ngram=ngram).select(

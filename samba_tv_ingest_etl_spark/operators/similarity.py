@@ -1299,7 +1299,17 @@ def append_ivf_index(
     when drift degrades recall — the q125-style audit is the meter.
     ``route_width`` must match the index's writer: routed assignment
     is part of the index's (oracle-pinned) assignment function, not
-    a per-call tuning knob."""
+    a per-call tuning knob.
+
+    Replay semantics: a RETRIED append (crash before the caller's
+    offset/ledger commit) duplicates the batch's rows in
+    ``vectors/``. Consumers are hardened individually — the probe
+    (``topk_ivf_indexed``) dedupes its pruned candidates by
+    ``vec_id``, the increment (``semdedup_increment_against_index``)
+    is duplicate-neutral by distinct + anti-join — so duplicate
+    appends are result-neutral for every shipped reader, matching
+    the band index's contract. A consumer added later must either
+    dedupe by ``vec_id`` or tolerate duplicates."""
     from ..sources import writer
 
     cents, _ = read_ivf_index(new_q.sparkSession, path)
@@ -1311,24 +1321,83 @@ def append_ivf_index(
     )
 
 
+# Driver-memory contract for the codebook collect: one row per
+# centroid at ~0.5 KB each (64-dim int64 + ids) -> 1M rows ~ 0.5 GiB
+# on the driver, the same ceiling class as MAX_TRAIN_ROWS. k derives
+# from corpus size (k = n / target), so at true fleet scale (n ~ 1e11
+# -> k ~ 1e9) a FLAT codebook stops being driver-material at all —
+# the successor is a hierarchical codebook (the coarse_route cells as
+# a persisted first level, per-cell sub-codebooks read on demand),
+# which keeps every driver pull O(√k). Until that exists, the guard
+# raises loudly instead of letting the collect OOM the driver.
+MAX_CODEBOOK_ROWS = 1_000_000
+
+
 def read_ivf_index(
     spark, path: str
 ) -> tuple[dict[int, list[int]], DataFrame]:
     """(codebook dict, vectors frame) of an at-rest IVF index. The
     codebook is a bounded collect by construction (one row per
     centroid; k ∝ corpus/target with a 64-dim int64 vector each —
-    the same driver-size class as the broadcast it feeds). The cell
-    partition column comes back as its partition-inferred type, so
-    it is cast to the long the probe filters expect."""
+    the same driver-size class as the broadcast it feeds), and the
+    bound is ENFORCED: past ``MAX_CODEBOOK_ROWS`` the read raises
+    (counted BEFORE collecting — the guard must not itself pull the
+    oversized codebook) and names the hierarchical-codebook
+    successor. The cell partition column comes back as its
+    partition-inferred type, so it is cast to the long the probe
+    filters expect."""
     p = path.rstrip("/")
+    cdf = spark.read.parquet(p + "/centroids")
+    n_cents = cdf.count()
+    if n_cents > MAX_CODEBOOK_ROWS:
+        raise ValueError(
+            f"IVF codebook at {p} has {n_cents:,} centroids, over "
+            f"MAX_CODEBOOK_ROWS={MAX_CODEBOOK_ROWS:,} (~0.5 GiB of "
+            "driver memory): a flat codebook this large must become "
+            "hierarchical — persist the coarse cells as a first "
+            "level and read per-cell sub-codebooks on demand — or "
+            "retrain with a larger per-cluster target."
+        )
     cents = {
-        int(r["c"]): [int(v) for v in r["cv"]]
-        for r in spark.read.parquet(p + "/centroids").collect()
+        int(r["c"]): [int(v) for v in r["cv"]] for r in cdf.collect()
     }
     vectors = spark.read.parquet(p + "/vectors").withColumn(
         "cell", F.col("cell").cast("long")
     )
     return cents, vectors
+
+
+# Max literal count for a codegen'd ``cluster IN (...)`` predicate:
+# the probed/batch cluster set is usually tiny (|queries|·nprobe, or
+# the batch's distinct clusters), but a wide-spread batch at fleet k
+# could put O(k) literals into one generated predicate — the Janino
+# blowup class ``_with_cell`` already avoids with a broadcast join.
+ISIN_LITERAL_CAP = 256
+
+
+def _prune_to_clusters(
+    vectors: DataFrame,
+    cells: list[int],
+    clusters: list[int],
+    isin_cap: int = ISIN_LITERAL_CAP,
+) -> DataFrame:
+    """Prune the at-rest ``vectors`` frame to a probed (cell,
+    cluster) set. The COARSE cell filter is always a literal ``IN`` —
+    bounded O(√k) by the layout, and it must stay a literal because
+    partition pruning at the file listing only sees foldable
+    predicates. The FINE cluster filter is a literal ``IN`` up to
+    ``isin_cap`` ids and a broadcast LEFT SEMI join on a tiny
+    cluster-id frame past it: same rows (both are exact membership
+    tests), but the semi-join keeps a wide cluster set out of the
+    generated predicate. Only the in-file test changes shape — the
+    directory-level pruning is the cell filter's job either way."""
+    pruned = vectors.filter(F.col("cell").isin(cells))
+    if len(clusters) <= isin_cap:
+        return pruned.filter(F.col("cluster").isin(clusters))
+    cdf = vectors.sparkSession.createDataFrame(
+        [(int(c),) for c in sorted(set(clusters))], "cluster long"
+    )
+    return pruned.join(F.broadcast(cdf), "cluster", "left_semi")
 
 
 def topk_ivf_indexed(
@@ -1368,10 +1437,20 @@ def topk_ivf_indexed(
     ]
     _, cell_of = coarse_route(cents)
     cells = sorted({cell_of[c] for c in probed})
+    # dropDuplicates(vec_id): a REPLAYED append (retry after a crash
+    # between append and its caller's offset/ledger commit) leaves
+    # bit-identical duplicate rows in vectors/ — result-neutral for
+    # the increment consumer (distinct + anti-join by id) but NOT for
+    # ranking: a duplicated vector would take two row_number ranks
+    # and displace a genuine neighbor (r10 advice). The dedup runs on
+    # the PRUNED candidate set (bounded by the probed clusters'
+    # width), never the full index, and rows sharing a vec_id are
+    # identical by the per-row assignment determinism, so any
+    # representative is exact.
     return _probe_topk(
         cdf,
-        vectors.filter(
-            F.col("cell").isin(cells) & F.col("cluster").isin(probed)
+        _prune_to_clusters(vectors, cells, probed).dropDuplicates(
+            ["vec_id"]
         ),
         queries_q,
         k,
@@ -1424,9 +1503,7 @@ def semdedup_increment_against_index(
     _, cell_of = coarse_route(cents)
     cells = sorted({cell_of[c] for c in clusters})
     dom_idx = (
-        vectors.filter(
-            F.col("cell").isin(cells) & F.col("cluster").isin(clusters)
-        )
+        _prune_to_clusters(vectors, cells, clusters)
         .join(F.broadcast(ids), "vec_id", "left_anti")
         .select(
             F.lit(-1).cast("long").alias("dom_id"),  # index side: any id dominates

@@ -424,13 +424,21 @@ def q132_streaming_dedup_against_index(
     (streaming/dedup.DedupAgainstIndexBatch) and appended to it, so
     batch 2 sees batch 1's docs — the continuous-arrival production
     shape of the reference's incremental DAG (etl-dag.sql:33-46).
-    Shares q126/q129's oracle VERBATIM: by the multi-increment ≡
-    wholesale property (tests/test_dedup_incremental.py) the
-    survivor set is independent of how the batch is micro-batched,
-    so the DuckDB hash match proves the whole chain — persistence
-    round-trip, per-batch exclusion, exactly-once sink — end to end.
-    Survivor set_size is recomputed by re-shingling the sink output,
-    pinning the text round-trip too."""
+    Shares q126/q129's oracle VERBATIM — but NOT unconditionally:
+    the increments ≡ wholesale property needs the split to be
+    ID-MONOTONE and processed ascending (the index side dominates at
+    ANY id, so a high-id doc processed before its low-id near-dup
+    would survive and then shadow it — the wholesale min-id rule
+    inverted). Hence the batch splits at its median id, with BOTH
+    halves non-empty (the r10 parity split was degenerate: every
+    planted id is even, so its odd file was empty and the
+    new-x-prior-batch path never ran), and the LOW half is staged
+    first — the file source orders micro-batches by file timestamp,
+    which sequential writes make the write order. Under that
+    discipline the DuckDB hash match proves the whole chain —
+    persistence round-trip, per-batch exclusion, exactly-once sink —
+    end to end. Survivor set_size is recomputed by re-shingling the
+    sink output, pinning the text round-trip too."""
     import tempfile
 
     from ..streaming.dedup import dedup_stream_against_index
@@ -445,13 +453,15 @@ def q132_streaming_dedup_against_index(
     idx = f"{tmp}/band_index"
     stage, out, ckpt = f"{tmp}/stage", f"{tmp}/out", f"{tmp}/ckpt"
     D.write_band_index(idx_sh, idx)
-    # two stage files = two micro-batches (order irrelevant by the
-    # increments≡wholesale property; parity split exercises both the
-    # new-x-index and new-x-prior-batch candidate paths)
-    for par in (0, 1):
-        new.filter(F.col("doc_id") % 2 == par).coalesce(1).write.mode(
-            "append"
-        ).parquet(stage)
+    # two stage files = two micro-batches. The split is ID-MONOTONE
+    # at the batch's median id (exact quantile — a bounded scalar
+    # pull) and the low half is written FIRST: see the docstring for
+    # why both are load-bearing. Both halves are non-empty whenever
+    # the batch has >= 2 distinct ids, so the new-x-prior-batch
+    # candidate path genuinely runs.
+    mid = new.approxQuantile("doc_id", [0.5], 0.0)[0]
+    for pred in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+        new.filter(pred).coalesce(1).write.mode("append").parquet(stage)
     q = dedup_stream_against_index(
         read_feed_stream(
             spark, stage, new.schema, max_files_per_trigger=1

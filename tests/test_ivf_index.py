@@ -127,6 +127,81 @@ def test_semdedup_increment_sequential_equals_union(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_probe_neutral_to_replayed_append(spark, tmp_path):
+    """A RETRIED append (crash before the caller's ledger commit)
+    leaves bit-identical duplicate rows in vectors/; the probe must
+    rank as if the append ran once — without the candidate-side
+    dropDuplicates(vec_id) a duplicated vector takes two row_number
+    ranks and displaces a genuine neighbor (r10 advice)."""
+    q = _corpus(spark)
+    probes = q.filter(F.col("vec_id") < 10)
+    cents = S.kmeans_centroids(q, k=8, iters=2, train_sample=(1, 4))
+    once = str(tmp_path / "once")
+    S.write_ivf_index(
+        q.filter(F.col("vec_id") % 2 == 0), once,
+        cents=cents, route_width=4,
+    )
+    batch = q.filter(F.col("vec_id") % 2 == 1)
+    S.append_ivf_index(batch, once, route_width=4)
+    want = _rows(S.topk_ivf_indexed(spark, once, probes, k=10, nprobe=2))
+
+    twice = str(tmp_path / "twice")
+    S.write_ivf_index(
+        q.filter(F.col("vec_id") % 2 == 0), twice,
+        cents=cents, route_width=4,
+    )
+    S.append_ivf_index(batch, twice, route_width=4)
+    S.append_ivf_index(batch, twice, route_width=4)  # the replay
+    got = _rows(S.topk_ivf_indexed(spark, twice, probes, k=10, nprobe=2))
+    assert got == want
+
+
+def test_prune_to_clusters_semi_join_equals_literals(spark, tmp_path):
+    """Past ISIN_LITERAL_CAP the in-file cluster test switches from a
+    literal IN to a broadcast semi-join; both are exact membership
+    tests, so a deliberately wide cluster spread (cap forced to 1)
+    must return identical rows AND keep the cell partition filter."""
+    q = _corpus(spark)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(q, path, n_centroids=8, iters=2)
+    _, vectors = S.read_ivf_index(spark, path)
+    clusters = sorted(
+        r["cluster"]
+        for r in vectors.select("cluster").distinct().collect()
+    )
+    cells = sorted(
+        r["cell"] for r in vectors.select("cell").distinct().collect()
+    )
+    lit = S._prune_to_clusters(
+        vectors, cells, clusters, isin_cap=len(clusters)
+    )
+    semi = S._prune_to_clusters(vectors, cells, clusters, isin_cap=1)
+    key = lambda r: (r["vec_id"], r["cluster"])  # noqa: E731
+    assert sorted(map(key, semi.collect())) == sorted(
+        map(key, lit.collect())
+    )
+    plan = semi._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan[:2000]
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+
+
+def test_codebook_guard_raises(spark, tmp_path, monkeypatch):
+    """read_ivf_index must refuse a codebook past MAX_CODEBOOK_ROWS
+    loudly (counted before collecting), naming the hierarchical
+    successor — the MAX_TRAIN_ROWS pattern applied to the driver
+    pull that grows with derived k."""
+    import pytest
+
+    q = _corpus(spark)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(q, path, n_centroids=8, iters=2)
+    monkeypatch.setattr(S, "MAX_CODEBOOK_ROWS", 7)
+    with pytest.raises(ValueError, match="hierarchical"):
+        S.read_ivf_index(spark, path)
+
+
 def test_semdedup_increment_replay_identical(spark, tmp_path):
     """A replay after the append (crash window) must be
     bit-identical: the index side excludes the batch's own ids."""
