@@ -1134,6 +1134,48 @@ def q130_ann_topk_lsh_banded(
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# ---------------------------------------------------------------- q136
+
+
+@query("q136_ann_banded_index_persisted", oracle=_lsh_banded_oracle())
+def q136_ann_banded_index_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q130 through the PERSISTED vector-grain band index — the last
+    inline dedup/ANN surface moved to rest (r10 verdict #1): the
+    corpus's hyperplane signatures are computed ONCE and written
+    band-partitioned, key-sorted
+    (similarity.write_vector_band_index — docs/ + bands/), and the
+    probe signs only the query batch, prunes bands/ by the probe's
+    key literals (row-group stats over the sorted files), fetches
+    payloads via one streamed column-pruned probe of docs/, and
+    ranks — never an O(corpus) signing pass per call. Shares q130's
+    oracle VERBATIM: hyperplane bits are per-row deterministic, so
+    the at-rest path must produce byte-identical top-k, and the
+    DuckDB hash match proves the persistence round-trips signatures,
+    band keys, and payloads exactly
+    (tests/test_vector_band_index.py pins indexed≡inline,
+    append≡wholesale, and duplicate-append probe neutrality)."""
+    import tempfile
+
+    from ..operators.similarity import (
+        topk_lsh_banded_indexed,
+        write_vector_band_index,
+    )
+
+    q = _embeddings_q(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="q136_band_index_")
+    write_vector_band_index(
+        q, path, planes=_LSH_TOPK_PLANES, bands=_LSH_TOPK_BANDS,
+        dim=_DIM,
+    )
+    out = topk_lsh_banded_indexed(
+        spark, path, q.filter(F.col("vec_id") < 10), k=10,
+        planes=_LSH_TOPK_PLANES, bands=_LSH_TOPK_BANDS, dim=_DIM,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # Cluster counts DERIVE from corpus size (operators.similarity
 # .derived_cluster_count): k = max(kmin, ceil(n / target)), keeping
 # mean cluster membership <= target at any scale — a fixed k would

@@ -1,0 +1,116 @@
+"""Persisted vector-grain LSH band index (banded ANN at rest): the
+at-rest probe must be bit-identical to the inline
+``topk_lsh_banded`` (per-row deterministic signatures), appends must
+equal a wholesale write, a duplicate (replayed) append must be
+result-neutral for the probe, and the bands/ scan must carry the
+probe's key literals as pushed filters over the band-partitioned,
+key-sorted layout."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+from samba_tv_ingest_etl_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    return (
+        S.quantize(spark.read.parquet(SF_DIR + "/embeddings.parquet"))
+        .filter(F.col("norm2") > 0)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["cand_id"], r["rank"], r["cos_scaled"])
+        for r in df.collect()
+    )
+
+
+def test_indexed_probe_matches_inline(spark, tmp_path):
+    q = _corpus(spark)
+    probes = q.filter(F.col("vec_id") < 10)
+    inline = S.topk_lsh_banded(q, probes, k=10)
+    path = str(tmp_path / "vband")
+    S.write_vector_band_index(q, path)
+    indexed = S.topk_lsh_banded_indexed(spark, path, probes, k=10)
+    got = _rows(indexed)
+    assert got == _rows(inline) and len(got) > 0
+
+
+def test_append_equals_wholesale(spark, tmp_path):
+    """Hyperplane bits are a pure per-row function of the plane
+    seed, so write(part1) + append(part2) must be bit-identical to
+    write(whole) — the increments≡wholesale property, ported from
+    the MinHash/IVF indexes."""
+    q = _corpus(spark)
+    probes = q.filter(F.col("vec_id") < 10)
+    whole = str(tmp_path / "whole")
+    S.write_vector_band_index(q, whole)
+    parts = str(tmp_path / "parts")
+    S.write_vector_band_index(q.filter(F.col("vec_id") % 2 == 0), parts)
+    S.append_vector_band_index(q.filter(F.col("vec_id") % 2 == 1), parts)
+    got = S.topk_lsh_banded_indexed(spark, parts, probes, k=10)
+    want = S.topk_lsh_banded_indexed(spark, whole, probes, k=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_probe_neutral_to_replayed_append(spark, tmp_path):
+    """A retried append duplicates rows in both docs/ and bands/;
+    the probe's distinct-candidates + max(cos)-per-pair collapse
+    must rank as if the append ran once."""
+    q = _corpus(spark)
+    probes = q.filter(F.col("vec_id") < 10)
+    once = str(tmp_path / "once")
+    batch = q.filter(F.col("vec_id") % 2 == 1)
+    S.write_vector_band_index(q.filter(F.col("vec_id") % 2 == 0), once)
+    S.append_vector_band_index(batch, once)
+    want = _rows(S.topk_lsh_banded_indexed(spark, once, probes, k=10))
+
+    twice = str(tmp_path / "twice")
+    S.write_vector_band_index(q.filter(F.col("vec_id") % 2 == 0), twice)
+    S.append_vector_band_index(batch, twice)
+    S.append_vector_band_index(batch, twice)  # the replay
+    got = _rows(S.topk_lsh_banded_indexed(spark, twice, probes, k=10))
+    assert got == want
+
+
+def test_probe_pushes_key_literals(spark, tmp_path):
+    """The probe's collected key set must reach the bands/ scan as a
+    pushed data filter — with the per-band files key-sorted, that is
+    what turns the scan into row-group-pruned bucket reads instead
+    of a full pass."""
+    q = _corpus(spark)
+    probes = q.filter(F.col("vec_id") < 2)
+    path = str(tmp_path / "vband")
+    S.write_vector_band_index(q, path)
+    plan = (
+        S.topk_lsh_banded_indexed(spark, path, probes, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*[Ii]n\(key", plan), (
+        plan[:2000]
+    )
+
+
+def test_rebandable_without_resign(spark, tmp_path):
+    """docs/ persists the full bucket signature, so a re-band to a
+    different band count needs no re-sign: banding the persisted
+    bucket must equal signing fresh and banding at the new count."""
+    q = _corpus(spark)
+    path = str(tmp_path / "vband")
+    S.write_vector_band_index(q, path, planes=48, bands=16)
+    docs, _ = S.read_vector_band_index(spark, path)
+    rebanded = S._vector_bands(docs, planes=48, bands=8)
+    fresh = S._vector_bands(S.lsh_buckets(q, 48, 64), planes=48, bands=8)
+    key = lambda r: (r["vec_id"], r["band"], r["key"])  # noqa: E731
+    assert sorted(map(key, rebanded.collect())) == sorted(
+        map(key, fresh.collect())
+    )
