@@ -1495,15 +1495,43 @@ def semdedup_increment_against_index(
     assigned = _assign_with(
         new_q, cents, route_width
     ).localCheckpoint(eager=True)
-    ids = assigned.select("vec_id")
     clusters = [
         r["cluster"]
         for r in assigned.select("cluster").distinct().collect()
     ]
     _, cell_of = coarse_route(cents)
     cells = sorted({cell_of[c] for c in clusters})
+    survivors = _semdedup_increment_core(
+        assigned, _prune_to_clusters(vectors, cells, clusters),
+        threshold_pct,
+    ).localCheckpoint(eager=True)
+    if append:
+        writer.append(
+            _with_cell(assigned, cents).repartition("cell"),
+            path.rstrip("/") + "/vectors",
+            partition_by=["cell"],
+        )
+    return survivors
+
+
+def _semdedup_increment_core(
+    assigned: DataFrame,
+    index_vectors: DataFrame,
+    threshold_pct: int,
+) -> DataFrame:
+    """The increment decision, independent of where the index side
+    comes from (at rest and pruned, or assigned inline): a batch
+    vector drops when a cosine-τ near-dup shares its cluster and is
+    indexed (any id — the index side anti-joins away the batch's own
+    ids first, which is also what makes replays bit-identical) or a
+    smaller-id batch member. ``assigned`` must be materialized by
+    the caller (it is read four times); ``index_vectors`` carries
+    (vec_id, q, norm2, cluster). Returns surviving
+    (vec_id, cluster) — lazy, so callers that append afterwards must
+    checkpoint it first."""
+    ids = assigned.select("vec_id")
     dom_idx = (
-        _prune_to_clusters(vectors, cells, clusters)
+        index_vectors.select("vec_id", "q", "norm2", "cluster")
         .join(F.broadcast(ids), "vec_id", "left_anti")
         .select(
             F.lit(-1).cast("long").alias("dom_id"),  # index side: any id dominates
@@ -1544,18 +1572,37 @@ def semdedup_increment_against_index(
         .unionByName(_dropped(dom_new, need_lower_id=True))
         .distinct()
     )
-    survivors = (
-        assigned.select("vec_id", "cluster")
-        .join(dropped, "vec_id", "left_anti")
-        .localCheckpoint(eager=True)
+    return assigned.select("vec_id", "cluster").join(
+        dropped, "vec_id", "left_anti"
     )
-    if append:
-        writer.append(
-            _with_cell(assigned, cents).repartition("cell"),
-            path.rstrip("/") + "/vectors",
-            partition_by=["cell"],
-        )
-    return survivors
+
+
+def semdedup_increment_inline(
+    new_q: DataFrame,
+    index_q: DataFrame,
+    cents: dict[int, list[int]],
+    threshold_pct: int = 80,
+    route_width: int | None = None,
+) -> DataFrame:
+    """``semdedup_increment_against_index`` with the index side
+    assigned INLINE per call — the measurement twin the at-rest path
+    is compared against (``tools/increment_cost.py --kind ivf``), and
+    the shape a caller without a persisted index is stuck with: every
+    increment pays an O(|index|) assignment pass before the first
+    candidate is scored, which is exactly the term the persisted
+    index deletes (the MinHash side measured this law in
+    SCALING_r10; the IVF row is r10 verdict #2). Identical survivors
+    to the at-rest path under the same codebook — assignment is
+    per-row deterministic and the decision core is shared code
+    (``_semdedup_increment_core``)."""
+    assigned = _assign_with(
+        new_q, cents, route_width
+    ).localCheckpoint(eager=True)
+    return _semdedup_increment_core(
+        assigned,
+        _assign_with(index_q, cents, route_width),
+        threshold_pct,
+    )
 
 
 def topk_lsh(

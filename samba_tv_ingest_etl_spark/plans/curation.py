@@ -1,0 +1,264 @@
+"""Incremental curation DAG — the LLM-data operators wired through
+the task-graph machinery (``plans/dag.TaskDag``) in the reference's
+incremental shape (etl-dag.sql:1-46: scheduled root, AFTER edges,
+watermark-driven touch-only-new-rows):
+
+    curation_ingest        COPY-INTO discipline: newly staged
+                           document files, exactly-once via the load
+                           ledger (sources/ledger.py)
+      └─ curation_dedup    MinHash dedup of the batch against the
+                           PERSISTED band index, replay-safe, batch
+                           appended to the index (q129/q132 machinery)
+          └─ curation_decontaminate
+                           span-grain eval excision + quality gate
+                           (q127/q131 machinery)
+              └─ curation_append
+                           land curated rows (idempotent: dynamic
+                           overwrite of the run's own partition),
+                           THEN commit the file ledger — the
+                           watermark write is last, as in the
+                           reference (etl-dag.sql:147-156)
+
+q131 proved the stage composition as one lazy plan and q132 proved
+streaming dedup against the index; this composes the same operators
+under AFTER edges with file-grain watermarking (r10 verdict #3). The
+pipeline-grain property — N daily increments ≡ one wholesale curation
+pass — holds for ID-MONOTONE batches processed ascending (the q132
+condition: the index side dominates at any id, so ascending order
+makes "indexed" ≡ "smaller id" and the accumulated output equals the
+wholesale pairwise min-id rule); it is pinned Spark-vs-Spark by
+``tests/test_curation_dag.py`` and against DuckDB by q137's oracle,
+which computes the WHOLESALE pass in SQL.
+
+Exactly-once, end to end: a crash ANYWHERE before the final ledger
+commit replays the whole day bit-identically — the ingest re-lists
+the same files (ledger unrecorded), the dedup increment is the
+replay-safe variant (the index side anti-joins the batch's own ids,
+and the re-append's duplicate rows are result-neutral by the band
+index contract), decontamination is deterministic per doc, and the
+curated write dynamically overwrites the run's own partition (run_id
+= hash of the file set) instead of appending blind. The global
+token-budget head (q111/q131's final stage) is deliberately NOT in
+the DAG: it is a global selection over the curated pool, re-run
+wholesale over ``curated/`` when a training mix is cut — an
+incremental top-k-by-score would need retraction semantics no
+append-only pipeline has.
+
+Scale shape: per-day work is O(|batch|) signing + batch-broadcast
+band join + streamed verify probe (the measured flat increment law,
+SCALING_r10) + per-doc excision of the batch only; the standing
+corpus is touched ONLY through the at-rest index. The eval set is
+benchmark-sized by the enforced broadcast budget
+(dedup.EVAL_GRAM_BUDGET).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators.text import tokens
+from .dag import TaskDag
+
+__all__ = ["CurationDag", "CURATION_CRON"]
+
+# the reference's ETL root schedule, verbatim (etl-dag.sql:3)
+CURATION_CRON = "0 5 * * * UTC"
+
+_STAGE_PATTERN = r".*\.parquet$"
+_FEED = "curation_docs"
+
+
+class CurationDag:
+    """One curation pipeline rooted at ``root``::
+
+        root/stage/       daily parquet drops of (doc_id, text)
+        root/band_index/  persisted MinHash band index (docs/+bands/)
+        root/ledger/      load ledger (file-grain watermark)
+        root/curated/     run_id=<h>/ (doc_id, n_tokens, n_kept)
+
+    ``eval_toks``: (doc_id, toks) token frame of the eval suite —
+    fixed and benchmark-sized by the decontamination contract."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        eval_toks: DataFrame,
+        ngram: int = 3,
+        threshold_pct: int = 50,
+        span_k: int = 8,
+        min_kept: int = 20,
+    ):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.index_path = f"{self.root}/band_index"
+        self.stage_path = f"{self.root}/stage"
+        self.ledger_path = f"{self.root}/ledger"
+        self.curated_path = f"{self.root}/curated"
+        # bounded by the decon broadcast budget; read every run
+        self.eval_toks = eval_toks.localCheckpoint(eager=True)
+        self.ngram = ngram
+        self.threshold_pct = threshold_pct
+        self.span_k = span_k
+        self.min_kept = min_kept
+
+    # -- setup ---------------------------------------------------------
+
+    def _index_exists(self) -> bool:
+        sc = self.spark.sparkContext
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(
+            self.index_path + "/docs"
+        )
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+
+    # -- tasks ---------------------------------------------------------
+
+    def _task_ingest(self, state: dict) -> int:
+        from ..sources.ledger import LoadLedger
+        from ..sources.stage import list_stage_files
+
+        ledger = LoadLedger(self.spark, self.ledger_path)
+        discovered = list_stage_files(
+            self.spark, self.stage_path, _STAGE_PATTERN
+        )
+        new = ledger.new_files(_FEED, discovered)
+        state["files"] = new
+        if not new:
+            state["batch"] = None
+            return 0
+        # run identity = the file set, so a crashed run's replay
+        # lands on the SAME curated partition (idempotent overwrite)
+        state["run_id"] = hashlib.sha256(
+            "\n".join(sorted(new)).encode()
+        ).hexdigest()[:16]
+        batch = (
+            self.spark.read.parquet(*new)
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
+        state["batch"] = batch
+        return batch.count()
+
+    def _task_dedup(self, state: dict) -> int:
+        if state.get("batch") is None:
+            state["survivor_docs"] = None
+            return 0
+        batch = state["batch"]
+        shingled = D.shingle_docs(batch, ngram=self.ngram)
+        # Bootstrap: the FIRST batch becomes the index (parquet can't
+        # persist a zero-row partitioned frame's schema, so there is
+        # no "empty index" on disk), and the replay-safe increment
+        # then runs against it — its anti-join of the batch's own ids
+        # makes the index side effectively empty, so survivors reduce
+        # to the batch-internal smaller-id rule: ONE code path for
+        # bootstrap, steady state, and crash replay (a crash after
+        # the bootstrap write lands in the steady-state branch, whose
+        # anti-join + result-neutral re-append reproduce the same
+        # survivors bit-for-bit).
+        bootstrap = not self._index_exists()
+        if bootstrap:
+            D.write_band_index(shingled, self.index_path)
+        survivors = D.dedup_increment_against_index_replay_safe(
+            shingled,
+            self.index_path,
+            threshold_pct=self.threshold_pct,
+            append=not bootstrap,
+        )
+        state["survivor_docs"] = batch.join(
+            F.broadcast(survivors.select("doc_id")), "doc_id",
+            "left_semi",
+        ).localCheckpoint(eager=True)
+        return state["survivor_docs"].count()
+
+    def _task_decontaminate(self, state: dict) -> int:
+        if state.get("survivor_docs") is None:
+            state["gated"] = None
+            return 0
+        t = state["survivor_docs"].select(
+            "doc_id", tokens(F.col("text")).alias("toks")
+        )
+        out = D.excise_contaminated_spans(
+            t, self.eval_toks, k=self.span_k
+        )
+        state["gated"] = out.filter(
+            (F.col("n_kept") * 2 >= F.col("n_tokens"))
+            & (F.col("n_kept") >= self.min_kept)
+        ).select("doc_id", "n_tokens", "n_kept")
+        return 0  # lazy by design: the append is the action
+
+    def _task_append(self, state: dict) -> int:
+        from ..sources.ledger import LoadLedger
+
+        if state.get("gated") is None:
+            return 0
+        self._write_curated(state["gated"], state["run_id"])
+        # watermark LAST: only a fully-landed run marks its files
+        # loaded; any earlier crash replays the whole day
+        LoadLedger(self.spark, self.ledger_path).record(
+            _FEED, state["files"]
+        )
+        return 1
+
+    def _write_curated(self, gated: DataFrame, run_id: str) -> None:
+        """Idempotent landing: dynamic partition overwrite replaces
+        ONLY this run's partition, so a replayed append after a crash
+        rewrites the same rows instead of duplicating them."""
+        conf = self.spark.conf
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = conf.get(key, "static")
+        conf.set(key, "dynamic")
+        try:
+            (
+                gated.withColumn("run_id", F.lit(run_id))
+                .write.mode("overwrite")
+                .partitionBy("run_id")
+                .parquet(self.curated_path)
+            )
+        finally:
+            conf.set(key, prev)
+
+    # -- surface -------------------------------------------------------
+
+    def build_dag(self, state: dict | None = None) -> TaskDag:
+        """The task graph for ONE daily pass — reference shape:
+        scheduled root, suspended-aware AFTER chain."""
+        state = {} if state is None else state
+        dag = TaskDag()
+        dag.add(
+            "curation_ingest",
+            lambda: self._task_ingest(state),
+            schedule=CURATION_CRON,
+        )
+        dag.add(
+            "curation_dedup",
+            lambda: self._task_dedup(state),
+            after=["curation_ingest"],
+        )
+        dag.add(
+            "curation_decontaminate",
+            lambda: self._task_decontaminate(state),
+            after=["curation_dedup"],
+        )
+        dag.add(
+            "curation_append",
+            lambda: self._task_append(state),
+            after=["curation_decontaminate"],
+        )
+        return dag
+
+    def run_once(self) -> dict[str, object]:
+        """One DAG pass over whatever is newly staged (availableNow
+        semantics at task grain); a pass with nothing new is a no-op
+        end to end."""
+        return self.build_dag().run()
+
+    def curated(self) -> DataFrame:
+        """The accumulated curated pool (doc_id, n_tokens, n_kept)."""
+        return self.spark.read.parquet(self.curated_path).select(
+            "doc_id", "n_tokens", "n_kept"
+        )

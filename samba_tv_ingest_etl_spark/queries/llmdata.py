@@ -226,13 +226,18 @@ def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- q22
 
-def _minhash_oracle() -> str:
+def _minhash_dropped_sql() -> str:
+    """hashed → sig → banded → cand → ver → dropped CTE chain — the
+    WHOLESALE pairwise min-id MinHash rule (drop b iff some a < b
+    band-collides at Jaccard >= τ). Follows the ``corpus`` +
+    ``_SHINGLE_SQL`` CTEs; shared verbatim by q22 and the q137
+    curation-DAG oracle (increments over id-monotone batches
+    accumulate to exactly this wholesale rule)."""
     perms = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(D._minhash_coeffs(D.MINHASH_PERMS))
     )
     rows = D.MINHASH_PERMS // D.MINHASH_BANDS
     return f"""
-WITH {_PREFIX_SQL}, {_SHINGLE_SQL},
 hashed AS (
   SELECT doc_id,
          CAST(concat('0x', substr(sha256(shingle), 1, 15)) AS BIGINT)
@@ -268,7 +273,13 @@ ver AS (
 dropped AS (
   SELECT DISTINCT doc_b FROM ver
   WHERE u > 0 AND common * 100 >= {_JACCARD_PCT} * u
-)
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_PREFIX_SQL}, {_SHINGLE_SQL},
+{_minhash_dropped_sql().lstrip()}
 SELECT c.doc_id FROM corpus c
 WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_b = c.doc_id)
 """
@@ -5104,6 +5115,180 @@ def q131_full_curation_pipeline(
     return placed.filter(
         F.col("cum_before") + F.col("n_kept") <= F.lit(_CURATE_BUDGET)
     ).select("doc_id", "n_tokens", "n_kept", "score_milli", "cum_before")
+
+
+# ---------------------------------------------------------------- q137
+
+# Incremental curation DAG corpus — the q131 trap design adapted to
+# the MinHash dedup stage: verbatim copies at +_SPAN_OFFSET (dedup's
+# work, J=1 with their originals — and copies of EVAL docs slip past
+# dedup because their originals are not in the pool, then must be
+# emptied by decontamination), quote-appenders at +2*_SPAN_OFFSET
+# whose BASE docs are excluded from the pool — under near-dup dedup
+# an in-pool base would make the appender itself a J≈0.9 duplicate
+# and excision would never see it; excluding the base routes the
+# planted leak to the decontamination stage, where it belongs.
+
+
+def _curation_dag_oracle() -> str:
+    """The WHOLESALE pass the accumulated increments must equal:
+    MinHash pairwise min-id dedup (q22's rule — the id-monotone
+    ascending increments collapse to exactly this) → span-grain eval
+    excision → quality gate."""
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+tok0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM base
+),
+ev AS (
+  SELECT doc_id, toks FROM tok0
+  WHERE doc_id % {_DECON_SPAN_MOD} = 0 AND doc_id < {_DECON_EVAL_CAP}
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  WHERE NOT (doc_id % {_DECON_SPAN_MOD} = 0
+             AND doc_id < {_DECON_EVAL_CAP})
+    AND NOT (doc_id % 100 = 10 AND doc_id < {_DECON_EVAL_CAP})
+  UNION ALL
+  SELECT doc_id + {_SPAN_OFFSET}, text FROM base WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT a.doc_id + {2 * _SPAN_OFFSET},
+         a.text || ' ' || array_to_string(list_slice(b.toks, 1, 12), ' ')
+  FROM base a JOIN tok0 b ON b.doc_id = a.doc_id - 10
+  WHERE a.doc_id % 100 = 10 AND a.doc_id < {_DECON_EVAL_CAP}
+),
+{_SHINGLE_SQL.strip().rstrip(",")},
+{_minhash_dropped_sql().lstrip()},
+t AS (
+  SELECT c.doc_id,
+         list_filter(regexp_split_to_array(lower(c.text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM corpus c
+  WHERE c.doc_id NOT IN (SELECT doc_b FROM dropped)
+),
+eg AS (
+  SELECT DISTINCT
+         array_to_string(list_slice(toks, i, i + {_SPAN_K} - 1), ' ')
+           AS gram
+  FROM ev, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(toks) >= {_SPAN_K}
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + {_SPAN_K} - 1), ' ')
+           AS gram
+  FROM t, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(toks) >= {_SPAN_K}
+),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN eg USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w > {_SPAN_K} THEN 1 ELSE 0 END
+           AS brk
+  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS p0, max(pos) AS p1
+  FROM isl2 GROUP BY doc_id, island
+),
+cut AS (
+  SELECT doc_id, CAST(sum(p1 - p0 + {_SPAN_K}) AS BIGINT) AS n_cut
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(c.n_cut, 0) AS BIGINT) AS n_kept
+FROM t LEFT JOIN cut c USING (doc_id)
+WHERE (len(t.toks) - COALESCE(c.n_cut, 0)) * 2 >= len(t.toks)
+  AND len(t.toks) - COALESCE(c.n_cut, 0) >= {_PIPE_MIN_KEPT}
+"""
+
+
+@query("q137_incremental_curation_dag", oracle=_curation_dag_oracle())
+def q137_incremental_curation_dag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental curation pipeline as a TASK DAG (r10 verdict
+    #3): q131 proved the stage composition, q132 proved streaming
+    dedup against the index — this wires ingest → dedup-against-index
+    → decontamination → append through the reference-parity task
+    machinery (plans/curation.CurationDag over plans/dag.TaskDag,
+    AFTER edges, the ETL root's verbatim cron), watermark-driven at
+    file grain via the load ledger, exactly-once end to end (crash
+    anywhere before the final ledger commit replays bit-identically:
+    replay-safe dedup increment + dynamic-overwrite curated landing).
+
+    Two id-monotone daily batches (median-id split, ascending — the
+    q132 condition) drive two full DAG passes; the accumulated
+    curated pool must equal the WHOLESALE pass the oracle computes
+    in SQL: MinHash pairwise min-id dedup → eval-span excision →
+    quality gate. The corpus routes one trap per stage (see the
+    section comment): natural-doc copies die in dedup, eval-doc
+    copies slip past dedup and are emptied by excision, planted
+    quote-appenders (bases withheld) come back clipped."""
+    import tempfile
+
+    from ..plans.curation import CurationDag
+
+    docs = _documents(spark, sf_dir).select(
+        _guarded_doc_id("q137").alias("doc_id"), "text"
+    )
+    tok0 = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    is_eval = (F.col("doc_id") % _DECON_SPAN_MOD == 0) & (
+        F.col("doc_id") < _DECON_EVAL_CAP
+    )
+    is_plant_base = (F.col("doc_id") % 100 == 10) & (
+        F.col("doc_id") < _DECON_EVAL_CAP
+    )
+    ev = tok0.filter(is_eval)
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(_SPAN_OFFSET)).alias("doc_id"), "text"
+    )
+    plants = (
+        docs.filter(is_plant_base)
+        .join(
+            tok0.select(
+                F.col("doc_id").alias("_eid"),
+                F.col("toks").alias("_etoks"),
+            ),
+            F.col("_eid") == F.col("doc_id") - 10,
+        )
+        .select(
+            (F.col("doc_id") + F.lit(2 * _SPAN_OFFSET)).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.array_join(F.slice("_etoks", 1, 12), " "),
+            ).alias("text"),
+        )
+    )
+    train = (
+        docs.filter(~is_eval & ~is_plant_base)
+        .unionByName(copies)
+        .unionByName(plants)
+    )
+    root = tempfile.mkdtemp(prefix="q137_curation_")
+    dag = CurationDag(
+        spark, root, ev, ngram=_NGRAM, threshold_pct=_JACCARD_PCT,
+        span_k=_SPAN_K, min_kept=_PIPE_MIN_KEPT,
+    )
+    mid = train.approxQuantile("doc_id", [0.5], 0.0)[0]
+    for day, pred in enumerate(
+        (F.col("doc_id") <= mid, F.col("doc_id") > mid)
+    ):
+        train.filter(pred).write.mode("overwrite").parquet(
+            f"{root}/stage/day{day}"
+        )
+        dag.run_once()
+    return dag.curated()
 
 
 # ---------------------------------------------------------------- q121

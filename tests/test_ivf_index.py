@@ -202,6 +202,32 @@ def test_codebook_guard_raises(spark, tmp_path, monkeypatch):
         S.read_ivf_index(spark, path)
 
 
+def test_semdedup_increment_inline_matches_indexed(spark, tmp_path):
+    """The measurement twin (index side assigned inline per call)
+    must produce identical survivors to the at-rest path under the
+    same codebook — assignment is per-row deterministic and the
+    decision core is shared code."""
+    q = _corpus(spark)
+    cents = S.kmeans_centroids(q, k=8, iters=2, train_sample=(1, 4))
+    idx_side = q.filter(F.col("vec_id") % 3 == 0)
+    batch = q.filter(F.col("vec_id") % 3 != 0)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(idx_side, path, cents=cents, route_width=4)
+    indexed = sorted(
+        r["vec_id"]
+        for r in S.semdedup_increment_against_index(
+            batch, path, threshold_pct=35, route_width=4, append=False
+        ).collect()
+    )
+    inline = sorted(
+        r["vec_id"]
+        for r in S.semdedup_increment_inline(
+            batch, idx_side, cents, threshold_pct=35, route_width=4
+        ).collect()
+    )
+    assert inline == indexed and len(indexed) > 0
+
+
 def test_semdedup_increment_replay_identical(spark, tmp_path):
     """A replay after the append (crash window) must be
     bit-identical: the index side excludes the batch's own ids."""

@@ -1,26 +1,41 @@
 #!/usr/bin/env python
-"""Per-increment cost of MinHash dedup: inline re-sign vs the
-persisted band index (r9 verdict #1's 'done' criterion — show the
-per-increment wall is flat in index size once the index is read at
-rest, instead of growing with the O(corpus) re-sign term).
+"""Per-increment cost of the incremental operators: inline re-process
+vs the persisted index, across a growing standing corpus — the
+measured law behind every "per-increment cost is flat" claim.
 
-Protocol: from a corpus directory, take a FIXED batch (the last
-``--batch`` docs by id) and dedup it against standing indexes of
-increasing size (prefixes of the remaining corpus). For each index
-size measure:
+Three kinds, one protocol each (fixed work unit, index/corpus grown
+~8x, inline vs at-rest columns, build-once cost reported separately):
 
-- inline: ``incremental_minhash_survivors`` (re-signs the index
-  per run — r9's shipped shape);
-- at_rest: ``dedup_increment_against_index`` with append=False
-  against an index built ONCE by ``write_band_index`` (build time
-  reported separately — it is the amortized one-time cost).
+- ``minhash`` (r10, SCALING_r10.md): fixed doc batch deduped against
+  band indexes of growing size. inline = ``incremental_minhash_
+  survivors`` (re-signs the index per run); at_rest = ``dedup_
+  increment_against_index`` (append=False).
+- ``ivf`` (r10 verdict #2): fixed vector batch SemDeDup'd against IVF
+  indexes of growing size under the same codebook. inline =
+  ``semdedup_increment_inline`` (re-assigns the index per run — the
+  O(|index|) term); at_rest = ``semdedup_increment_against_index``
+  (append=False — reads only the batch's clusters' partitions).
+- ``ann_band`` (r10 verdict #1's 'done' criterion): fixed 10-query
+  probe against banded-ANN indexes of growing corpus size. inline =
+  ``topk_lsh_banded`` (re-signs the corpus per probe); at_rest =
+  ``topk_lsh_banded_indexed`` (signs only the probe batch; key-
+  pruned bands/ scan + streamed docs/ payload probe). NOTE the
+  honest reading of its law: the index deletes the O(corpus)
+  SIGNING term (the at-rest column), but per-probe cost stays
+  O(candidates), which at the recall-first (48, 16) config is O(n)
+  by construction — the flat fleet-scale probe is ``ivf_probe``.
+- ``ivf_probe``: same protocol over the persisted IVF index
+  (``topk_ivf_indexed`` vs inline ``topk_ivf``): with derived k the
+  probed row count is ~ target · nprobe, constant in corpus size —
+  the router's flat path that the banded index hands off to.
 
 Best-of-N timing with the bench discipline. Output: markdown table +
-one JSON line for SCALING_r10.md.
+one JSON line for SCALING_r{N}.md.
 
 Usage:
-    python tools/increment_cost.py [--sf-dir .testdata/sf1]
-        [--batch 2000] [--index-sizes 6000,12000,24000,48000]
+    python tools/increment_cost.py [--kind minhash|ivf|ann_band]
+        [--sf-dir .testdata/sf1] [--batch 2000]
+        [--index-sizes 6000,12000,24000,48000] [--runs 3]
 """
 
 from __future__ import annotations
@@ -45,34 +60,26 @@ def _best_of(fn, runs: int = 3) -> float:
     return best
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default=".testdata/sf1")
-    ap.add_argument("--batch", type=int, default=2000)
-    ap.add_argument(
-        "--index-sizes", default="6000,12000,24000,48000"
-    )
-    ap.add_argument("--runs", type=int, default=3)
-    args = ap.parse_args()
-    sizes = [int(s) for s in args.index_sizes.split(",")]
+def _emit(rows: list[dict], sf_dir: str, kind: str) -> None:
+    cols = list(rows[0]) if rows else []
+    print("\n| " + " | ".join(cols) + " |")
+    print("|" + "---|" * len(cols))
+    for r in rows:
+        print("| " + " | ".join(str(r[c]) for c in cols) + " |")
+    print()
+    print(json.dumps({"kind": kind, "sf_dir": sf_dir, "rows": rows}))
 
+
+def run_minhash(spark, args, sizes) -> list[dict]:
     from pyspark.sql import functions as F
 
     from samba_tv_ingest_etl_spark.operators import dedup as D
-    from samba_tv_ingest_etl_spark.session import get_spark
-
-    spark = get_spark(
-        "increment_cost",
-        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-    )
-    spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
-    batch_ids = set(ids[-args.batch:])
-    lo_batch = min(batch_ids)
+    lo_batch = ids[-args.batch]
     sh = D.shingle_docs(docs, ngram=3).localCheckpoint(eager=True)
     batch_sh = sh.filter(F.col("doc_id") >= lo_batch).localCheckpoint(
         eager=True
@@ -113,16 +120,223 @@ def main() -> None:
             }
         )
         print(rows[-1], flush=True)
+    return rows
 
-    print("\n| index docs | batch | inline s | at-rest s | build-once s |")
-    print("|---|---|---|---|---|")
-    for r in rows:
-        print(
-            f"| {r['index_docs']} | {r['batch_docs']} | {r['inline_s']} "
-            f"| {r['at_rest_s']} | {r['build_once_s']} |"
+
+def _vectors(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+
+    return (
+        S.quantize(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+        .filter(F.col("norm2") > 0)
+        .select("vec_id", "q", "norm2")
+        .localCheckpoint(eager=True)
+    )
+
+
+def run_ivf(spark, args, sizes) -> list[dict]:
+    """Fixed batch, growing index, SAME codebook per index size for
+    both columns (trained on the index side with the q135 config:
+    derived k, bounded sample, routed assignment) — the inline
+    column's growth is the per-call index re-assignment, which is
+    exactly what the at-rest path deletes."""
+    from pyspark.sql import functions as F
+
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+
+    q = _vectors(spark, args.sf_dir)
+    ids = sorted(r["vec_id"] for r in q.select("vec_id").collect())
+    lo_batch = ids[-args.batch]
+    batch = q.filter(F.col("vec_id") >= lo_batch).localCheckpoint(
+        eager=True
+    )
+    rows = []
+    for size in sizes:
+        if size > len(ids) - args.batch:
+            print(f"skip index size {size}: corpus too small")
+            continue
+        hi = ids[size - 1]
+        idx_q = q.filter(F.col("vec_id") <= hi).localCheckpoint(
+            eager=True
         )
-    print()
-    print(json.dumps({"sf_dir": args.sf_dir, "rows": rows}))
+        k = S.derived_cluster_count(size, 32, 16)  # q135's SemDeDup k
+        t0 = time.monotonic()
+        cents = S.kmeans_centroids(
+            idx_q, k=k, iters=2, train_sample=(1, 4)
+        )
+        t_train = time.monotonic() - t0
+        t_inline = _best_of(
+            lambda: S.semdedup_increment_inline(
+                batch, idx_q, cents, threshold_pct=35, route_width=4
+            ).count(),
+            args.runs,
+        )
+        path = tempfile.mkdtemp(prefix="inc_cost_ivf_")
+        t0 = time.monotonic()
+        S.write_ivf_index(idx_q, path, cents=cents, route_width=4)
+        t_build = time.monotonic() - t0
+        t_at_rest = _best_of(
+            lambda: S.semdedup_increment_against_index(
+                batch, path, threshold_pct=35, route_width=4,
+                append=False,
+            ).count(),
+            args.runs,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        rows.append(
+            {
+                "index_vecs": size,
+                "k": k,
+                "batch_vecs": args.batch,
+                "inline_s": round(t_inline, 2),
+                "at_rest_s": round(t_at_rest, 2),
+                "train_once_s": round(t_train, 2),
+                "build_once_s": round(t_build, 2),
+            }
+        )
+        print(rows[-1], flush=True)
+    return rows
+
+
+def run_ann_band(spark, args, sizes) -> list[dict]:
+    """Fixed 10-query probe, growing corpus: the inline column
+    carries the O(corpus) signing term, the at-rest column reads the
+    persisted band index (key-pruned)."""
+    from pyspark.sql import functions as F
+
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+
+    q = _vectors(spark, args.sf_dir)
+    ids = sorted(r["vec_id"] for r in q.select("vec_id").collect())
+    probes = q.filter(F.col("vec_id") < 10).localCheckpoint(eager=True)
+    rows = []
+    for size in sizes:
+        if size > len(ids):
+            print(f"skip corpus size {size}: corpus too small")
+            continue
+        hi = ids[size - 1]
+        corp = q.filter(F.col("vec_id") <= hi).localCheckpoint(
+            eager=True
+        )
+        t_inline = _best_of(
+            lambda: S.topk_lsh_banded(corp, probes, k=10).count(),
+            args.runs,
+        )
+        path = tempfile.mkdtemp(prefix="inc_cost_vband_")
+        t0 = time.monotonic()
+        S.write_vector_band_index(corp, path)
+        t_build = time.monotonic() - t0
+        t_at_rest = _best_of(
+            lambda: S.topk_lsh_banded_indexed(
+                spark, path, probes, k=10
+            ).count(),
+            args.runs,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        rows.append(
+            {
+                "corpus_vecs": size,
+                "probe_vecs": 10,
+                "inline_s": round(t_inline, 2),
+                "at_rest_s": round(t_at_rest, 2),
+                "build_once_s": round(t_build, 2),
+            }
+        )
+        print(rows[-1], flush=True)
+    return rows
+
+
+def run_ivf_probe(spark, args, sizes) -> list[dict]:
+    """Fixed 10-query probe, growing corpus, IVF index: with k
+    derived (k ∝ n / target) the probed row count is ~ target ·
+    nprobe — CONSTANT in corpus size — so this is the flat-probe
+    router path for fleet-scale ANN (the banded-LSH index deletes
+    the signing term but its recall-first candidacy stays O(n));
+    inline = ``topk_ivf`` (retrains + re-assigns the corpus per
+    call)."""
+    from pyspark.sql import functions as F
+
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+
+    q = _vectors(spark, args.sf_dir)
+    ids = sorted(r["vec_id"] for r in q.select("vec_id").collect())
+    probes = q.filter(F.col("vec_id") < 10).localCheckpoint(eager=True)
+    rows = []
+    for size in sizes:
+        if size > len(ids):
+            print(f"skip corpus size {size}: corpus too small")
+            continue
+        hi = ids[size - 1]
+        corp = q.filter(F.col("vec_id") <= hi).localCheckpoint(
+            eager=True
+        )
+        k = S.derived_cluster_count(size, 8, 64)  # q32/q133's config
+        t_inline = _best_of(
+            lambda: S.topk_ivf(
+                corp, probes, k=10, n_centroids=k, iters=2, nprobe=2,
+                train_sample=(1, 4), route_width=4,
+            ).count(),
+            args.runs,
+        )
+        path = tempfile.mkdtemp(prefix="inc_cost_ivfp_")
+        t0 = time.monotonic()
+        S.write_ivf_index(
+            corp, path, n_centroids=k, iters=2, train_sample=(1, 4),
+            route_width=4,
+        )
+        t_build = time.monotonic() - t0
+        t_at_rest = _best_of(
+            lambda: S.topk_ivf_indexed(
+                spark, path, probes, k=10, nprobe=2
+            ).count(),
+            args.runs,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        rows.append(
+            {
+                "corpus_vecs": size,
+                "k": k,
+                "probe_vecs": 10,
+                "inline_s": round(t_inline, 2),
+                "at_rest_s": round(t_at_rest, 2),
+                "build_once_s": round(t_build, 2),
+            }
+        )
+        print(rows[-1], flush=True)
+    return rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--kind", default="minhash",
+        choices=["minhash", "ivf", "ann_band", "ivf_probe"],
+    )
+    ap.add_argument("--sf-dir", default=".testdata/sf1")
+    ap.add_argument("--batch", type=int, default=2000)
+    ap.add_argument(
+        "--index-sizes", default="6000,12000,24000,48000"
+    )
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.index_sizes.split(",")]
+
+    from samba_tv_ingest_etl_spark.session import get_spark
+
+    spark = get_spark(
+        "increment_cost",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    runner = {
+        "minhash": run_minhash,
+        "ivf": run_ivf,
+        "ann_band": run_ann_band,
+        "ivf_probe": run_ivf_probe,
+    }[args.kind]
+    _emit(runner(spark, args, sizes), args.sf_dir, args.kind)
 
 
 if __name__ == "__main__":
