@@ -104,6 +104,14 @@ def main() -> None:
                     "the HEADLINE set (e.g. a scale-path variant "
                     "under measurement)")
     ap.add_argument("--skip-audit", action="store_true")
+    ap.add_argument(
+        "--only-extras", action="store_true",
+        help="measure ONLY --extra-queries (candidate vetting: a "
+        "query needs its 10x row BEFORE joining HEADLINE; the full "
+        "set is the per-round sweep, this is the pre-join gate). "
+        "The written bench-out is a candidate artifact, not a "
+        "headline one — name it accordingly.",
+    )
     ap.add_argument("--report", default=None, help="markdown report path")
     args = ap.parse_args()
     if args.bench_out is None:
@@ -121,7 +129,13 @@ def main() -> None:
     unknown = [q for q in extras if q not in registry]
     if unknown:
         ap.error(f"--extra-queries not in registry: {unknown}")
-    names = [n for n in HEADLINE if n in registry] + extras
+    if args.only_extras and not extras:
+        ap.error("--only-extras needs --extra-queries")
+    names = (
+        extras
+        if args.only_extras
+        else [n for n in HEADLINE if n in registry] + extras
+    )
 
     # shared warmup (JVM, codegen, Arrow worker pool)
     registry[names[0]](spark, args.base).write.format("noop").mode("overwrite").save()
