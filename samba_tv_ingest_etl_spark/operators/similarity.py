@@ -1751,6 +1751,7 @@ def write_vector_band_index(
     planes: int = LSH_TOPK_PLANES,
     bands: int = LSH_TOPK_BANDS,
     dim: int = 64,
+    band_payload: bool = False,
 ) -> None:
     """Materialize the banded-ANN index AT REST — the q129 treatment
     (``dedup.write_band_index``) at VECTOR grain, closing the last
@@ -1776,7 +1777,17 @@ def write_vector_band_index(
     re-signing (``sig`` discipline from the MinHash index).
     Hyperplane bits are a pure per-row function of the plane seed
     (``lsh_buckets``), so writing in parts ≡ writing whole — the
-    determinism contract appends rely on."""
+    determinism contract appends rely on.
+
+    ``band_payload``: also store (q, norm2) in every bands/ row —
+    the posting-list-with-payload trade (×``bands`` payload
+    duplication) that lets a SCAN-grain consumer score inside the
+    band join, map-side, with zero shuffle and no docs/ join-back:
+    the shape ``contamination_matches_lsh_indexed`` requires. Probe
+    consumers (``topk_lsh_banded_indexed``) never need it — their
+    candidate set is probe-bounded, so the docs/ join-back is a
+    broadcast. Only sensible at small ``bands`` (the decon config's
+    4); the 16-band top-k config should stay slim."""
     from ..sources import writer
 
     signed = lsh_buckets(
@@ -1787,7 +1798,7 @@ def write_vector_band_index(
         path.rstrip("/") + "/docs",
     )
     writer.atomic_overwrite(
-        _vector_bands(signed, planes, bands)
+        _vector_bands(signed, planes, bands, band_payload)
         .repartition("band")
         .sortWithinPartitions("band", "key"),
         path.rstrip("/") + "/bands",
@@ -1796,13 +1807,16 @@ def write_vector_band_index(
 
 
 def _vector_bands(
-    signed: DataFrame, planes: int, bands: int
+    signed: DataFrame, planes: int, bands: int,
+    band_payload: bool = False,
 ) -> DataFrame:
-    """(vec_id, band, key) rows of a signed frame — the banded
-    OR-construction's candidate side (``_band_keys`` over the
+    """(vec_id, band, key[, q, norm2]) rows of a signed frame — the
+    banded OR-construction's candidate side (``_band_keys`` over the
     persisted ``bucket``)."""
+    payload = ["q", "norm2"] if band_payload else []
     return signed.select(
         "vec_id",
+        *payload,
         F.posexplode(F.array(*_band_keys(planes, bands))).alias(
             "band", "key"
         ),
@@ -1815,6 +1829,7 @@ def append_vector_band_index(
     planes: int = LSH_TOPK_PLANES,
     bands: int = LSH_TOPK_BANDS,
     dim: int = 64,
+    band_payload: bool = False,
 ) -> None:
     """Append new vectors to the at-rest banded-ANN index — the
     daily-increment shape (the reference's touch-only-new-rows
@@ -1830,7 +1845,10 @@ def append_vector_band_index(
     here the same way the r10 advice had ``topk_ivf_indexed``
     enforce it). Appended band files are key-sorted like the
     writer's, keeping row-group pruning effective as the index
-    grows."""
+    grows. ``band_payload`` must match the index's writer — a
+    mixed-layout bands/ directory would fail on read with a schema
+    merge surprise instead of a named error, so it is part of the
+    index's identity, not a per-call knob."""
     from ..sources import writer
 
     signed = lsh_buckets(
@@ -1841,7 +1859,7 @@ def append_vector_band_index(
         path.rstrip("/") + "/docs",
     )
     writer.append(
-        _vector_bands(signed, planes, bands)
+        _vector_bands(signed, planes, bands, band_payload)
         .repartition("band")
         .sortWithinPartitions("band", "key"),
         path.rstrip("/") + "/bands",
@@ -1912,8 +1930,17 @@ def topk_lsh_banded_indexed(
     probed_keys = sorted(
         {r["key"] for r in q_keys.select("key").distinct().collect()}
     )
+    # key-literal pushdown is an OPTIMIZATION (row-group pruning over
+    # the sorted files), never required for correctness — past the
+    # literal cap (a probe batch far beyond the few-queries
+    # contract) skip it rather than codegen thousands of literals
+    # (the _prune_to_clusters Janino class); the band+key join stays
+    # exact either way
+    bscan = band_rows
+    if len(probed_keys) <= ISIN_LITERAL_CAP:
+        bscan = bscan.filter(F.col("key").isin(probed_keys))
     cand = (
-        band_rows.filter(F.col("key").isin(probed_keys))
+        bscan
         .join(F.broadcast(q_keys), ["band", "key"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(F.col("vec_id").alias("cand_id"), "query_id")
@@ -1949,6 +1976,101 @@ def topk_lsh_banded_indexed(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cos_scaled")
+    )
+
+
+def contamination_matches_lsh_indexed(
+    spark,
+    path: str,
+    eval_q: DataFrame,
+    threshold_pct: int = 80,
+    planes: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    max_eval_rows: int = EVAL_BROADCAST_BUDGET_ROWS,
+) -> DataFrame:
+    """``contamination_matches_lsh`` with the corpus side read AT
+    REST — the last inline ANN/dedup surface moved off the per-call
+    corpus pass: the inline path signs the whole corpus per call (an
+    O(corpus) hyperplane matmul before the first candidate), this
+    one signs only the eval side (tiny by the enforced budget) and
+    scans a PAYLOAD band index (``write_vector_band_index(...,
+    band_payload=True)``) whose key-sorted files prune at row-group
+    stats to the eval's band keys — so the read approaches the
+    collision mass instead of the corpus.
+
+    Shape difference from the probe consumer and why it matters: a
+    probe's candidates are probe-bounded, so ``topk_lsh_banded_
+    indexed`` fetches payloads by broadcasting candidates into a
+    docs/ scan. Decon candidacy is CORPUS-proportional by design
+    (~random-candidacy × n × |eval|), so a join-back would either
+    broadcast an unbounded set or shuffle the corpus; scoring happens
+    INSIDE the band join instead — eval payload rides the broadcast,
+    corpus payload rides the posting list, map-side, zero shuffle:
+    exactly the inline operator's plan with the signing term deleted.
+    A pair sharing several bands is scored per shared band with
+    identical cos, so the per-corpus-id argmax is unaffected (same
+    argument as the inline path) — which also makes replayed appends
+    result-neutral here with no extra dedup. Output contract
+    identical to ``contamination_matches_lsh`` (shares its oracle);
+    a slim index (written without ``band_payload``) raises a named
+    error instead of a missing-column surprise."""
+    docs, band_rows = read_vector_band_index(spark, path)
+    missing = {"q", "norm2"} - set(band_rows.columns)
+    if missing:
+        raise ValueError(
+            f"band index at {path} lacks payload columns {sorted(missing)}: "
+            "contamination_matches_lsh_indexed needs an index written "
+            "with write_vector_band_index(..., band_payload=True) — "
+            "the slim layout serves probe consumers only."
+        )
+    eval_q = _check_eval_budget(eval_q, max_eval_rows)
+    ev = lsh_buckets(
+        eval_q.select("vec_id", "q", "norm2"), planes, dim
+    )
+    ev_keys = ev.select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("q").alias("q_e"),
+        F.col("norm2").alias("n_e"),
+        F.posexplode(F.array(*_band_keys(planes, bands))).alias(
+            "band", "key"
+        ),
+    ).localCheckpoint(eager=True)
+    probed_keys = sorted(
+        {r["key"] for r in ev_keys.select("key").distinct().collect()}
+    )
+    bscan = band_rows
+    if len(probed_keys) <= ISIN_LITERAL_CAP:
+        bscan = bscan.filter(F.col("key").isin(probed_keys))
+    dot = _dot(F.col("q"), F.col("q_e"))
+    pct2 = threshold_pct * threshold_pct
+    hits = (
+        bscan.join(F.broadcast(ev_keys), ["band", "key"])
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * 10000
+                >= F.lit(pct2) * F.col("norm2") * F.col("n_e")
+            )
+        )
+        .withColumn(
+            "cos_scaled",
+            _cos_scaled(F.col("dot"), F.col("norm2"), F.col("n_e")),
+        )
+    )
+    best = hits.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos_scaled").alias("c"),
+                (-F.col("eval_id")).alias("ne"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.ne")).cast("long").alias("eval_id"),
+        F.col("b.c").cast("long").alias("cos_scaled"),
     )
 
 

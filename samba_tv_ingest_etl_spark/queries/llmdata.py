@@ -5701,3 +5701,71 @@ def q123_semantic_decontamination_lsh(
         threshold_pct=_SEM_PCT,
         planes=_SEM_PLANES, bands=_SEM_BANDS, dim=_DIM,
     )
+
+
+# ---------------------------------------------------------------- q138
+
+
+@query(
+    "q138_semantic_decon_indexed", oracle=_semantic_lsh_oracle()
+)
+def q138_semantic_decon_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q123 through the PERSISTED vector band index — the last
+    inline ANN surface moved to rest: the corpus is signed once into
+    a PAYLOAD band index (write_vector_band_index(...,
+    band_payload=True) at the decon config: 4 × 8-bit bands of a
+    32-plane signature), and the decontamination pass signs only the
+    eval side, prunes the key-sorted bands/ files to the eval's band
+    keys, and scores INSIDE the band join — eval payload on the
+    broadcast, corpus payload on the posting list, zero shuffle
+    (similarity.contamination_matches_lsh_indexed; the docstring
+    explains why decon scores in-join where the probe consumer
+    joins back to docs/). Shares q123's oracle VERBATIM: signatures
+    are per-row deterministic, so the at-rest pass must be
+    byte-identical — the hash match proves the payload layout
+    round-trips vectors, norms, and band keys exactly."""
+    from ..operators.similarity import (
+        contamination_matches_lsh_indexed,
+        quantize,
+        write_vector_band_index,
+    )
+    from ..sources.splits import widen_to_cores
+
+    import tempfile
+
+    emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    guarded = F.when(
+        F.col("vec_id").between(0, _SPAN_OFFSET - 1), F.col("vec_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q138 vec_id collides with planted id space: "),
+                F.col("vec_id").cast("string"),
+            )
+        )
+    )
+    base = emb_raw.select(guarded.alias("vec_id"), "embedding")
+    is_eval = (F.col("vec_id") % _EVAL_MOD == 0) & (
+        F.col("vec_id") < _EVAL_MAX_ID
+    )
+    ev_raw = base.filter(is_eval)
+    corpus_raw = base.filter(~is_eval).unionByName(
+        ev_raw.select(
+            (F.col("vec_id") + F.lit(_SPAN_OFFSET)).alias("vec_id"),
+            "embedding",
+        )
+    )
+    path = tempfile.mkdtemp(prefix="q138_band_index_")
+    write_vector_band_index(
+        quantize(widen_to_cores(corpus_raw)).filter(F.col("norm2") > 0),
+        path, planes=_SEM_PLANES, bands=_SEM_BANDS, dim=_DIM,
+        band_payload=True,
+    )
+    return contamination_matches_lsh_indexed(
+        spark, path,
+        quantize(ev_raw).filter(F.col("norm2") > 0),
+        threshold_pct=_SEM_PCT,
+        planes=_SEM_PLANES, bands=_SEM_BANDS, dim=_DIM,
+    )

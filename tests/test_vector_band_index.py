@@ -100,6 +100,100 @@ def test_probe_pushes_key_literals(spark, tmp_path):
     )
 
 
+def _decon_sides(spark):
+    """q123's planting shape: eval vectors re-appear verbatim in the
+    corpus (offset ids), so the τ=0.8 regime has guaranteed hits."""
+    q = _corpus(spark)
+    is_eval = F.col("vec_id") % 7 == 0
+    ev = q.filter(is_eval)
+    corp = q.filter(~is_eval).unionByName(
+        ev.select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            "q",
+            "norm2",
+        )
+    )
+    return corp.localCheckpoint(eager=True), ev
+
+
+def test_decon_indexed_matches_inline(spark, tmp_path):
+    """The at-rest decontamination pass (payload band index, scored
+    in-join) must be byte-identical to the inline corpus-signing
+    path — per-row deterministic signatures, shared banding math."""
+    corp, ev = _decon_sides(spark)
+    inline = S.contamination_matches_lsh(
+        corp, ev, threshold_pct=80, planes=32, bands=4
+    )
+    path = str(tmp_path / "vband")
+    S.write_vector_band_index(
+        corp, path, planes=32, bands=4, band_payload=True
+    )
+    indexed = S.contamination_matches_lsh_indexed(
+        spark, path, ev, threshold_pct=80, planes=32, bands=4
+    )
+    key = lambda r: (r["vec_id"], r["eval_id"], r["cos_scaled"])  # noqa: E731
+    got = sorted(map(key, indexed.collect()))
+    assert got == sorted(map(key, inline.collect())) and len(got) > 0
+
+
+def test_decon_requires_payload_layout(spark, tmp_path):
+    """A slim index (probe layout) must be rejected with a named
+    error, not a missing-column surprise mid-plan."""
+    import pytest
+
+    corp, ev = _decon_sides(spark)
+    path = str(tmp_path / "slim")
+    S.write_vector_band_index(corp, path, planes=32, bands=4)
+    with pytest.raises(ValueError, match="band_payload=True"):
+        S.contamination_matches_lsh_indexed(
+            spark, path, ev, planes=32, bands=4
+        )
+
+
+def test_decon_neutral_to_replayed_append(spark, tmp_path):
+    """Duplicate posting-list rows from a retried append re-derive
+    identical cos per (corpus, eval) pair, so the per-corpus argmax
+    is unaffected — no extra dedup pass needed or wanted."""
+    corp, ev = _decon_sides(spark)
+    half1 = corp.filter(F.col("vec_id") % 2 == 0)
+    half2 = corp.filter(F.col("vec_id") % 2 == 1)
+    once = str(tmp_path / "once")
+    S.write_vector_band_index(
+        half1, once, planes=32, bands=4, band_payload=True
+    )
+    S.append_vector_band_index(
+        half2, once, planes=32, bands=4, band_payload=True
+    )
+    key = lambda r: (r["vec_id"], r["eval_id"], r["cos_scaled"])  # noqa: E731
+    want = sorted(
+        map(
+            key,
+            S.contamination_matches_lsh_indexed(
+                spark, once, ev, planes=32, bands=4
+            ).collect(),
+        )
+    )
+    twice = str(tmp_path / "twice")
+    S.write_vector_band_index(
+        half1, twice, planes=32, bands=4, band_payload=True
+    )
+    S.append_vector_band_index(
+        half2, twice, planes=32, bands=4, band_payload=True
+    )
+    S.append_vector_band_index(  # the replay
+        half2, twice, planes=32, bands=4, band_payload=True
+    )
+    got = sorted(
+        map(
+            key,
+            S.contamination_matches_lsh_indexed(
+                spark, twice, ev, planes=32, bands=4
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_rebandable_without_resign(spark, tmp_path):
     """docs/ persists the full bucket signature, so a re-band to a
     different band count needs no re-sign: banding the persisted
