@@ -1996,8 +1996,15 @@ def contamination_matches_lsh_indexed(
     one signs only the eval side (tiny by the enforced budget) and
     scans a PAYLOAD band index (``write_vector_band_index(...,
     band_payload=True)``) whose key-sorted files prune at row-group
-    stats to the eval's band keys — so the read approaches the
-    collision mass instead of the corpus.
+    stats to the eval's band keys. Pruning honesty (measured,
+    SCALING_r11 §5): with 8-bit keys a benchmark-sized eval
+    (1000s of items) covers all 256 key values per band, so the key
+    filter prunes NOTHING there and the measured win is the deleted
+    signing term (~2× at every corpus size); the read approaches the
+    collision mass only for SPARSE evals (≲ a few hundred items) or
+    wider keys — the knob is ``planes/bands``, and widening keys to
+    regain pruning also sharpens candidacy, the same trade the
+    (4 × 8-bit) config was picked on.
 
     Shape difference from the probe consumer and why it matters: a
     probe's candidates are probe-bounded, so ``topk_lsh_banded_

@@ -308,11 +308,67 @@ def run_ivf_probe(spark, args, sizes) -> list[dict]:
     return rows
 
 
+def run_decon(spark, args, sizes) -> list[dict]:
+    """Fixed eval set (every 97th vector, q123's split), growing
+    corpus, semantic decontamination at the verbatim-leak config
+    (τ=0.8, 4 × 8-bit bands): inline = ``contamination_matches_lsh``
+    (signs the corpus per call); at_rest =
+    ``contamination_matches_lsh_indexed`` against the PAYLOAD band
+    index (scores in-join over key-sorted posting lists)."""
+    from pyspark.sql import functions as F
+
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+
+    q = _vectors(spark, args.sf_dir)
+    ids = sorted(r["vec_id"] for r in q.select("vec_id").collect())
+    is_eval = F.col("vec_id") % 97 == 0
+    ev = q.filter(is_eval).localCheckpoint(eager=True)
+    rows = []
+    for size in sizes:
+        if size > len(ids):
+            print(f"skip corpus size {size}: corpus too small")
+            continue
+        hi = ids[size - 1]
+        corp = q.filter(
+            (F.col("vec_id") <= hi) & ~is_eval
+        ).localCheckpoint(eager=True)
+        t_inline = _best_of(
+            lambda: S.contamination_matches_lsh(
+                corp, ev, threshold_pct=80, planes=32, bands=4
+            ).count(),
+            args.runs,
+        )
+        path = tempfile.mkdtemp(prefix="inc_cost_decon_")
+        t0 = time.monotonic()
+        S.write_vector_band_index(
+            corp, path, planes=32, bands=4, band_payload=True
+        )
+        t_build = time.monotonic() - t0
+        t_at_rest = _best_of(
+            lambda: S.contamination_matches_lsh_indexed(
+                spark, path, ev, threshold_pct=80, planes=32, bands=4
+            ).count(),
+            args.runs,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        rows.append(
+            {
+                "corpus_vecs": size,
+                "eval_vecs": ev.count(),
+                "inline_s": round(t_inline, 2),
+                "at_rest_s": round(t_at_rest, 2),
+                "build_once_s": round(t_build, 2),
+            }
+        )
+        print(rows[-1], flush=True)
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--kind", default="minhash",
-        choices=["minhash", "ivf", "ann_band", "ivf_probe"],
+        choices=["minhash", "ivf", "ann_band", "ivf_probe", "decon"],
     )
     ap.add_argument("--sf-dir", default=".testdata/sf1")
     ap.add_argument("--batch", type=int, default=2000)
@@ -335,6 +391,7 @@ def main() -> None:
         "ivf": run_ivf,
         "ann_band": run_ann_band,
         "ivf_probe": run_ivf_probe,
+        "decon": run_decon,
     }[args.kind]
     _emit(runner(spark, args, sizes), args.sf_dir, args.kind)
 
