@@ -229,7 +229,12 @@ def _write_report(path: str, report: dict, args) -> None:
         "",
     ]
     new = report.get("audit_new_at_big") or {}
-    if not new:
+    if args.skip_audit:
+        lines.append(
+            "Plan audit SKIPPED in this run (--skip-audit) — audit "
+            "evidence, if any, lives outside this artifact."
+        )
+    elif not new:
         lines.append(
             f"No NEW warn/error-level plan findings at {big} — every "
             "registered query audits the same at 10x."
