@@ -787,6 +787,16 @@ def write_band_index(
         path.rstrip("/") + "/bands",
         partition_by=["band"],
     )
+    # identity row, written LAST (complete index => meta present):
+    # num_perm/bands are part of what the index IS — an append at a
+    # different width would mix slice layouts in one bands/ directory
+    # (the r11-advice failure class on the vector index, same cure)
+    writer.atomic_overwrite(
+        index_shingled.sparkSession.createDataFrame(
+            [(int(num_perm), int(bands))], "num_perm int, bands int"
+        ).coalesce(1),
+        path.rstrip("/") + "/meta",
+    )
 
 
 def append_band_index(
@@ -810,6 +820,23 @@ def append_band_index(
     need no cross-directory transaction, only idempotent re-runs."""
     from ..sources import writer
 
+    spark = signed_new.sparkSession
+    sc = spark.sparkContext
+    jmeta = sc._jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/meta"
+    )
+    fs = jmeta.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(jmeta):  # pre-meta indexes skip (back-compat)
+        meta = spark.read.parquet(str(jmeta)).collect()[0]
+        if (meta["num_perm"], meta["bands"]) != (num_perm, bands):
+            raise ValueError(
+                f"band index at {path} was written with num_perm="
+                f"{meta['num_perm']}, bands={meta['bands']}; append "
+                f"called with num_perm={num_perm}, bands={bands}: "
+                "signature width and band split are part of the "
+                "index's identity — re-band via the persisted sig "
+                "(docs/) or rebuild, never mix slice layouts."
+            )
     signed_new = signed_new.localCheckpoint(eager=True)
     writer.append(
         signed_new.select("doc_id", "set_size", "shingles", "sig"),

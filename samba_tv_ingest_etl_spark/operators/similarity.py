@@ -1745,6 +1745,69 @@ def topk_lsh_banded(
     )
 
 
+def _write_band_meta(
+    spark, path: str, planes: int, bands: int, band_payload: bool
+) -> None:
+    """Persist the index's IDENTITY — the knobs that are part of what
+    the index IS, not per-call tuning (r11 advice): an append or
+    probe at different planes/bands would join 3-bit keys against
+    8-bit keys (silently empty/partial results), and a slim batch
+    appended to a payload index leaves a mixed ``bands/`` layout that
+    one sampled footer resolves arbitrarily. One row, written LAST so
+    a complete index always carries it; pre-meta indexes (or a crash
+    before this write) degrade to the schema-sniff check in
+    ``append_vector_band_index``."""
+    from ..sources import writer
+
+    writer.atomic_overwrite(
+        spark.createDataFrame(
+            [(int(planes), int(bands), bool(band_payload))],
+            "planes int, bands int, band_payload boolean",
+        ).coalesce(1),
+        path.rstrip("/") + "/meta",
+    )
+
+
+def _read_band_meta(spark, path: str) -> dict | None:
+    """The persisted identity row, or None for a pre-meta index."""
+    p = path.rstrip("/") + "/meta"
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(p)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    return spark.read.parquet(p).collect()[0].asDict()
+
+
+def _check_band_identity(
+    spark,
+    path: str,
+    planes: int,
+    bands: int,
+    band_payload: bool | None = None,
+) -> None:
+    """Raise a NAMED error when a caller's planes/bands/band_payload
+    disagree with the index's persisted identity — the raise-loudly
+    house rule applied to the mixed-layout / wrong-width failure
+    class (r11 advice). A pre-meta index skips silently (the append
+    path still schema-sniffs the payload layout)."""
+    meta = _read_band_meta(spark, path)
+    if meta is None:
+        return
+    want = {"planes": planes, "bands": bands}
+    if band_payload is not None:
+        want["band_payload"] = band_payload
+    got = {k: meta[k] for k in want}
+    if got != want:
+        raise ValueError(
+            f"band index at {path} was written with {got}, called "
+            f"with {want}: planes/bands/band_payload are part of the "
+            "index's identity — re-band via the persisted bucket "
+            "(docs/) or rebuild, never mix layouts in one bands/ "
+            "directory."
+        )
+
+
 def write_vector_band_index(
     corpus_q: DataFrame,
     path: str,
@@ -1804,6 +1867,9 @@ def write_vector_band_index(
         path.rstrip("/") + "/bands",
         partition_by=["band"],
     )
+    _write_band_meta(
+        corpus_q.sparkSession, path, planes, bands, band_payload
+    )
 
 
 def _vector_bands(
@@ -1845,12 +1911,32 @@ def append_vector_band_index(
     here the same way the r10 advice had ``topk_ivf_indexed``
     enforce it). Appended band files are key-sorted like the
     writer's, keeping row-group pruning effective as the index
-    grows. ``band_payload`` must match the index's writer — a
-    mixed-layout bands/ directory would fail on read with a schema
-    merge surprise instead of a named error, so it is part of the
-    index's identity, not a per-call knob."""
+    grows. ``band_payload``/``planes``/``bands`` must match the
+    index's writer — they are part of the index's identity, not
+    per-call knobs — and the match is ENFORCED (r11 advice): the
+    persisted ``meta/`` identity row is checked first, and for a
+    pre-meta index the existing ``bands/`` schema (one sampled
+    footer) still rejects a slim-vs-payload mismatch, so a mixed
+    ``bands/`` layout raises a named error here instead of nulling
+    columns or silently emptying a wrong-width banding join
+    downstream."""
     from ..sources import writer
 
+    spark = new_q.sparkSession
+    _check_band_identity(spark, path, planes, bands, band_payload)
+    existing = set(
+        spark.read.parquet(path.rstrip("/") + "/bands").columns
+    )
+    has_payload = {"q", "norm2"} <= existing
+    if has_payload != band_payload:
+        raise ValueError(
+            f"band index at {path} has "
+            f"{'a payload' if has_payload else 'a slim'} bands/ "
+            f"layout but the append was called with band_payload="
+            f"{band_payload}: the layout is part of the index's "
+            "identity — appending would mix schemas in one "
+            "directory and resolve arbitrarily on read."
+        )
     signed = lsh_buckets(
         new_q.select("vec_id", "q", "norm2"), planes, dim
     ).localCheckpoint(eager=True)
@@ -1909,14 +1995,22 @@ def topk_lsh_banded_indexed(
     few-queries contract; the filter is a correct superset across
     bands, the band+key JOIN stays exact). Candidates dedup to
     distinct (query_id, cand_id) BEFORE payload lookup — a pair
-    matching several bands is fetched once — then broadcast into the
-    ``docs/`` scan (bounded by bucket widths · |queries|), scored
-    with the exact integer arithmetic, collapsed per pair with
-    max(cos) (duplicate-append neutrality), and ranked. The corpus
-    never shuffles; the only shuffle is the final per-query rank
-    over candidate rows."""
+    matching several bands is fetched once — then joined into the
+    ``docs/`` scan, scored with the exact integer arithmetic,
+    collapsed per pair with max(cos) (duplicate-append neutrality),
+    and ranked. The candidate set carries NO broadcast hint: at the
+    recall-first (48,16) config a random pair collides in some band
+    with ~88% probability, so candidacy is corpus-proportional (the
+    measured law, SCALING_r11 §2) and a forced broadcast would OOM
+    at fleet scale — the planner (AQE) broadcasts it when its
+    runtime size allows and falls back to a shuffled join when it
+    does not (r11 advice). Only the probe-bounded frames
+    (``q_keys``, ``q_payload``) are hinted."""
     from pyspark.sql import Window
 
+    # probe works on slim AND payload layouts (column pruning drops
+    # the payload), so only planes/bands are identity-checked here
+    _check_band_identity(spark, path, planes, bands)
     docs, band_rows = read_vector_band_index(spark, path)
     qs = lsh_buckets(
         queries_q.select("vec_id", "q", "norm2"), planes, dim
@@ -1951,7 +2045,7 @@ def topk_lsh_banded_indexed(
         F.col("q").alias("q_q"),
         F.col("norm2").alias("n_q"),
     )
-    pairs = F.broadcast(cand.join(F.broadcast(q_payload), "query_id"))
+    pairs = cand.join(F.broadcast(q_payload), "query_id")
     scored = (
         docs.select(
             F.col("vec_id").alias("cand_id"),
@@ -2022,6 +2116,7 @@ def contamination_matches_lsh_indexed(
     identical to ``contamination_matches_lsh`` (shares its oracle);
     a slim index (written without ``band_payload``) raises a named
     error instead of a missing-column surprise."""
+    _check_band_identity(spark, path, planes, bands, band_payload=True)
     docs, band_rows = read_vector_band_index(spark, path)
     missing = {"q", "norm2"} - set(band_rows.columns)
     if missing:

@@ -133,3 +133,25 @@ def test_append_is_idempotent(spark, tmp_path):
         )
     )
     assert again == once
+
+
+def test_append_rejects_width_mismatch(spark, tmp_path):
+    """num_perm/bands are the index's persisted identity (meta/, the
+    r11-advice discipline ported from the vector index): an append
+    at a different signature width would mix slice layouts in one
+    bands/ directory and silently empty the band join — it must
+    raise a named error instead."""
+    import pytest
+
+    sh = D.shingle_docs(_docs(spark), ngram=NGRAM)
+    path = str(tmp_path / "bindex")
+    D.write_band_index(sh.filter(F.col("doc_id") < 1_000_000), path)
+    signed = D.minhash_signatures(
+        sh.filter(F.col("doc_id") >= 1_000_000).filter(
+            F.col("set_size") > 0
+        ),
+        num_perm=64,
+        hash_mode="sha2",
+    )
+    with pytest.raises(ValueError, match="identity"):
+        D.append_band_index(signed, path, num_perm=64, bands=8)

@@ -144,9 +144,76 @@ def test_decon_requires_payload_layout(spark, tmp_path):
     corp, ev = _decon_sides(spark)
     path = str(tmp_path / "slim")
     S.write_vector_band_index(corp, path, planes=32, bands=4)
-    with pytest.raises(ValueError, match="band_payload=True"):
+    with pytest.raises(ValueError, match="band_payload"):
         S.contamination_matches_lsh_indexed(
             spark, path, ev, planes=32, bands=4
+        )
+
+
+def test_append_rejects_layout_mismatch(spark, tmp_path):
+    """planes/bands/band_payload are the index's IDENTITY (persisted
+    in meta/, r11 advice): an append at a mismatched layout must
+    raise a named error instead of mixing schemas or key widths in
+    one bands/ directory (which a sampled footer would resolve
+    arbitrarily — silently null payloads or empty wrong-width
+    joins)."""
+    import pytest
+
+    q = _corpus(spark)
+    half1 = q.filter(F.col("vec_id") % 2 == 0)
+    half2 = q.filter(F.col("vec_id") % 2 == 1)
+    slim = str(tmp_path / "slim")
+    S.write_vector_band_index(half1, slim, planes=32, bands=4)
+    with pytest.raises(ValueError, match="identity"):
+        S.append_vector_band_index(
+            half2, slim, planes=32, bands=4, band_payload=True
+        )
+    with pytest.raises(ValueError, match="identity"):
+        S.append_vector_band_index(half2, slim, planes=48, bands=16)
+    payload = str(tmp_path / "payload")
+    S.write_vector_band_index(
+        half1, payload, planes=32, bands=4, band_payload=True
+    )
+    with pytest.raises(ValueError, match="identity"):
+        S.append_vector_band_index(half2, payload, planes=32, bands=4)
+
+
+def test_append_schema_sniff_without_meta(spark, tmp_path):
+    """A pre-meta index (or a crash before the meta write) still
+    rejects a slim-vs-payload mismatch via the existing bands/
+    schema — one sampled footer, the degraded check the advice
+    asked for."""
+    import shutil
+
+    import pytest
+
+    q = _corpus(spark)
+    path = str(tmp_path / "premeta")
+    S.write_vector_band_index(
+        q.filter(F.col("vec_id") % 2 == 0), path, planes=32, bands=4,
+        band_payload=True,
+    )
+    shutil.rmtree(path + "/meta")
+    with pytest.raises(ValueError, match="slim|payload"):
+        S.append_vector_band_index(
+            q.filter(F.col("vec_id") % 2 == 1), path,
+            planes=32, bands=4,
+        )
+
+
+def test_probe_rejects_width_mismatch(spark, tmp_path):
+    """A probe at the wrong planes/bands would join 3-bit keys
+    against 8-bit keys and return silently empty/partial top-k —
+    the identity check turns that into a named error."""
+    import pytest
+
+    q = _corpus(spark)
+    path = str(tmp_path / "vband")
+    S.write_vector_band_index(q, path, planes=48, bands=16)
+    with pytest.raises(ValueError, match="identity"):
+        S.topk_lsh_banded_indexed(
+            spark, path, q.filter(F.col("vec_id") < 2),
+            planes=32, bands=4,
         )
 
 
