@@ -790,10 +790,13 @@ def write_band_index(
     # identity row, written LAST (complete index => meta present):
     # num_perm/bands are part of what the index IS — an append at a
     # different width would mix slice layouts in one bands/ directory
-    # (the r11-advice failure class on the vector index, same cure)
+    # (the r11-advice failure class on the vector index, same cure).
+    # JVM-born row (range+lit, not createDataFrame): a Python-local
+    # relation costs ~4-5 s per write action (measured, r12).
     writer.atomic_overwrite(
-        index_shingled.sparkSession.createDataFrame(
-            [(int(num_perm), int(bands))], "num_perm int, bands int"
+        index_shingled.sparkSession.range(1).select(
+            F.lit(int(num_perm)).cast("int").alias("num_perm"),
+            F.lit(int(bands)).cast("int").alias("bands"),
         ).coalesce(1),
         path.rstrip("/") + "/meta",
     )

@@ -1756,13 +1756,20 @@ def _write_band_meta(
     one sampled footer resolves arbitrarily. One row, written LAST so
     a complete index always carries it; pre-meta indexes (or a crash
     before this write) degrade to the schema-sniff check in
-    ``append_vector_band_index``."""
+    ``append_vector_band_index``.
+
+    JVM-born row on purpose (``range(1).select(lit(...))``, not
+    ``createDataFrame``): a Python-local relation routes the write
+    job through a Python runner at ~4-5 s per action (measured,
+    r12), which would triple the cost of every index write for one
+    metadata row."""
     from ..sources import writer
 
     writer.atomic_overwrite(
-        spark.createDataFrame(
-            [(int(planes), int(bands), bool(band_payload))],
-            "planes int, bands int, band_payload boolean",
+        spark.range(1).select(
+            F.lit(int(planes)).cast("int").alias("planes"),
+            F.lit(int(bands)).cast("int").alias("bands"),
+            F.lit(bool(band_payload)).alias("band_payload"),
         ).coalesce(1),
         path.rstrip("/") + "/meta",
     )

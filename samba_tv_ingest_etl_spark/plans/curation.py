@@ -31,13 +31,19 @@ wholesale pairwise min-id rule); it is pinned Spark-vs-Spark by
 which computes the WHOLESALE pass in SQL.
 
 Exactly-once, end to end: a crash ANYWHERE before the final ledger
-commit replays the whole day bit-identically — the ingest re-lists
-the same files (ledger unrecorded), the dedup increment is the
-replay-safe variant (the index side anti-joins the batch's own ids,
-and the re-append's duplicate rows are result-neutral by the band
-index contract), decontamination is deterministic per doc, and the
-curated write dynamically overwrites the run's own partition (run_id
-= hash of the file set) instead of appending blind. The global
+commit replays the whole day — the ingest re-lists the unrecorded
+files, the dedup increment is the replay-safe variant (the index
+side anti-joins the batch's own ids, and the re-append's duplicate
+rows are result-neutral by the band index contract),
+decontamination is deterministic per doc, and the curated write
+dynamically overwrites the run's own partition (run_id = hash of
+the file set) instead of appending blind. A replay whose file set
+DRIFTED (new files staged after the crash) lands under a different
+run_id; the run manifest makes that safe too (r11 advice): curated()
+shows only manifest-recorded runs, and the crashed attempt's
+partition — never recorded, or recorded but fully superseded by the
+wider replay — is garbage-collected before the replay commits (see
+``_gc_superseded_runs``). The global
 token-budget head (q111/q131's final stage) is deliberately NOT in
 the DAG: it is a global selection over the curated pool, re-run
 wholesale over ``curated/`` when a training mix is cut — an
@@ -79,6 +85,8 @@ class CurationDag:
         root/band_index/  persisted MinHash band index (docs/+bands/)
         root/ledger/      load ledger (file-grain watermark)
         root/curated/     run_id=<h>/ (doc_id, n_tokens, n_kept)
+        root/runs/        run manifest (run_id, file_path) — the
+                          committed-run record curated() filters by
 
     ``eval_toks``: (doc_id, toks) token frame of the eval suite —
     fixed and benchmark-sized by the decontamination contract."""
@@ -99,6 +107,7 @@ class CurationDag:
         self.stage_path = f"{self.root}/stage"
         self.ledger_path = f"{self.root}/ledger"
         self.curated_path = f"{self.root}/curated"
+        self.runs_path = f"{self.root}/runs"
         # bounded by the decon broadcast budget; read every run
         self.eval_toks = eval_toks.localCheckpoint(eager=True)
         self.ngram = ngram
@@ -108,13 +117,27 @@ class CurationDag:
 
     # -- setup ---------------------------------------------------------
 
-    def _index_exists(self) -> bool:
+    def _fs(self):
         sc = self.spark.sparkContext
-        jpath = sc._jvm.org.apache.hadoop.fs.Path(
-            self.index_path + "/docs"
+        jroot = sc._jvm.org.apache.hadoop.fs.Path(self.root)
+        return (
+            jroot.getFileSystem(sc._jsc.hadoopConfiguration()),
+            sc._jvm.org.apache.hadoop.fs.Path,
         )
-        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
-        return bool(fs.exists(jpath))
+
+    def _index_exists(self) -> bool:
+        """True only when BOTH index halves exist: write_band_index
+        lands docs/ then bands/ as two separate atomic overwrites, so
+        a crash between them must route the replay back to the
+        BOOTSTRAP branch (whose overwrites are idempotent) — gating
+        on docs/ alone sent that replay to the steady-state branch,
+        whose read of the missing bands/ fails permanently (r11
+        advice: a manual-cleanup crash loop)."""
+        fs, jpath = self._fs()
+        return bool(
+            fs.exists(jpath(self.index_path + "/docs"))
+            and fs.exists(jpath(self.index_path + "/bands"))
+        )
 
     # -- tasks ---------------------------------------------------------
 
@@ -197,12 +220,93 @@ class CurationDag:
         if state.get("gated") is None:
             return 0
         self._write_curated(state["gated"], state["run_id"])
+        self._gc_superseded_runs(state["run_id"], state["files"])
+        self._record_run(state["run_id"], state["files"])
         # watermark LAST: only a fully-landed run marks its files
         # loaded; any earlier crash replays the whole day
         LoadLedger(self.spark, self.ledger_path).record(
             _FEED, state["files"]
         )
         return 1
+
+    # -- run manifest: exactly-once across DRIFTING replays ------------
+    #
+    # run_id = hash of the ingested file SET, so a replay that picks
+    # up files staged AFTER the crash lands under a DIFFERENT run_id
+    # and the crashed attempt's partition would otherwise survive as
+    # an orphan, double-counting its docs (r11 advice). The manifest
+    # (runs/: one (run_id, file_path) row per ingested file, written
+    # AFTER the curated landing and BEFORE the file ledger) makes
+    # committed-ness observable:
+    #   * a curated partition NOT in the manifest is a crashed
+    #     attempt that never reached the manifest write — invisible
+    #     to curated() (left-semi on manifest run_ids) and deleted by
+    #     the next pass's GC;
+    #   * a manifest run whose files are ALL ledger-unrecorded and
+    #     ALL re-ingested by the current pass is a crashed attempt
+    #     the current run fully supersedes — its partition is deleted
+    #     before the manifest records the current run, so at any
+    #     instant at most ONE manifest-visible partition holds a
+    #     given doc (no read-side dedup pass needed);
+    #   * a fully-ledgered run's files can never ALL be unrecorded,
+    #     so GC can never touch committed data.
+    # Single-writer assumption as documented on the dedup stage.
+
+    def _record_run(self, run_id: str, files: list[str]) -> None:
+        # JVM-born rows (range+explode over literals): a Python-local
+        # relation pays a ~4-5 s Python-runner cost per write action
+        self.spark.range(1).select(
+            F.lit(run_id).alias("run_id"),
+            F.explode(F.array(*[F.lit(f) for f in files])).alias(
+                "file_path"
+            ),
+        ).coalesce(1).write.mode("append").parquet(self.runs_path)
+
+    def _manifest(self) -> DataFrame | None:
+        fs, jpath = self._fs()
+        if not fs.exists(jpath(self.runs_path)):
+            return None
+        return self.spark.read.parquet(self.runs_path)
+
+    def _gc_superseded_runs(
+        self, current_run_id: str, current_files: list[str]
+    ) -> list[str]:
+        """Delete curated partitions of crashed attempts the current
+        run supersedes. Returns the removed run_ids."""
+        from ..sources.ledger import LoadLedger
+
+        fs, jpath = self._fs()
+        if not fs.exists(jpath(self.curated_path)):
+            return []
+        manifest: dict[str, set[str]] = {}
+        mdf = self._manifest()
+        if mdf is not None:
+            for r in mdf.collect():
+                manifest.setdefault(r["run_id"], set()).add(
+                    r["file_path"]
+                )
+        ledgered = LoadLedger(self.spark, self.ledger_path).seen(_FEED)
+        cur = set(current_files)
+        removed = []
+        for status in fs.listStatus(jpath(self.curated_path)):
+            name = status.getPath().getName()
+            if not name.startswith("run_id="):
+                continue
+            rid = name.removeprefix("run_id=")
+            if rid == current_run_id:
+                continue
+            fr = manifest.get(rid)
+            superseded = fr is None or (
+                not (fr & ledgered) and fr <= cur
+            )
+            if superseded:
+                if not fs.delete(status.getPath(), True):
+                    raise RuntimeError(
+                        f"curation GC: failed to delete superseded "
+                        f"partition {name} under {self.curated_path}"
+                    )
+                removed.append(rid)
+        return sorted(removed)
 
     def _write_curated(self, gated: DataFrame, run_id: str) -> None:
         """Idempotent landing: dynamic partition overwrite replaces
@@ -258,7 +362,20 @@ class CurationDag:
         return self.build_dag().run()
 
     def curated(self) -> DataFrame:
-        """The accumulated curated pool (doc_id, n_tokens, n_kept)."""
-        return self.spark.read.parquet(self.curated_path).select(
-            "doc_id", "n_tokens", "n_kept"
-        )
+        """The accumulated curated pool (doc_id, n_tokens, n_kept) —
+        COMMITTED runs only: the left-semi against the run manifest
+        (a broadcast over one row per ingested file — metadata-sized)
+        hides partitions a crashed attempt wrote but never recorded,
+        so a read between a crash and its replay can never see an
+        uncommitted or double-counted doc. The GC invariant (at most
+        one manifest-visible partition per doc) makes this filter the
+        WHOLE read-side story: no doc-grain dedup shuffle."""
+        mdf = self._manifest()
+        df = self.spark.read.parquet(self.curated_path)
+        if mdf is not None:
+            df = df.join(
+                F.broadcast(mdf.select("run_id").distinct()),
+                "run_id",
+                "left_semi",
+            )
+        return df.select("doc_id", "n_tokens", "n_kept")

@@ -69,19 +69,24 @@ def vacuum_warehouse(wh: Warehouse) -> list[str]:
     leaves these behind, so anything found is either a crashed
     write's staging (tmp) or its pre-swap backup (old) — both
     superseded once the live directory reads cleanly."""
-    spark = wh.spark
+    return _vacuum_dir(wh.spark, wh.root)
+
+
+def _vacuum_dir(spark, root: str) -> list[str]:
     sc = spark.sparkContext
     jvm = sc._jvm
-    root = jvm.org.apache.hadoop.fs.Path(wh.root)
-    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
-    if not fs.exists(root):
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jroot.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jroot):
         return []
     removed = []
-    for status in fs.listStatus(root):
+    for status in fs.listStatus(jroot):
         name = status.getPath().getName()
         if name.endswith("__tmp__") or name.endswith("__old__"):
             live = name.removesuffix("__tmp__").removesuffix("__old__")
-            live_path = jvm.org.apache.hadoop.fs.Path(wh.path(live))
+            live_path = jvm.org.apache.hadoop.fs.Path(
+                root.rstrip("/") + "/" + live
+            )
             if not fs.exists(live_path):
                 # crashed between renames with no live table: the
                 # leftover IS the only copy — never delete it
@@ -90,3 +95,104 @@ def vacuum_warehouse(wh: Warehouse) -> list[str]:
                 raise RuntimeError(f"vacuum: failed to delete {name}")
             removed.append(name)
     return sorted(removed)
+
+
+# Persisted-index layouts the maintenance pass knows how to compact:
+# component subdir -> (hive partition columns, within-file sort).
+# The sort restores exactly what each index's probe depends on — the
+# band indexes' key-sorted row groups (q136's literal pushdown prunes
+# at row-group stats) and, for IVF, cluster-sorted cells so the
+# in-file ``cluster IN (...)`` filter skips row groups too (the
+# original writer only compacts per cell; sorting here is a strict
+# improvement with identical content).
+INDEX_LAYOUTS: dict[str, list[tuple[str, list[str] | None, list[str] | None]]] = {
+    "minhash_band": [
+        ("docs", None, None),
+        ("bands", ["band"], ["slice"]),
+    ],
+    "vector_band": [
+        ("docs", None, None),
+        ("bands", ["band"], ["key"]),
+    ],
+    "ivf": [
+        ("centroids", None, None),
+        ("vectors", ["cell"], ["cluster"]),
+    ],
+}
+
+
+def compact_index(
+    spark, path: str, kind: str, target_files: int = 1
+) -> dict[str, int]:
+    """Rewrite a persisted index's directories into ``target_files``
+    files per hive partition, row-content identical — the maintenance
+    discipline ``compact_table`` gives warehouse tables, extended to
+    the index layouts daily appends fragment (r11 verdict #1): a year
+    of ``append_vector_band_index``/``append_ivf_index`` calls (the
+    reference's daily-task cadence, ingest-dag.sql:1-3) leaves one
+    file set per day per partition, so listing cost grows with file
+    count and per-file key ranges overlap — eroding exactly the
+    row-group pruning the indexed probes depend on. Compaction
+    rewrites each partition key-sorted through the existing
+    atomic-swap writer (crash-safe the same way mutations are; a
+    leftover ``__tmp__``/``__old__`` is ``vacuum_index``'s job).
+
+    Content contract: row-level byte-identical, INCLUDING duplicate
+    rows from replayed appends — result-neutrality of duplicates is
+    the consumers' documented contract, not the compactor's to
+    enforce (dropping them here would mask a consumer that forgot
+    it). Probe/increment results are therefore byte-identical pre-
+    and post-compaction (pinned by ``tests/test_maintenance.py``).
+
+    ``kind`` picks the layout (``INDEX_LAYOUTS``); the identity
+    ``meta/`` row, where present, is left untouched. Returns rows
+    per compacted component."""
+    if kind not in INDEX_LAYOUTS:
+        raise ValueError(
+            f"unknown index kind {kind!r}: one of "
+            f"{sorted(INDEX_LAYOUTS)}"
+        )
+    p = path.rstrip("/")
+    counts: dict[str, int] = {}
+    for sub, part_cols, sort_cols in INDEX_LAYOUTS[kind]:
+        df = spark.read.parquet(f"{p}/{sub}")
+        counts[sub] = df.count()
+        if not part_cols:
+            atomic_overwrite(df.repartition(target_files), f"{p}/{sub}")
+            continue
+        keys = [F.col(c) for c in part_cols]
+        if target_files > 1:
+            # deterministic split of the sort key pins extra write
+            # parallelism per partition (the write_clustered recipe;
+            # explicit numPartitions so AQE can't fuse splits back)
+            n = int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            out = (
+                df.withColumn(
+                    "_split",
+                    F.pmod(
+                        F.xxhash64(*(sort_cols or part_cols)),
+                        F.lit(target_files),
+                    ),
+                )
+                .repartition(n, *keys, F.col("_split"))
+                .sortWithinPartitions(
+                    *part_cols, "_split", *(sort_cols or [])
+                )
+                .drop("_split")
+            )
+        else:
+            out = df.repartition(*keys).sortWithinPartitions(
+                *part_cols, *(sort_cols or [])
+            )
+        atomic_overwrite(out, f"{p}/{sub}", part_cols)
+    return counts
+
+
+def vacuum_index(spark, path: str) -> list[str]:
+    """``vacuum_warehouse`` for a persisted index root: remove
+    ``__tmp__``/``__old__`` siblings a crashed ``compact_index`` (or
+    index write) left next to docs/ bands/ vectors/ centroids/,
+    with the same only-if-live-exists safety rule."""
+    return _vacuum_dir(spark, path.rstrip("/"))

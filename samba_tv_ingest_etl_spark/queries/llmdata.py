@@ -5769,3 +5769,80 @@ def q138_semantic_decon_indexed(
         threshold_pct=_SEM_PCT,
         planes=_SEM_PLANES, bands=_SEM_BANDS, dim=_DIM,
     )
+
+
+# ---------------------------------------------------------------- q139
+
+
+@query(
+    "q139_semantic_decon_appended_index", oracle=_semantic_lsh_oracle()
+)
+def q139_semantic_decon_appended_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q138 with the payload band index built INCREMENTALLY — a
+    bootstrap write of the lower-id half plus a daily-shape append of
+    the upper half (median-id split; for decon no ordering condition
+    is even needed: signatures are per-row deterministic, so
+    parts ≡ whole unconditionally). Shares q123's oracle VERBATIM,
+    which is the point (r11 verdict #5): q134 pins IVF appends
+    through DuckDB, this pins the payload-band-index append path the
+    incremental decon consumer reads — a wrong append (mixed layout,
+    re-derived keys, dropped payload columns) breaks the hash match.
+    The identity meta row makes a mismatched append a named error
+    rather than a silent half-result (r11 advice #4)."""
+    from ..operators.similarity import (
+        append_vector_band_index,
+        contamination_matches_lsh_indexed,
+        quantize,
+        write_vector_band_index,
+    )
+    from ..sources.splits import widen_to_cores
+
+    import tempfile
+
+    emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    guarded = F.when(
+        F.col("vec_id").between(0, _SPAN_OFFSET - 1), F.col("vec_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q139 vec_id collides with planted id space: "),
+                F.col("vec_id").cast("string"),
+            )
+        )
+    )
+    base = emb_raw.select(guarded.alias("vec_id"), "embedding")
+    is_eval = (F.col("vec_id") % _EVAL_MOD == 0) & (
+        F.col("vec_id") < _EVAL_MAX_ID
+    )
+    ev_raw = base.filter(is_eval)
+    corpus_raw = base.filter(~is_eval).unionByName(
+        ev_raw.select(
+            (F.col("vec_id") + F.lit(_SPAN_OFFSET)).alias("vec_id"),
+            "embedding",
+        )
+    )
+    corp_q = quantize(widen_to_cores(corpus_raw)).filter(
+        F.col("norm2") > 0
+    )
+    mid = corp_q.select(
+        F.expr("approx_percentile(vec_id, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    path = tempfile.mkdtemp(prefix="q139_band_index_")
+    write_vector_band_index(
+        corp_q.filter(F.col("vec_id") <= mid),
+        path, planes=_SEM_PLANES, bands=_SEM_BANDS, dim=_DIM,
+        band_payload=True,
+    )
+    append_vector_band_index(
+        corp_q.filter(F.col("vec_id") > mid),
+        path, planes=_SEM_PLANES, bands=_SEM_BANDS, dim=_DIM,
+        band_payload=True,
+    )
+    return contamination_matches_lsh_indexed(
+        spark, path,
+        quantize(ev_raw).filter(F.col("norm2") > 0),
+        threshold_pct=_SEM_PCT,
+        planes=_SEM_PLANES, bands=_SEM_BANDS, dim=_DIM,
+    )

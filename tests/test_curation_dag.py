@@ -160,3 +160,83 @@ def test_dag_wiring(spark, tmp_path):
     assert shown["curation_ingest"]["timezone"] == "UTC"
     tdag.suspend("curation_ingest")
     assert tdag.run() == {}
+
+
+def test_bootstrap_crash_between_index_writes_recovers(spark, tmp_path):
+    """Crash window between the bootstrap's docs/ and bands/ writes
+    (r11 advice): _index_exists must route the replay back to the
+    bootstrap branch — whose atomic overwrites are idempotent —
+    instead of the steady-state branch, whose read of the missing
+    bands/ would crash-loop permanently."""
+    import shutil
+
+    from samba_tv_ingest_etl_spark.operators import dedup as D
+
+    train = _train(spark).localCheckpoint(eager=True)
+    want = _curated_rows(_run_days(spark, str(tmp_path / "clean"), train, []))
+
+    root = str(tmp_path / "root")
+    dag = CurationDag(spark, root, _eval_toks(spark))
+    train.write.mode("overwrite").parquet(f"{root}/stage/day0")
+    # simulate the crashed bootstrap: docs/ landed, bands/ (and the
+    # meta row, written after it) did not
+    D.write_band_index(
+        D.shingle_docs(train.select("doc_id", "text"), ngram=dag.ngram),
+        dag.index_path,
+    )
+    shutil.rmtree(dag.index_path + "/bands")
+    shutil.rmtree(dag.index_path + "/meta")
+    dag.run_once()  # the replay: must re-bootstrap, not crash
+    assert _curated_rows(dag) == want and len(want) > 0
+
+
+def test_drifting_replay_no_duplicates(spark, tmp_path):
+    """The r11-advice orphan window: a crash AFTER the curated write
+    but BEFORE the run manifest/ledger commit, with NEW files staged
+    before the replay — the replay ingests old+new under a DIFFERENT
+    run_id, so the crashed attempt's partition would double-count its
+    docs if it stayed visible. curated() must hide it immediately
+    (manifest left-semi) and the replay must garbage-collect it."""
+    train = _train(spark).localCheckpoint(eager=True)
+    ids = sorted(r["doc_id"] for r in train.select("doc_id").collect())
+    b1, b2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    # clean equivalent: day A = ids<=b1, day B = the rest in one pass
+    want = _curated_rows(
+        _run_days(spark, str(tmp_path / "clean"), train, [b1])
+    )
+
+    root = str(tmp_path / "root")
+    dag = CurationDag(spark, root, _eval_toks(spark))
+    train.filter(F.col("doc_id") <= b1).write.mode("overwrite").parquet(
+        f"{root}/stage/day0"
+    )
+    dag.run_once()
+    committed = _curated_rows(dag)
+
+    # day 1 attempt crashes right after the curated landing
+    train.filter(
+        (F.col("doc_id") > b1) & (F.col("doc_id") <= b2)
+    ).write.mode("overwrite").parquet(f"{root}/stage/day1")
+    state: dict = {}
+    dag._task_ingest(state)
+    dag._task_dedup(state)
+    dag._task_decontaminate(state)
+    dag._write_curated(state["gated"], state["run_id"])  # then crash
+    orphan_run = state["run_id"]
+    # a read between the crash and the replay sees ONLY committed runs
+    assert _curated_rows(dag) == committed
+
+    # new files staged before the replay -> the replay's file set
+    # (day1+day2) hashes to a different run_id than the crashed day1
+    train.filter(F.col("doc_id") > b2).write.mode("overwrite").parquet(
+        f"{root}/stage/day2"
+    )
+    dag.run_once()
+    assert _curated_rows(dag) == want
+    # the orphan partition itself was garbage-collected, not just hidden
+    fs, jpath = dag._fs()
+    names = {
+        s.getPath().getName()
+        for s in fs.listStatus(jpath(dag.curated_path))
+    }
+    assert f"run_id={orphan_run}" not in names

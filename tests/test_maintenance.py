@@ -84,3 +84,171 @@ def test_vacuum_removes_leftovers_keeps_orphans(spark, tmp_path):
     assert not os.path.exists(wh.path("live") + "__tmp__")
     assert os.path.exists(wh.path("lost") + "__old__")
     assert spark.read.parquet(wh.path("live")).count() == 10
+
+
+# ---------------------------------------------------------------------
+# persisted-index compaction (r11 verdict #1): daily appends fragment
+# the index directories one file set per day; compact_index must
+# rewrite them key-sorted with results byte-identical pre/post.
+
+
+def _quantized(spark):
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+
+    return (
+        S.quantize(
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        )
+        .filter(F.col("norm2") > 0)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _part_files(spark, d):
+    return [
+        f
+        for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+
+
+def test_compact_vector_band_index_probe_identical(spark, tmp_path):
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+    from samba_tv_ingest_etl_spark.plans.maintenance import compact_index
+
+    q = _quantized(spark)
+    probes = q.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "vband")
+    # bootstrap + 3 daily appends -> 4 file sets per band partition
+    S.write_vector_band_index(q.filter(F.col("vec_id") % 4 == 0), path)
+    for m in (1, 2, 3):
+        S.append_vector_band_index(q.filter(F.col("vec_id") % 4 == m), path)
+    key = lambda r: tuple(r)  # noqa: E731
+    want = sorted(
+        map(key, S.topk_lsh_banded_indexed(spark, path, probes, k=10).collect())
+    )
+    frag = len(_part_files(spark, f"{path}/bands/band=0"))
+    assert frag >= 4
+    counts = compact_index(spark, path, "vector_band")
+    assert counts["docs"] > 0 and counts["bands"] == counts["docs"] * 16
+    got = sorted(
+        map(key, S.topk_lsh_banded_indexed(spark, path, probes, k=10).collect())
+    )
+    assert got == want and len(got) > 0
+    assert len(_part_files(spark, f"{path}/bands/band=0")) == 1
+
+
+def test_compact_payload_index_decon_identical(spark, tmp_path):
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+    from samba_tv_ingest_etl_spark.plans.maintenance import compact_index
+
+    q = _quantized(spark)
+    is_eval = F.col("vec_id") % 7 == 0
+    ev = q.filter(is_eval)
+    corp = q.filter(~is_eval).unionByName(
+        ev.select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            "q",
+            "norm2",
+        )
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "payload")
+    S.write_vector_band_index(
+        corp.filter(F.col("vec_id") % 2 == 0), path,
+        planes=32, bands=4, band_payload=True,
+    )
+    S.append_vector_band_index(
+        corp.filter(F.col("vec_id") % 2 == 1), path,
+        planes=32, bands=4, band_payload=True,
+    )
+    key = lambda r: tuple(r)  # noqa: E731
+    dec = lambda: sorted(  # noqa: E731
+        map(
+            key,
+            S.contamination_matches_lsh_indexed(
+                spark, path, ev, threshold_pct=80, planes=32, bands=4
+            ).collect(),
+        )
+    )
+    want = dec()
+    compact_index(spark, path, "vector_band")
+    got = dec()
+    assert got == want and len(got) > 0
+
+
+def test_compact_minhash_index_increment_identical(spark, tmp_path):
+    from samba_tv_ingest_etl_spark.operators import dedup as D
+    from samba_tv_ingest_etl_spark.plans.maintenance import compact_index
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    sh = D.shingle_docs(docs, ngram=3).localCheckpoint(eager=True)
+    batch = sh.filter(F.col("doc_id") % 5 == 4).localCheckpoint(eager=True)
+    path = str(tmp_path / "bindex")
+    D.write_band_index(sh.filter(F.col("doc_id") % 5 == 0), path)
+    for m in (1, 2, 3):
+        signed = D.minhash_signatures(
+            sh.filter(
+                (F.col("doc_id") % 5 == m) & (F.col("set_size") > 0)
+            ),
+            hash_mode="sha2",
+        )
+        D.append_band_index(signed, path)
+    surv = lambda: sorted(  # noqa: E731
+        r["doc_id"]
+        for r in D.dedup_increment_against_index(
+            batch, path, append=False
+        ).collect()
+    )
+    want = surv()
+    compact_index(spark, path, "minhash_band")
+    got = surv()
+    assert got == want and len(got) > 0
+
+
+def test_compact_ivf_index_probe_and_increment_identical(spark, tmp_path):
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+    from samba_tv_ingest_etl_spark.plans.maintenance import compact_index
+
+    q = _quantized(spark).select("vec_id", "q", "norm2")
+    probes = q.filter(F.col("vec_id") < 10)
+    batch = q.filter(F.col("vec_id") % 4 == 3).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(
+        q.filter(F.col("vec_id") % 4 == 0), path,
+        n_centroids=8, iters=2, route_width=4,
+    )
+    for m in (1, 2):
+        S.append_ivf_index(q.filter(F.col("vec_id") % 4 == m), path,
+                           route_width=4)
+    key = lambda r: tuple(r)  # noqa: E731
+    probe = lambda: sorted(  # noqa: E731
+        map(key, S.topk_ivf_indexed(spark, path, probes, k=10).collect())
+    )
+    inc = lambda: sorted(  # noqa: E731
+        r["vec_id"]
+        for r in S.semdedup_increment_against_index(
+            batch, path, threshold_pct=35, route_width=4, append=False
+        ).collect()
+    )
+    want_p, want_i = probe(), inc()
+    compact_index(spark, path, "ivf")
+    assert probe() == want_p and len(want_p) > 0
+    assert inc() == want_i and len(want_i) > 0
+
+
+def test_vacuum_index_removes_leftovers_keeps_orphans(spark, tmp_path):
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+    from samba_tv_ingest_etl_spark.plans.maintenance import vacuum_index
+
+    q = _quantized(spark)
+    path = str(tmp_path / "vband")
+    S.write_vector_band_index(q, path)
+    # a crashed compaction's staging next to a LIVE directory: vacuum
+    os.makedirs(f"{path}/bands__tmp__")
+    # a leftover whose live directory is GONE is the only copy: keep
+    os.rename(f"{path}/docs", f"{path}/docs__old__")
+    removed = vacuum_index(spark, path)
+    assert removed == ["bands__tmp__"]
+    assert os.path.isdir(f"{path}/docs__old__")
