@@ -1216,7 +1216,10 @@ def write_ivf_index(
 
     Layout under ``path``::
 
-        centroids/  (c, cv, cn)                        — the codebook
+        cells/      (c, cv, cn)            — first-level codebook
+                                             (⌈√k⌉ cell centroids)
+        centroids/  cell=<g>/ (c, cv, cn)  — the fine codebook,
+                                             partitioned by cell
         vectors/    cell=<g>/ (vec_id, q, norm2, cluster)
 
     ``vectors/`` is hive-partitioned on the COARSE routing cell
@@ -1243,8 +1246,30 @@ def write_ivf_index(
             corpus_q, k=n_centroids, iters=iters, dim=dim,
             train_sample=train_sample,
         )
+    # hierarchical codebook at rest (r11 verdict #4): centroids/ is
+    # hive-partitioned on the coarse cell and cells/ persists the
+    # first-level (cell-centroid) codebook, so consumers that know
+    # their cells (hier probe/append) read O(√k) rows driver-side
+    # instead of collecting the flat codebook — the successor
+    # MAX_CODEBOOK_ROWS names. coarse_route is a pure function of
+    # the codebook, so both levels are derivable and deterministic.
+    coarse, cell_of = coarse_route(cents)
+    cdf = _centroid_df(spark, cents)
+    cmap = spark.createDataFrame(
+        sorted(cell_of.items()), "c long, cell long"
+    )
     writer.atomic_overwrite(
-        _centroid_df(spark, cents), path.rstrip("/") + "/centroids"
+        cdf.join(F.broadcast(cmap), "c").repartition("cell"),
+        path.rstrip("/") + "/centroids",
+        partition_by=["cell"],
+    )
+    # no coalesce(1): coalescing a Python-local relation drains every
+    # pickled partition through one Python-runner task (~4-5 s,
+    # measured r12); repartition(1) shuffles it down to one file with
+    # the map side running on warmed parallel workers instead
+    writer.atomic_overwrite(
+        _centroid_df(spark, coarse).repartition(1),
+        path.rstrip("/") + "/cells",
     )
     writer.atomic_overwrite(
         _with_cell(_assign_with(corpus_q, cents, route_width), cents)
@@ -1353,10 +1378,11 @@ def read_ivf_index(
         raise ValueError(
             f"IVF codebook at {p} has {n_cents:,} centroids, over "
             f"MAX_CODEBOOK_ROWS={MAX_CODEBOOK_ROWS:,} (~0.5 GiB of "
-            "driver memory): a flat codebook this large must become "
-            "hierarchical — persist the coarse cells as a first "
-            "level and read per-cell sub-codebooks on demand — or "
-            "retrain with a larger per-cluster target."
+            "driver memory): use the hierarchical consumers "
+            "(topk_ivf_indexed_hier / append_ivf_index_hier), which "
+            "read the persisted cells/ level plus only the probed "
+            "cells' sub-codebooks — or retrain with a larger "
+            "per-cluster target."
         )
     cents = {
         int(r["c"]): [int(v) for v in r["cv"]] for r in cdf.collect()
@@ -1455,6 +1481,181 @@ def topk_ivf_indexed(
         queries_q,
         k,
         nprobe,
+    )
+
+
+def read_ivf_cells(spark, path: str) -> dict[int, list[int]]:
+    """The persisted FIRST-LEVEL codebook (coarse cell centroids) —
+    an O(√k) collect by construction (``derived_coarse_count``), so
+    it stays driver-material long after the flat codebook hits
+    ``MAX_CODEBOOK_ROWS`` (√1e9 ≈ 32k rows ≈ 16 MB). Raises a named
+    error on a pre-hierarchical index (written before cells/ was
+    part of the layout) instead of a path-not-found surprise."""
+    p = path.rstrip("/") + "/cells"
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(p)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise ValueError(
+            f"IVF index at {path} has no cells/ level: it was "
+            "written before the hierarchical layout existed — "
+            "rewrite it with write_ivf_index (same codebook via "
+            "cents=read_ivf_index(...)[0]) to use the hierarchical "
+            "consumers."
+        )
+    return {
+        int(r["c"]): [int(v) for v in r["cv"]]
+        for r in spark.read.parquet(p).collect()
+    }
+
+
+def _read_sub_codebook(
+    spark, path: str, cells: list[int]
+) -> tuple[dict[int, list[int]], dict[int, int]]:
+    """(cents, cell_of) for ONLY the given cells — the on-demand
+    second level: a partition-pruned read of ``centroids/`` (the
+    cell filter is a literal ``IN`` up to ``ISIN_LITERAL_CAP`` so
+    the file listing prunes to the probed directories; past the cap
+    a broadcast semi-join keeps codegen bounded — at that width the
+    read is a large fraction of the codebook anyway). The collect is
+    guarded by the same ``MAX_CODEBOOK_ROWS`` driver contract; with
+    cells bounded by |queries|·probe_width the pull is
+    O(probed cells · k/√k) = O(√k) per probe batch."""
+    p = path.rstrip("/") + "/centroids"
+    cell_ids = sorted({int(g) for g in cells})
+    cdf = spark.read.parquet(p).withColumn(
+        "cell", F.col("cell").cast("long")
+    )
+    if len(cell_ids) <= ISIN_LITERAL_CAP:
+        sub = cdf.filter(F.col("cell").isin(cell_ids))
+    else:
+        gdf = spark.createDataFrame(
+            [(g,) for g in cell_ids], "cell long"
+        )
+        sub = cdf.join(F.broadcast(gdf), "cell", "left_semi")
+    n = sub.count()
+    if n > MAX_CODEBOOK_ROWS:
+        raise ValueError(
+            f"probed sub-codebook at {p} has {n:,} centroids across "
+            f"{len(cell_ids)} cells, over MAX_CODEBOOK_ROWS="
+            f"{MAX_CODEBOOK_ROWS:,}: narrow the probe width or "
+            "retrain with a larger per-cluster target."
+        )
+    rows = sub.collect()
+    return (
+        {int(r["c"]): [int(v) for v in r["cv"]] for r in rows},
+        {int(r["c"]): int(r["cell"]) for r in rows},
+    )
+
+
+def _nearest_ids(queries_q: DataFrame, cdf: DataFrame, n: int) -> list[int]:
+    """Distinct ids of each query's ``n`` nearest codebook rows —
+    the (dist, id) ordering shared with assignment tie-breaks.
+    Bounded collect: |queries| · n ids."""
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("c"))
+    return [
+        r["c"]
+        for r in (
+            queries_q.crossJoin(F.broadcast(cdf))
+            .withColumn("d", _join_dist())
+            .withColumn("_pr", F.row_number().over(pw))
+            .filter(F.col("_pr") <= n)
+            .select("c")
+            .distinct()
+            .collect()
+        )
+    ]
+
+
+def topk_ivf_indexed_hier(
+    spark,
+    path: str,
+    queries_q: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    probe_cells: int | None = 4,
+) -> DataFrame:
+    """``topk_ivf_indexed`` with O(√k) driver pulls — the true-fleet
+    probe path past ``MAX_CODEBOOK_ROWS`` (r11 verdict #4): instead
+    of collecting the FLAT codebook (O(k) — the last driver-side
+    ceiling in the ANN family at k ∝ n), route each query through
+    the persisted ``cells/`` level (O(√k) collect), read ONLY the
+    routed cells' sub-codebooks (partition-pruned ``centroids/``
+    read, O(probe_cells·√k) rows), pick the nprobe nearest centroids
+    among them, and scan the probed clusters through the shared
+    ``_probe_topk`` stage.
+
+    Exactness contract: identical to the flat probe whenever each
+    query's true nprobe nearest centroids lie inside its
+    ``probe_cells`` nearest cells — guaranteed at ``probe_cells=None``
+    (route through ALL cells: the centroid pool collected is then
+    exactly the probed clusters' cells' and the selection math is
+    identical), and the standard IVF routing approximation otherwise,
+    the same trade ``_assign_pandas_routed`` already makes (and the
+    same knob: width). q140 pins the shipped config against q32's
+    oracle; ``tests/test_ivf_index.py`` pins the all-cells identity
+    plus the bounded-pull contract."""
+    cells_cb = read_ivf_cells(spark, path)
+    gdf = _centroid_df(spark, cells_cb)
+    width = len(cells_cb) if probe_cells is None else probe_cells
+    routed = _nearest_ids(queries_q, gdf, width)
+    cents_sub, cell_of_sub = _read_sub_codebook(spark, path, routed)
+    cdf = _centroid_df(spark, cents_sub)
+    probed = _nearest_ids(queries_q, cdf, nprobe)
+    cells = sorted({cell_of_sub[c] for c in probed})
+    vectors = spark.read.parquet(
+        path.rstrip("/") + "/vectors"
+    ).withColumn("cell", F.col("cell").cast("long"))
+    # dropDuplicates(vec_id): replayed-append neutrality, same as the
+    # flat probe (see topk_ivf_indexed)
+    return _probe_topk(
+        cdf,
+        _prune_to_clusters(vectors, cells, probed).dropDuplicates(
+            ["vec_id"]
+        ),
+        queries_q,
+        k,
+        nprobe,
+    )
+
+
+def append_ivf_index_hier(
+    new_q: DataFrame,
+    path: str,
+    route_width: int = 4,
+) -> None:
+    """``append_ivf_index`` with O(√k) driver pulls: route the batch
+    through the persisted ``cells/`` level, read only the routed
+    cells' sub-codebooks, and assign with the SAME routed kernel —
+    bit-identical to ``append_ivf_index`` at the same ``route_width``
+    BY CONSTRUCTION, not by luck: ``_assign_pandas_routed`` only ever
+    scores centroids inside a row's ``route_width`` nearest cells,
+    and the sub-codebook read covers exactly the union of the batch's
+    routed cells, so restricting the dict changes nothing the kernel
+    looks at (pinned by ``tests/test_ivf_index.py``). Driver memory:
+    O(√k) cells + O(routed cells · √k) sub-centroids, vs the flat
+    append's O(k) codebook collect. Same replay semantics as the
+    flat append (duplicate rows are consumer-neutralized)."""
+    from ..sources import writer
+
+    spark = new_q.sparkSession
+    cells_cb = read_ivf_cells(spark, path)
+    gdf = _centroid_df(spark, cells_cb)
+    routed = _nearest_ids(new_q, gdf, min(route_width, len(cells_cb)))
+    cents_sub, cell_of_sub = _read_sub_codebook(spark, path, routed)
+    assigned = _assign_pandas_routed(
+        new_q, cents_sub, (cells_cb, cell_of_sub), route_width,
+        keep=["q", "norm2"],
+    )
+    m = spark.createDataFrame(
+        sorted(cell_of_sub.items()), "cluster long, cell long"
+    )
+    writer.append(
+        assigned.join(F.broadcast(m), "cluster").repartition("cell"),
+        path.rstrip("/") + "/vectors",
+        partition_by=["cell"],
     )
 
 

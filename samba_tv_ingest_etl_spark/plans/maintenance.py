@@ -115,7 +115,8 @@ INDEX_LAYOUTS: dict[str, list[tuple[str, list[str] | None, list[str] | None]]] =
         ("bands", ["band"], ["key"]),
     ],
     "ivf": [
-        ("centroids", None, None),
+        ("cells", None, None),
+        ("centroids", ["cell"], ["c"]),
         ("vectors", ["cell"], ["cluster"]),
     ],
 }

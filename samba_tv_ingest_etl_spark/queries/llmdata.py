@@ -5846,3 +5846,46 @@ def q139_semantic_decon_appended_index(
         threshold_pct=_SEM_PCT,
         planes=_SEM_PLANES, bands=_SEM_BANDS, dim=_DIM,
     )
+
+
+# ---------------------------------------------------------------- q140
+
+
+@query("q140_ivf_hier_codebook_probe", oracle=_ivf_oracle())
+def q140_ivf_hier_codebook_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q133 through the HIERARCHICAL codebook (r11 verdict #4): the
+    probe routes each query through the persisted cells/ first level
+    (an O(√k) collect) and reads only the routed cells' sub-codebooks
+    from the cell-partitioned centroids/ — driver memory is O(√k)
+    instead of the flat O(k) collect that MAX_CODEBOOK_ROWS guards,
+    the last driver-side ceiling in the ANN family at k ∝ n. Shares
+    q32's oracle VERBATIM: at the shipped probe width the routed
+    cells cover each query's true nprobe nearest centroids on this
+    corpus, so the hash match pins the two-level layout (cells/,
+    cell-partitioned centroids/) AND the routed selection end to end;
+    the unconditional all-cells identity is pinned separately by
+    tests/test_ivf_index.py."""
+    import tempfile
+
+    from ..operators.similarity import (
+        derived_cluster_count,
+        topk_ivf_indexed_hier,
+        write_ivf_index,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    q = _embeddings_q(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="q140_ivf_hier_")
+    write_ivf_index(
+        q, path,
+        n_centroids=derived_cluster_count(n, _IVF_KMIN, _IVF_TARGET),
+        iters=_IVF_ITERS, dim=_DIM, train_sample=_IVF_SAMPLE,
+        route_width=_ROUTE_WIDTH,
+    )
+    out = topk_ivf_indexed_hier(
+        spark, path, q.filter(F.col("vec_id") < 10),
+        k=10, nprobe=_IVF_NPROBE, probe_cells=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -252,3 +252,103 @@ def test_semdedup_increment_replay_identical(spark, tmp_path):
         ).collect()
     )
     assert replay == first
+
+
+# ---------------------------------------------------------------------
+# hierarchical codebook (r11 verdict #4): O(√k) driver pulls for probe
+# and append, exactness pinned against the flat paths.
+
+
+def test_hier_probe_all_cells_equals_flat(spark, tmp_path):
+    """probe_cells=None routes through ALL cells, so the sub-codebook
+    union is the full codebook and the hierarchical probe must equal
+    the flat probe EXACTLY — the pure-plumbing identity that holds on
+    any data."""
+    q = _corpus(spark)
+    probes = q.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(q, path, n_centroids=8, iters=2, route_width=4)
+    flat = _rows(S.topk_ivf_indexed(spark, path, probes, k=10, nprobe=2))
+    hier = _rows(
+        S.topk_ivf_indexed_hier(
+            spark, path, probes, k=10, nprobe=2, probe_cells=None
+        )
+    )
+    assert hier == flat and len(flat) > 0
+
+
+def test_hier_probe_shipped_width_equals_flat(spark, tmp_path):
+    """At the shipped probe width the routed cells must cover the
+    true nprobe nearest centroids on the test corpus — the
+    data-dependent equality q140 also pins through DuckDB."""
+    q = _corpus(spark)
+    probes = q.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(q, path, n_centroids=8, iters=2, route_width=4)
+    flat = _rows(S.topk_ivf_indexed(spark, path, probes, k=10, nprobe=2))
+    hier = _rows(
+        S.topk_ivf_indexed_hier(
+            spark, path, probes, k=10, nprobe=2, probe_cells=4
+        )
+    )
+    assert hier == flat and len(flat) > 0
+
+
+def test_hier_sub_codebook_reads_only_probed_cells(spark, tmp_path):
+    """The driver-memory contract: _read_sub_codebook must return
+    centroids of exactly the requested cells, never the flat
+    codebook."""
+    q = _corpus(spark)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(q, path, n_centroids=8, iters=2, route_width=4)
+    cents_full, _ = S.read_ivf_index(spark, path)
+    _, cell_of = S.coarse_route(cents_full)
+    some_cell = min(cell_of.values())
+    sub, sub_cells = S._read_sub_codebook(spark, path, [some_cell])
+    assert set(sub_cells.values()) == {some_cell}
+    assert set(sub) == {c for c, g in cell_of.items() if g == some_cell}
+    assert 0 < len(sub) < len(cents_full)
+
+
+def test_hier_append_equals_flat_append(spark, tmp_path):
+    """append_ivf_index_hier must land bit-identical vectors/ rows to
+    the flat append at the same route_width: the routed kernel only
+    scores centroids in a row's routed cells, which the sub-codebook
+    read covers exactly."""
+    q = _corpus(spark)
+    probes = q.filter(F.col("vec_id") < 10)
+    half1 = q.filter(F.col("vec_id") % 2 == 0)
+    half2 = q.filter(F.col("vec_id") % 2 == 1)
+    flat_p = str(tmp_path / "flat")
+    hier_p = str(tmp_path / "hier")
+    cents = S.kmeans_centroids(q, k=8, iters=2, train_sample=(1, 4))
+    S.write_ivf_index(half1, flat_p, cents=cents, route_width=4)
+    S.write_ivf_index(half1, hier_p, cents=cents, route_width=4)
+    S.append_ivf_index(half2, flat_p, route_width=4)
+    S.append_ivf_index_hier(half2, hier_p, route_width=4)
+    key = lambda r: (r["vec_id"], r["cluster"], r["cell"])  # noqa: E731
+    got = sorted(
+        map(key, spark.read.parquet(hier_p + "/vectors").collect())
+    )
+    want = sorted(
+        map(key, spark.read.parquet(flat_p + "/vectors").collect())
+    )
+    assert got == want and len(got) > 0
+    assert _rows(
+        S.topk_ivf_indexed(spark, hier_p, probes, k=10, nprobe=2)
+    ) == _rows(S.topk_ivf_indexed(spark, flat_p, probes, k=10, nprobe=2))
+
+
+def test_hier_requires_cells_level(spark, tmp_path):
+    """A pre-hierarchical index (no cells/) must raise a named error
+    pointing at the rebuild path, not a path-not-found surprise."""
+    import shutil
+
+    import pytest
+
+    q = _corpus(spark)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(q, path, n_centroids=8, iters=2, route_width=4)
+    shutil.rmtree(path + "/cells")
+    with pytest.raises(ValueError, match="cells/"):
+        S.topk_ivf_indexed_hier(spark, path, q.filter(F.col("vec_id") < 2))
