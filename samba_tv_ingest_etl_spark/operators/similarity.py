@@ -2290,6 +2290,7 @@ def contamination_matches_lsh_indexed(
     bands: int = 4,
     dim: int = 64,
     max_eval_rows: int = EVAL_BROADCAST_BUDGET_ROWS,
+    push_key_literals: bool = True,
 ) -> DataFrame:
     """``contamination_matches_lsh`` with the corpus side read AT
     REST — the last inline ANN/dedup surface moved off the per-call
@@ -2323,7 +2324,13 @@ def contamination_matches_lsh_indexed(
     result-neutral here with no extra dedup. Output contract
     identical to ``contamination_matches_lsh`` (shares its oracle);
     a slim index (written without ``band_payload``) raises a named
-    error instead of a missing-column surprise."""
+    error instead of a missing-column surprise.
+
+    ``push_key_literals=False`` disables the key-literal pushdown —
+    an A/B knob for ``tools/increment_cost.py --kind decon_sparse``
+    (the filter is an optimization, never needed for correctness:
+    the band+key join stays exact either way), so the sparse-eval
+    pruning claim is measured instead of argued."""
     _check_band_identity(spark, path, planes, bands, band_payload=True)
     docs, band_rows = read_vector_band_index(spark, path)
     missing = {"q", "norm2"} - set(band_rows.columns)
@@ -2350,7 +2357,7 @@ def contamination_matches_lsh_indexed(
         {r["key"] for r in ev_keys.select("key").distinct().collect()}
     )
     bscan = band_rows
-    if len(probed_keys) <= ISIN_LITERAL_CAP:
+    if push_key_literals and len(probed_keys) <= ISIN_LITERAL_CAP:
         bscan = bscan.filter(F.col("key").isin(probed_keys))
     dot = _dot(F.col("q"), F.col("q_e"))
     pct2 = threshold_pct * threshold_pct

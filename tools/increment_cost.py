@@ -28,6 +28,15 @@ Three kinds, one protocol each (fixed work unit, index/corpus grown
   (``topk_ivf_indexed`` vs inline ``topk_ivf``): with derived k the
   probed row count is ~ target · nprobe, constant in corpus size —
   the router's flat path that the banded index hands off to.
+- ``decon`` (r11, SCALING_r11 §5): fixed eval set, growing corpus,
+  semantic decon inline vs the payload band index.
+- ``fragmentation`` (r12): sizes = APPEND COUNTS — probe wall against
+  an N-append fragmented band index vs the same index after
+  ``compact_index`` (content pinned identical by tests).
+- ``decon_sparse`` (r12): sizes = EVAL sizes, fixed corpus — at-rest
+  decon with vs without the key-literal pushdown, plus probed-key
+  counts, measuring where sparse-eval row-group pruning starts to
+  bite.
 
 Best-of-N timing with the bench discipline. Output: markdown table +
 one JSON line for SCALING_r{N}.md.
@@ -364,11 +373,163 @@ def run_decon(spark, args, sizes) -> list[dict]:
     return rows
 
 
+def run_fragmentation(spark, args, sizes) -> list[dict]:
+    """Probe wall against an N-APPEND fragmented band index vs the
+    SAME index compacted (r11 verdict #1's measured row): ``sizes``
+    are append counts here, not corpus sizes — the whole corpus is
+    written as 1 bootstrap + N appends (the daily cadence compressed),
+    so per-band file count grows with N while content is constant,
+    isolating exactly the listing + row-group-overlap cost
+    ``compact_index`` exists to remove. Results are pinned identical
+    pre/post by tests; this measures what that identity COSTS to
+    keep."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+    from samba_tv_ingest_etl_spark.plans.maintenance import (
+        compact_index,
+    )
+
+    q = _vectors(spark, args.sf_dir)
+    ids = sorted(r["vec_id"] for r in q.select("vec_id").collect())
+    probes = q.filter(F.col("vec_id") < 10).localCheckpoint(eager=True)
+    rows = []
+    for n_appends in sizes:
+        bounds = [
+            ids[(len(ids) * (i + 1)) // (n_appends + 1) - 1]
+            for i in range(n_appends)
+        ]
+        path = tempfile.mkdtemp(prefix="inc_cost_frag_")
+        lo = None
+        for i, hi in enumerate(bounds + [None]):
+            part = q
+            if lo is not None:
+                part = part.filter(F.col("vec_id") > lo)
+            if hi is not None:
+                part = part.filter(F.col("vec_id") <= hi)
+            if i == 0:
+                S.write_vector_band_index(part, path)
+            else:
+                S.append_vector_band_index(part, path)
+            lo = hi
+        band0 = f"{path}/bands/band=0"
+        files_before = len(
+            [f for f in _os.listdir(band0) if f.endswith(".parquet")]
+        )
+        t_frag = _best_of(
+            lambda: S.topk_lsh_banded_indexed(
+                spark, path, probes, k=10
+            ).count(),
+            args.runs,
+        )
+        t0 = time.monotonic()
+        compact_index(spark, path, "vector_band")
+        t_compact = time.monotonic() - t0
+        files_after = len(
+            [f for f in _os.listdir(band0) if f.endswith(".parquet")]
+        )
+        t_comp = _best_of(
+            lambda: S.topk_lsh_banded_indexed(
+                spark, path, probes, k=10
+            ).count(),
+            args.runs,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        rows.append(
+            {
+                "appends": n_appends,
+                "corpus_vecs": len(ids),
+                "files_per_band_frag": files_before,
+                "files_per_band_compact": files_after,
+                "probe_frag_s": round(t_frag, 2),
+                "probe_compact_s": round(t_comp, 2),
+                "compact_once_s": round(t_compact, 2),
+            }
+        )
+        print(rows[-1], flush=True)
+    return rows
+
+
+def run_decon_sparse(spark, args, sizes) -> list[dict]:
+    """The sparse-eval pruning claim, measured (r11 verdict #6):
+    SCALING_r11 §5 stated that the payload index's key-literal
+    pushdown prunes the bands/ scan only for SPARSE evals (a
+    benchmark-sized eval covers all 256 key values per band, so the
+    filter passes everything). ``sizes`` are EVAL sizes here; the
+    corpus is fixed at the full sf-dir. Columns: at-rest wall WITH
+    the key pushdown vs WITHOUT it (``push_key_literals=False`` —
+    same join, same output, the filter is optimization-only), plus
+    the probed-key count vs the 256·bands key space, so the
+    crossover where pruning starts to bite is a table, not a
+    docstring clause."""
+    from pyspark.sql import functions as F
+
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+
+    q = _vectors(spark, args.sf_dir)
+    is_eval = F.col("vec_id") % 97 == 0
+    ev_all = q.filter(is_eval).localCheckpoint(eager=True)
+    corp = q.filter(~is_eval).localCheckpoint(eager=True)
+    path = tempfile.mkdtemp(prefix="inc_cost_sparse_")
+    t0 = time.monotonic()
+    S.write_vector_band_index(
+        corp, path, planes=32, bands=4, band_payload=True
+    )
+    t_build = time.monotonic() - t0
+    rows = []
+    for n_eval in sizes:
+        ev = (
+            ev_all.orderBy("vec_id").limit(n_eval)
+            .localCheckpoint(eager=True)
+        )
+        keys = (
+            S.lsh_buckets(ev.select("vec_id", "q", "norm2"), 32, 64)
+            .select(
+                F.posexplode(
+                    F.array(*S._band_keys(32, 4))
+                ).alias("band", "key")
+            )
+            .select("key")
+            .distinct()
+            .count()
+        )
+        t_pruned = _best_of(
+            lambda: S.contamination_matches_lsh_indexed(
+                spark, path, ev, threshold_pct=80, planes=32, bands=4
+            ).count(),
+            args.runs,
+        )
+        t_unpruned = _best_of(
+            lambda: S.contamination_matches_lsh_indexed(
+                spark, path, ev, threshold_pct=80, planes=32, bands=4,
+                push_key_literals=False,
+            ).count(),
+            args.runs,
+        )
+        rows.append(
+            {
+                "eval_vecs": n_eval,
+                "corpus_vecs": corp.count(),
+                "distinct_keys": keys,
+                "key_space": 256,
+                "pruned_s": round(t_pruned, 2),
+                "unpruned_s": round(t_unpruned, 2),
+                "build_once_s": round(t_build, 2),
+            }
+        )
+        print(rows[-1], flush=True)
+    shutil.rmtree(path, ignore_errors=True)
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--kind", default="minhash",
-        choices=["minhash", "ivf", "ann_band", "ivf_probe", "decon"],
+        choices=["minhash", "ivf", "ann_band", "ivf_probe", "decon",
+                 "fragmentation", "decon_sparse"],
     )
     ap.add_argument("--sf-dir", default=".testdata/sf1")
     ap.add_argument("--batch", type=int, default=2000)
@@ -392,6 +553,8 @@ def main() -> None:
         "ann_band": run_ann_band,
         "ivf_probe": run_ivf_probe,
         "decon": run_decon,
+        "fragmentation": run_fragmentation,
+        "decon_sparse": run_decon_sparse,
     }[args.kind]
     _emit(runner(spark, args, sizes), args.sf_dir, args.kind)
 

@@ -105,6 +105,15 @@ def main() -> None:
                     "under measurement)")
     ap.add_argument("--skip-audit", action="store_true")
     ap.add_argument(
+        "--audit-only", action="store_true",
+        help="run ONLY the full-registry plan audit at base+big — no "
+        "timings, no bench-out (r11 verdict #3: the combined "
+        "timings+audit sweep blew its 90-min budget and --skip-audit "
+        "silently dropped audit coverage; this makes the audit a "
+        "separately budgeted pass that can never decay into "
+        "'stands from last round').",
+    )
+    ap.add_argument(
         "--only-extras", action="store_true",
         help="measure ONLY --extra-queries (candidate vetting: a "
         "query needs its 10x row BEFORE joining HEADLINE; the full "
@@ -121,9 +130,25 @@ def main() -> None:
             args.big_sf = float(args.big_label.lstrip("sf"))
         except ValueError:
             args.big_sf = 0.0
+    if args.audit_only and (args.skip_audit or args.only_extras):
+        ap.error("--audit-only conflicts with --skip-audit/--only-extras")
     load_before = round(os.getloadavg()[0], 2)
 
     spark = get_spark("scale-check")
+    if args.audit_only:
+        audit_base = _audit_all(spark, args.base)
+        audit_big = _audit_all(spark, args.big)
+        report = {
+            f"audit_{args.base_label}": audit_base,
+            f"audit_{args.big_label}": audit_big,
+            "audit_new_at_big": _audit_diff(audit_base, audit_big),
+            "loadavg_1m_before": load_before,
+            "loadavg_1m_after": round(os.getloadavg()[0], 2),
+        }
+        if args.report:
+            _write_audit_report(args.report, report, args)
+        print(json.dumps(report, indent=1))
+        return
     registry = Q.registry()
     extras = [q.strip() for q in args.extra_queries.split(",") if q.strip()]
     unknown = [q for q in extras if q not in registry]
@@ -161,18 +186,7 @@ def main() -> None:
         },
         f"audit_{args.base_label}": audit_base,
         f"audit_{args.big_label}": audit_big,
-        "audit_new_at_big": {
-            n: {
-                k: v
-                for k, v in audit_big.get(n, {}).items()
-                if v > audit_base.get(n, {}).get(k, 0)
-            }
-            for n in audit_big
-            if any(
-                v > audit_base.get(n, {}).get(k, 0)
-                for k, v in audit_big.get(n, {}).items()
-            )
-        },
+        "audit_new_at_big": _audit_diff(audit_base, audit_big),
     }
     load_after = round(os.getloadavg()[0], 2)
     report["loadavg_1m_before"] = load_before
@@ -196,6 +210,58 @@ def main() -> None:
     if args.report:
         _write_report(args.report, report, args)
     print(json.dumps(report, indent=1))
+
+
+def _audit_diff(
+    audit_base: dict[str, dict[str, int]],
+    audit_big: dict[str, dict[str, int]],
+) -> dict[str, dict[str, int]]:
+    """Findings whose count GREW at the big size — the super-linear
+    plan-shape signal the sweep exists to catch."""
+    return {
+        n: {
+            k: v
+            for k, v in audit_big.get(n, {}).items()
+            if v > audit_base.get(n, {}).get(k, 0)
+        }
+        for n in audit_big
+        if any(
+            v > audit_base.get(n, {}).get(k, 0)
+            for k, v in audit_big.get(n, {}).items()
+        )
+    }
+
+
+def _write_audit_report(path: str, report: dict, args) -> None:
+    """Markdown for an --audit-only pass: full-registry audit diff,
+    no timing table (timings come from a separate budget-sized
+    run)."""
+    base, big = args.base_label, args.big_label
+    n_queries = len(Q.registry())
+    lines = [
+        f"# Plan audit: {base} -> {big}, full registry "
+        f"({n_queries} queries), audit-only pass",
+        "",
+        f"- data: `{args.base}` vs `{args.big}`",
+        f"- loadavg(1m) before/after: {report['loadavg_1m_before']} / "
+        f"{report['loadavg_1m_after']} (audit is plan-shape only — "
+        "load cannot change findings)",
+        "",
+        f"## New warn/error findings at {big}",
+        "",
+    ]
+    new = report.get("audit_new_at_big") or {}
+    if not new:
+        lines.append(
+            f"No NEW warn/error-level plan findings at {big} — every "
+            "registered query audits the same at 10x."
+        )
+    else:
+        for n, counts in sorted(new.items()):
+            lines.append(f"- **{n}**: {counts}")
+    lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
 
 
 def _write_report(path: str, report: dict, args) -> None:
