@@ -86,6 +86,25 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list")
 
+    mt = sub.add_parser(
+        "maintain",
+        help="compaction + vacuum for warehouse tables and persisted "
+        "indexes (the nightly-maintenance surface)",
+    )
+    mt.add_argument("--warehouse", default=None)
+    mt.add_argument("--table", default=None)
+    mt.add_argument("--partition", default=None,
+                    help="single hive partition value to compact")
+    mt.add_argument("--index", default=None,
+                    help="persisted index root (band/IVF layouts)")
+    mt.add_argument("--kind", default=None,
+                    choices=["minhash_band", "vector_band", "ivf"])
+    mt.add_argument("--target-files", type=int, default=1)
+    mt.add_argument("--vacuum", action="store_true",
+                    help="remove __tmp__/__old__ crash leftovers")
+    mt.add_argument("--scale-layout", action="store_true")
+    mt.add_argument("--manifest", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "list":
@@ -96,6 +115,48 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = _spark(args.cpus)
+
+    if args.cmd == "maintain":
+        from .plans.maintenance import (
+            compact_index,
+            compact_table,
+            vacuum_index,
+            vacuum_warehouse,
+        )
+
+        if bool(args.warehouse) == bool(args.index):
+            print("maintain: exactly one of --warehouse/--index",
+                  file=sys.stderr)
+            return 2
+        if args.index:
+            if args.vacuum:
+                print(f"vacuumed: {vacuum_index(spark, args.index)}")
+            if args.kind:
+                counts = compact_index(
+                    spark, args.index, args.kind, args.target_files
+                )
+                print(f"compacted {args.index} ({args.kind}): {counts}")
+            elif not args.vacuum:
+                print("maintain --index needs --kind and/or --vacuum",
+                      file=sys.stderr)
+                return 2
+            return 0
+        wh = _warehouse(
+            spark, args.warehouse, args.scale_layout, args.manifest
+        )
+        if args.vacuum:
+            print(f"vacuumed: {vacuum_warehouse(wh)}")
+        if args.table:
+            n = compact_table(
+                wh, args.table, partition_value=args.partition,
+                target_files=args.target_files,
+            )
+            print(f"compacted {args.table}: {n} rows")
+        elif not args.vacuum:
+            print("maintain --warehouse needs --table and/or --vacuum",
+                  file=sys.stderr)
+            return 2
+        return 0
 
     if args.cmd == "metrics":
         from .operators.metrics import reach_frequency

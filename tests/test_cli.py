@@ -52,3 +52,40 @@ def test_backfill_then_incremental(tmp_path, scale, spark):
         os.path.join(wh, "viewing_sessions")
     ).count()
     assert n2 >= 0
+
+
+def test_maintain_index_command(tmp_path, spark, capsys):
+    """maintain --index compacts a fragmented band index through the
+    CLI (wiring; byte-identity is test_maintenance's job) and
+    --vacuum clears crash leftovers."""
+    import pyspark.sql.functions as F
+
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+
+    q = (
+        S.quantize(spark.read.parquet(SF_DIR + "/embeddings.parquet"))
+        .filter(F.col("norm2") > 0)
+    )
+    path = str(tmp_path / "vband")
+    S.write_vector_band_index(q.filter(F.col("vec_id") % 2 == 0), path)
+    S.append_vector_band_index(q.filter(F.col("vec_id") % 2 == 1), path)
+    os.makedirs(path + "/bands__tmp__")
+    rc = main(
+        ["maintain", "--index", path, "--kind", "vector_band",
+         "--vacuum"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "bands__tmp__" in out and "compacted" in out
+    assert not os.path.isdir(path + "/bands__tmp__")
+    files = [
+        f
+        for f in os.listdir(path + "/bands/band=0")
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
+
+
+def test_maintain_argument_validation():
+    assert main(["maintain"]) == 2
+    assert main(["maintain", "--warehouse", "/tmp/x", "--index", "/tmp/y"]) == 2
