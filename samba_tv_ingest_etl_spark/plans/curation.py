@@ -361,6 +361,41 @@ class CurationDag:
         end to end."""
         return self.build_dag().run()
 
+    def maintain(self, target_files: int = 1) -> dict[str, object]:
+        """Nightly maintenance for the pipeline's own storage — the
+        reference's scheduled-task cadence applied to the engine's
+        metadata: compact the band index (daily appends fragment
+        bands/ one file set per day, eroding exactly the pruning the
+        dedup increment reads through), squash the load ledger and
+        run manifest (one small file per day each), and vacuum crash
+        leftovers. Content-preserving end to end: curated() and the
+        NEXT increment are byte-identical pre/post (pinned by
+        tests/test_curation_dag.py). Run between passes — same
+        single-writer assumption as the dedup stage."""
+        from ..sources.writer import atomic_overwrite
+        from .maintenance import compact_index, vacuum_index
+
+        out: dict[str, object] = {}
+        if self._index_exists():
+            out["index"] = compact_index(
+                self.spark, self.index_path, "minhash_band",
+                target_files,
+            )
+            out["index_vacuumed"] = vacuum_index(
+                self.spark, self.index_path
+            )
+        fs, jpath = self._fs()
+        for name, p in (
+            ("ledger", self.ledger_path),
+            ("runs", self.runs_path),
+        ):
+            if not fs.exists(jpath(p)):
+                continue
+            df = self.spark.read.parquet(p)
+            atomic_overwrite(df.repartition(1), p)
+            out[name] = self.spark.read.parquet(p).count()
+        return out
+
     def curated(self) -> DataFrame:
         """The accumulated curated pool (doc_id, n_tokens, n_kept) —
         COMMITTED runs only: the left-semi against the run manifest

@@ -240,3 +240,36 @@ def test_drifting_replay_no_duplicates(spark, tmp_path):
         for s in fs.listStatus(jpath(dag.curated_path))
     }
     assert f"run_id={orphan_run}" not in names
+
+
+def test_maintain_preserves_results(spark, tmp_path):
+    """Nightly maintenance (index compaction + ledger/manifest squash
+    + vacuum) between daily passes must change NOTHING observable:
+    curated() identical before/after, and the next increment lands
+    the same rows a maintenance-free twin lands."""
+    train = _train(spark).localCheckpoint(eager=True)
+    ids = sorted(r["doc_id"] for r in train.select("doc_id").collect())
+    b1, b2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+
+    plain = _run_days(spark, str(tmp_path / "plain"), train, [b1, b2])
+    want = _curated_rows(plain)
+
+    root = str(tmp_path / "maint")
+    dag = CurationDag(spark, root, _eval_toks(spark))
+    lo = None
+    for i, hi in enumerate([b1, b2, None]):
+        b = train
+        if lo is not None:
+            b = b.filter(F.col("doc_id") > lo)
+        if hi is not None:
+            b = b.filter(F.col("doc_id") <= hi)
+        b.write.mode("overwrite").parquet(f"{root}/stage/day{i}")
+        dag.run_once()
+        before = _curated_rows(dag)
+        out = dag.maintain()
+        assert "index" in out
+        assert _curated_rows(dag) == before
+        lo = hi
+    assert _curated_rows(dag) == want and len(want) > 0
+    # the squashed ledger still gates re-ingest: a re-run is a no-op
+    assert dag.run_once()["curation_ingest"] == 0
