@@ -72,6 +72,11 @@ HEADLINE = [
     # precedent (whole-DAG replay per call: a composition surface,
     # not a throughput one)
     "q136_ann_banded_index_persisted",
+    # r12 joiner — sf1->sf10 gate row 3.17x (SCALING_r12.md) BEFORE
+    # joining: the hierarchical-codebook probe, the O(sqrt(k))
+    # driver path past MAX_CODEBOOK_ROWS. q139 measured there too
+    # but stays out (append variant, the q134 precedent)
+    "q140_ivf_hier_codebook_probe",
 ]
 
 # a query's samples must agree within this max/min ratio (best 3 of

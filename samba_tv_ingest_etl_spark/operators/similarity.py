@@ -2357,7 +2357,21 @@ def contamination_matches_lsh_indexed(
         {r["key"] for r in ev_keys.select("key").distinct().collect()}
     )
     bscan = band_rows
-    if push_key_literals and len(probed_keys) <= ISIN_LITERAL_CAP:
+    # coverage gate, measured (SCALING_r12 decon_sparse at sf10): the
+    # pushdown wins ~13% at 59% key coverage (100-item eval), is
+    # neutral once the eval saturates the key space, and LOSES ~15%
+    # at 91% coverage — a 253-literal IN predicate evaluated per
+    # posting-list row costs more than the 9% of row groups it could
+    # skip. So the filter ships only while the probed keys cover
+    # <= 3/4 of the key space (between the measured win and loss
+    # points); correctness never depends on it (the band+key join is
+    # exact either way).
+    key_space = 1 << (planes // bands)
+    if (
+        push_key_literals
+        and len(probed_keys) <= ISIN_LITERAL_CAP
+        and 4 * len(probed_keys) <= 3 * key_space
+    ):
         bscan = bscan.filter(F.col("key").isin(probed_keys))
     dot = _dot(F.col("q"), F.col("q_e"))
     pct2 = threshold_pct * threshold_pct
