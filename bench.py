@@ -89,6 +89,27 @@ def _best3_spread(samples: list[float]) -> float:
     return max(best) / max(min(best), 1e-9)
 
 
+def host_speed_canary(spark, runs: int = 3) -> float:
+    """Fixed CPU-bound JVM reference job (no shuffle, no Python, no
+    I/O): min-of-N seconds for a deterministic 20B-row codegen sum (~1-2 s idle).
+    Round-over-round, the canary ratio calibrates BOX speed — the
+    failure mode the loadavg gate cannot see (r12 finding: guest
+    loadavg 0.0 and per-query spreads under 1.1 while the host ran
+    ~25% slower than five hours earlier — q22, untouched code,
+    1.93 s -> 2.42 s; the canary makes that visible in the artifact
+    instead of reading as an engine regression)."""
+    import time as _t
+
+    best = float("inf")
+    for _ in range(runs):
+        t0 = _t.perf_counter()
+        spark.range(0, 20_000_000_000, 1, 32).selectExpr(
+            "sum(id % 1000003) AS s"
+        ).collect()
+        best = min(best, _t.perf_counter() - t0)
+    return best
+
+
 def sample_query(
     spark, fn, sf_dir: str, runs: int = 3, max_samples: int = 12
 ) -> tuple[float, float, bool]:
@@ -160,6 +181,7 @@ def main() -> None:
     spark.range(1000).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    canary = round(host_speed_canary(spark), 3)
 
     # Per query: warm + spread-disciplined best-of sampling
     # (``sample_query`` — shared with tools/scale_check.py so every
@@ -196,6 +218,10 @@ def main() -> None:
         "loadavg_1m_before": round(load_before[0], 2),
         "loadavg_1m_after": round(load_after[0], 2),
         "contended": contended,
+        # fixed CPU-bound JVM reference (host_speed_canary): compare
+        # across artifacts to separate box-speed drift from engine
+        # regressions — loadavg cannot see host-level throttling
+        "canary_sec": canary,
         "spread": spreads,
         "noisy": sorted(noisy),
     }
@@ -212,7 +238,7 @@ def main() -> None:
         k: out[k]
         for k in (
             "metric", "value", "unit", "queries", "sf", "contended",
-            "noisy",
+            "canary_sec", "noisy",
         )
     }
     line = json.dumps(compact, separators=(",", ":"))

@@ -35,7 +35,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE, sample_query  # noqa: E402
+from bench import HEADLINE, host_speed_canary, sample_query  # noqa: E402
 from samba_tv_ingest_etl_spark import queries as Q  # noqa: E402
 from samba_tv_ingest_etl_spark.plans.audit import audit_plan  # noqa: E402
 from samba_tv_ingest_etl_spark.session import get_spark  # noqa: E402
@@ -202,6 +202,10 @@ def main() -> None:
         "contended": load_before > float(
             os.environ.get("SPARK_GRAFT_LOAD_GATE", "3.0")
         ),
+        # box-speed reference (bench.host_speed_canary): calibrates
+        # round-over-round comparisons against host-level throttling
+        # the guest loadavg cannot see
+        "canary_sec": round(host_speed_canary(spark), 3),
         "spread": spread_big,
         "noisy": sorted(noisy_big),
     }
