@@ -100,6 +100,10 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--kind", default=None,
                     choices=["minhash_band", "vector_band", "ivf"])
     mt.add_argument("--target-files", type=int, default=1)
+    mt.add_argument("--only-if-over", type=int, default=None,
+                    help="fragmentation gate: rewrite a partition "
+                    "only when its data-file count exceeds this "
+                    "(default: unconditional)")
     mt.add_argument("--vacuum", action="store_true",
                     help="remove __tmp__/__old__ crash leftovers")
     mt.add_argument("--scale-layout", action="store_true")
@@ -133,7 +137,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"vacuumed: {vacuum_index(spark, args.index)}")
             if args.kind:
                 counts = compact_index(
-                    spark, args.index, args.kind, args.target_files
+                    spark, args.index, args.kind, args.target_files,
+                    only_if_over=args.only_if_over,
                 )
                 print(f"compacted {args.index} ({args.kind}): {counts}")
             elif not args.vacuum:

@@ -243,24 +243,99 @@ class CurationDag:
     #     to curated() (left-semi on manifest run_ids) and deleted by
     #     the next pass's GC;
     #   * a manifest run whose files are ALL ledger-unrecorded and
-    #     ALL re-ingested by the current pass is a crashed attempt
-    #     the current run fully supersedes — its partition is deleted
-    #     before the manifest records the current run, so at any
-    #     instant at most ONE manifest-visible partition holds a
-    #     given doc (no read-side dedup pass needed);
+    #     OVERLAP the current pass's ingest set is a crashed attempt
+    #     (by the write order, a run with NO ledgered file never
+    #     committed) that the current run supersedes — its partition
+    #     is deleted before the manifest records the current run, so
+    #     at any instant at most ONE manifest-visible partition holds
+    #     a given doc (no read-side dedup pass needed). Overlap, not
+    #     subset (r12 advice): if some of the crashed attempt's
+    #     staged files disappeared before the replay, the narrower
+    #     replay still supersedes it — a subset test would strand the
+    #     orphan manifest-visible while the replay re-lands its
+    #     surviving files' docs (a double count). A zero-overlap
+    #     unledgered run (ALL its files vanished) stays visible —
+    #     its docs exist nowhere else, so nothing double-counts —
+    #     and self-heals if the files ever reappear in the stage:
+    #     they are still unledgered, so the pass that re-ingests
+    #     them overlaps and supersedes it then;
     #   * a fully-ledgered run's files can never ALL be unrecorded,
-    #     so GC can never touch committed data.
+    #     so GC can never touch committed data;
+    #   * a store WRITTEN BEFORE the manifest existed has committed
+    #     partitions with no runs/ rows at all — `fr is None` must
+    #     not read as "crashed" for those (r12 advice: the first
+    #     landing under manifest code would silently delete every
+    #     previously committed partition). `_backfill_manifest`
+    #     marks every pre-manifest partition committed (sentinel
+    #     file_path) the first time manifest code touches a store
+    #     that has curated data but no runs/ — after which a missing
+    #     manifest entry can only mean a genuinely crashed attempt.
     # Single-writer assumption as documented on the dedup stage.
 
+    _PREMANIFEST = "__premanifest__"
+
     def _record_run(self, run_id: str, files: list[str]) -> None:
-        # JVM-born rows (range+explode over literals): a Python-local
-        # relation pays a ~4-5 s Python-runner cost per write action
-        self.spark.range(1).select(
-            F.lit(run_id).alias("run_id"),
-            F.explode(F.array(*[F.lit(f) for f in files])).alias(
-                "file_path"
-            ),
-        ).coalesce(1).write.mode("append").parquet(self.runs_path)
+        from ..sources.ledger import literal_strings_frame
+
+        (
+            literal_strings_frame(self.spark, files, "file_path")
+            .select(F.lit(run_id).alias("run_id"), "file_path")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self.runs_path)
+        )
+
+    def _backfill_manifest(self, current_run_id: str) -> list[str]:
+        """First-landing migration for stores created before the run
+        manifest existed: every curated partition already on disk
+        (other than the current run's) predates manifest bookkeeping
+        and therefore has no runs/ row — record each one with the
+        sentinel file path, marking it committed. The sentinel never
+        matches a staged file, so backfilled runs can never satisfy
+        the overlap-supersession test: they are permanently visible,
+        exactly as they were under pre-manifest code. Gated on the
+        LEDGER being non-empty: a committed pre-manifest run always
+        ledgered its files (the ledger write has been last since the
+        beginning), so an empty ledger means the store has never
+        committed anything — its unmanifested partitions are crashed
+        manifest-era attempts (e.g. a first landing that died between
+        the curated write and its manifest record) and must stay
+        GC-eligible, not be grandfathered in. A pre-manifest store
+        that held BOTH committed runs and a crashed attempt gets the
+        attempt backfilled too — indistinguishable without per-run
+        file records, and exactly as visible as pre-manifest code
+        left it. Idempotent by construction (runs only when runs/ is
+        absent). Returns the backfilled run_ids."""
+        from ..sources.ledger import LoadLedger
+
+        fs, jpath = self._fs()
+        if fs.exists(jpath(self.runs_path)):
+            return []
+        if not fs.exists(jpath(self.curated_path)):
+            return []
+        if not LoadLedger(self.spark, self.ledger_path).seen(_FEED):
+            return []
+        rids = []
+        for status in fs.listStatus(jpath(self.curated_path)):
+            name = status.getPath().getName()
+            if not name.startswith("run_id="):
+                continue
+            rid = name.removeprefix("run_id=")
+            if rid != current_run_id:
+                rids.append(rid)
+        if rids:
+            from ..sources.ledger import literal_strings_frame
+
+            (
+                literal_strings_frame(
+                    self.spark, sorted(rids), "run_id"
+                )
+                .withColumn("file_path", F.lit(self._PREMANIFEST))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(self.runs_path)
+            )
+        return sorted(rids)
 
     def _manifest(self) -> DataFrame | None:
         fs, jpath = self._fs()
@@ -278,6 +353,7 @@ class CurationDag:
         fs, jpath = self._fs()
         if not fs.exists(jpath(self.curated_path)):
             return []
+        self._backfill_manifest(current_run_id)
         manifest: dict[str, set[str]] = {}
         mdf = self._manifest()
         if mdf is not None:
@@ -296,8 +372,16 @@ class CurationDag:
             if rid == current_run_id:
                 continue
             fr = manifest.get(rid)
+            # fr is None: unmanifested = crashed before its manifest
+            # record (pre-manifest committed stores were backfilled
+            # above, so this can no longer match them — r12 advice).
+            # Otherwise: fully-unledgered (never committed) AND
+            # overlapping the current ingest set (the replay re-lands
+            # at least one of its files' docs) — overlap, not subset,
+            # so staged files vanishing between crash and replay
+            # cannot strand a double-counting orphan (r12 advice).
             superseded = fr is None or (
-                not (fr & ledgered) and fr <= cur
+                not (fr & ledgered) and bool(fr & cur)
             )
             if superseded:
                 if not fs.delete(status.getPath(), True):
@@ -361,7 +445,9 @@ class CurationDag:
         end to end."""
         return self.build_dag().run()
 
-    def maintain(self, target_files: int = 1) -> dict[str, object]:
+    def maintain(
+        self, target_files: int = 1, only_if_over: int = 8
+    ) -> dict[str, object]:
         """Nightly maintenance for the pipeline's own storage — the
         reference's scheduled-task cadence applied to the engine's
         metadata: compact the band index (daily appends fragment
@@ -371,15 +457,29 @@ class CurationDag:
         leftovers. Content-preserving end to end: curated() and the
         NEXT increment are byte-identical pre/post (pinned by
         tests/test_curation_dag.py). Run between passes — same
-        single-writer assumption as the dedup stage."""
+        single-writer assumption as the dedup stage.
+
+        ``only_if_over`` gates EVERY rewrite on fragmentation (r12
+        verdict #1): an index partition / the ledger / the manifest
+        is rewritten only when its data-file count exceeds the gate,
+        so the nightly pass at daily-append cadence is a listing-only
+        no-op ~``only_if_over``−1 nights out of ``only_if_over`` —
+        O(appended-since-last-compaction) amortized, never O(index)
+        per night. A second consecutive maintain touches zero data
+        files (pinned by tests/test_curation_dag.py). Pass
+        ``only_if_over=0`` for the old unconditional rewrite."""
         from ..sources.writer import atomic_overwrite
-        from .maintenance import compact_index, vacuum_index
+        from .maintenance import (
+            _scope_file_counts,
+            compact_index,
+            vacuum_index,
+        )
 
         out: dict[str, object] = {}
         if self._index_exists():
             out["index"] = compact_index(
                 self.spark, self.index_path, "minhash_band",
-                target_files,
+                target_files, only_if_over=only_if_over,
             )
             out["index_vacuumed"] = vacuum_index(
                 self.spark, self.index_path
@@ -390,6 +490,10 @@ class CurationDag:
             ("runs", self.runs_path),
         ):
             if not fs.exists(jpath(p)):
+                continue
+            nf = _scope_file_counts(self.spark, p, False).get(None, 0)
+            if nf <= only_if_over:
+                out[name] = 0
                 continue
             df = self.spark.read.parquet(p)
             atomic_overwrite(df.repartition(1), p)

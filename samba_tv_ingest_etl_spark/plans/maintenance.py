@@ -122,8 +122,78 @@ INDEX_LAYOUTS: dict[str, list[tuple[str, list[str] | None, list[str] | None]]] =
 }
 
 
+def _is_data_file(name: str) -> bool:
+    return not (name.startswith("_") or name.startswith("."))
+
+
+def _scope_file_counts(
+    spark, d: str, partitioned: bool
+) -> dict[str | None, int]:
+    """Data-file counts per compaction scope: ``{hive-dir-name: n}``
+    for a partitioned component, ``{None: n}`` for a flat one. One
+    driver-side recursive listing — the same metadata the scan's file
+    listing pays every probe, so reading it here costs nothing new."""
+    sc = spark.sparkContext
+    jp = sc._jvm.org.apache.hadoop.fs.Path
+    fs = jp(d).getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jp(d)):
+        return {}
+
+    def _count(sub) -> int:
+        n = 0
+        it = fs.listFiles(sub, True)
+        while it.hasNext():
+            if _is_data_file(it.next().getPath().getName()):
+                n += 1
+        return n
+
+    if not partitioned:
+        return {None: _count(jp(d))}
+    out: dict[str | None, int] = {}
+    for status in fs.listStatus(jp(d)):
+        name = status.getPath().getName()
+        if status.isDirectory() and "=" in name:
+            out[name] = _count(status.getPath())
+    return out
+
+
+def index_fragmentation(
+    spark, path: str, kind: str
+) -> dict[str, dict[str | None, int]]:
+    """Per-scope data-file counts for every component of a persisted
+    index — the fragmentation stat the maintenance gate reads and
+    ``tools/increment_cost.py --kind fragmentation`` reports. Keys
+    are hive partition dir names (``band=3``) or ``None`` for flat
+    components."""
+    if kind not in INDEX_LAYOUTS:
+        raise ValueError(
+            f"unknown index kind {kind!r}: one of "
+            f"{sorted(INDEX_LAYOUTS)}"
+        )
+    p = path.rstrip("/")
+    return {
+        sub: _scope_file_counts(spark, f"{p}/{sub}", bool(part_cols))
+        for sub, part_cols, _ in INDEX_LAYOUTS[kind]
+    }
+
+
+def _typed_partition_values(df, col: str, names: list[str]) -> list:
+    """Hive dir names (``band=3``) -> typed partition values matching
+    the frame's inferred column type, so the pre-rewrite filter stays
+    a foldable predicate the file listing prunes by."""
+    vals = [n.split("=", 1)[1] for n in names]
+    dt = dict(zip(df.schema.fieldNames(), df.schema))[col].dataType
+    if dt.simpleString() in ("tinyint", "smallint", "int", "bigint"):
+        return [int(v) for v in vals]
+    return vals
+
+
 def compact_index(
-    spark, path: str, kind: str, target_files: int = 1
+    spark,
+    path: str,
+    kind: str,
+    target_files: int = 1,
+    only_if_over: int | None = None,
 ) -> dict[str, int]:
     """Rewrite a persisted index's directories into ``target_files``
     files per hive partition, row-content identical — the maintenance
@@ -147,16 +217,74 @@ def compact_index(
 
     ``kind`` picks the layout (``INDEX_LAYOUTS``); the identity
     ``meta/`` row, where present, is left untouched. Returns rows
-    per compacted component."""
+    REWRITTEN per component (0 = nothing exceeded the gate).
+
+    ``only_if_over`` is the fragmentation gate (r12 verdict #1): a
+    scope — one hive partition, or a whole flat component — is
+    rewritten only when its data-file count exceeds the gate.
+    Ungated, every nightly ``maintain`` is an O(index) full rewrite
+    to absorb a batch-sized append, inverting the at-rest economics
+    the index exists for; gated, a scope is rewritten once per
+    ~``only_if_over`` appends and a maintenance pass with nothing
+    fragmented touches ZERO data files (pinned by
+    ``tests/test_maintenance.py``: second consecutive maintain is a
+    byte-level no-op). Gated partition rewrites go through dynamic
+    partition overwrite (per-partition atomicity — benign here: the
+    rewrite is content-neutral, so a crash mid-commit leaves every
+    partition holding identical rows in either old or new files);
+    the ungated path keeps the whole-component atomic swap."""
     if kind not in INDEX_LAYOUTS:
         raise ValueError(
             f"unknown index kind {kind!r}: one of "
             f"{sorted(INDEX_LAYOUTS)}"
         )
     p = path.rstrip("/")
+    # existence-check every component up front (r12 advice): a
+    # pre-hierarchical IVF index (no cells/) — or any half-written
+    # index — must fail with the same named rebuild-pointing error
+    # the readers raise, not a raw path-not-found AnalysisException
+    # after some components were already rewritten.
+    sc = spark.sparkContext
+    jp = sc._jvm.org.apache.hadoop.fs.Path
+    fs = jp(p).getFileSystem(sc._jsc.hadoopConfiguration())
+    for sub, _, _ in INDEX_LAYOUTS[kind]:
+        if not fs.exists(jp(f"{p}/{sub}")):
+            hint = (
+                "it was written before the hierarchical layout "
+                "existed — rewrite it with write_ivf_index (same "
+                "codebook via cents=read_ivf_index(...)[0])"
+                if kind == "ivf" and sub == "cells"
+                else "rebuild it with its writer before compacting"
+            )
+            raise ValueError(
+                f"{kind} index at {path} has no {sub}/ component: "
+                f"{hint}."
+            )
     counts: dict[str, int] = {}
     for sub, part_cols, sort_cols in INDEX_LAYOUTS[kind]:
         df = spark.read.parquet(f"{p}/{sub}")
+        scope_values = None
+        if only_if_over is not None:
+            fc = _scope_file_counts(
+                spark, f"{p}/{sub}", bool(part_cols)
+            )
+            if not part_cols:
+                if fc.get(None, 0) <= only_if_over:
+                    counts[sub] = 0
+                    continue
+            else:
+                frag = [
+                    name
+                    for name, n in fc.items()
+                    if name is not None and n > only_if_over
+                ]
+                if not frag:
+                    counts[sub] = 0
+                    continue
+                scope_values = _typed_partition_values(
+                    df, part_cols[0], frag
+                )
+                df = df.filter(F.col(part_cols[0]).isin(scope_values))
         counts[sub] = df.count()
         if not part_cols:
             atomic_overwrite(df.repartition(target_files), f"{p}/{sub}")
@@ -187,7 +315,13 @@ def compact_index(
             out = df.repartition(*keys).sortWithinPartitions(
                 *part_cols, *(sort_cols or [])
             )
-        atomic_overwrite(out, f"{p}/{sub}", part_cols)
+        if scope_values is not None:
+            overwrite_partitions(
+                out, f"{p}/{sub}", part_cols,
+                expected_partitions=scope_values,
+            )
+        else:
+            atomic_overwrite(out, f"{p}/{sub}", part_cols)
     return counts
 
 

@@ -20,6 +20,34 @@ from pyspark.sql import functions as F
 
 from .. import schemas
 
+# Past this many values, a literal F.array(...) becomes one giant
+# generated expression (the ISIN_LITERAL_CAP / Janino blowup class):
+# fall back to a Python-local relation, whose one-off ~seconds of
+# Python-runner cost is the bounded price of a bounded plan.
+LITERAL_ROWS_CAP = 1024
+
+
+def literal_strings_frame(spark, values: list[str], name: str):
+    """One-column (``name`` string) DataFrame from a driver-side list
+    of strings — the shared control-table row source (load ledger,
+    curation run manifest). JVM-born rows (range+explode over
+    literals) instead of a Python-local relation: writing a
+    ``createDataFrame`` result through one task drains every pickled
+    partition through the Python runner at ~4-5 s per write action
+    (measured, r12); the literal form writes in ~0.1 s. Past
+    ``LITERAL_ROWS_CAP`` values the literal expression itself would
+    blow up codegen, so it falls back to ``createDataFrame`` —
+    ``repartition(1)``, not ``coalesce(1)``, so the pickled
+    partitions drain on parallel map tasks before the single-file
+    shuffle."""
+    if len(values) <= LITERAL_ROWS_CAP:
+        return spark.range(1).select(
+            F.explode(F.array(*[F.lit(v) for v in values])).alias(name)
+        )
+    return spark.createDataFrame(
+        [(v,) for v in values], f"{name} string"
+    ).repartition(1)
+
 
 class LoadLedger:
     def __init__(self, spark: SparkSession, path: str):
@@ -48,22 +76,10 @@ class LoadLedger:
     def record(self, feed: str, files: list[str]) -> None:
         if not files:
             return
-        # JVM-born rows (range+explode over literals) instead of a
-        # Python-local relation: createDataFrame(...).coalesce(1)
-        # drains every pickled partition through the Python runner at
-        # ~4-5 s per write action (measured, r12); the literal form
-        # writes in ~0.1 s. Fallback past 1024 files keeps the
-        # generated expression bounded (the ISIN_LITERAL_CAP class).
-        if len(files) <= 1024:
-            df = self.spark.range(1).select(
-                F.explode(
-                    F.array(*[F.lit(f) for f in files])
-                ).alias("file_path"),
-                F.lit(feed).alias("feed"),
-                F.current_timestamp().alias("loaded_at"),
-            ).coalesce(1)
-        else:
-            df = self.spark.createDataFrame(
-                [(f, feed) for f in files], ["file_path", "feed"]
-            ).withColumn("loaded_at", F.current_timestamp()).coalesce(1)
+        df = (
+            literal_strings_frame(self.spark, files, "file_path")
+            .withColumn("feed", F.lit(feed))
+            .withColumn("loaded_at", F.current_timestamp())
+            .coalesce(1)
+        )
         df.write.mode("append").parquet(self.path)

@@ -242,6 +242,163 @@ def test_drifting_replay_no_duplicates(spark, tmp_path):
     assert f"run_id={orphan_run}" not in names
 
 
+def test_premanifest_store_first_landing_preserves_committed(
+    spark, tmp_path
+):
+    """A store created BEFORE the run manifest existed has committed
+    curated partitions with no runs/ rows (r12 advice): the first
+    landing under manifest code must backfill those partitions into
+    the manifest — NOT treat `fr is None` as "crashed" and delete
+    every previously committed run."""
+    import shutil
+
+    train = _train(spark).localCheckpoint(eager=True)
+    ids = sorted(r["doc_id"] for r in train.select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    want = _curated_rows(
+        _run_days(spark, str(tmp_path / "clean"), train, [mid])
+    )
+
+    root = str(tmp_path / "root")
+    dag = CurationDag(spark, root, _eval_toks(spark))
+    train.filter(F.col("doc_id") <= mid).write.mode("overwrite").parquet(
+        f"{root}/stage/day0"
+    )
+    dag.run_once()
+    day0_runs = {
+        r["run_id"]
+        for r in spark.read.parquet(dag.runs_path)
+        .select("run_id")
+        .distinct()
+        .collect()
+    }
+    # simulate the pre-manifest era: the committed run has curated/
+    # and ledger rows but no manifest
+    shutil.rmtree(dag.runs_path)
+
+    train.filter(F.col("doc_id") > mid).write.mode("overwrite").parquet(
+        f"{root}/stage/day1"
+    )
+    dag.run_once()
+    assert _curated_rows(dag) == want and len(want) > 0
+    # the committed partition survived on disk, manifest-backfilled
+    fs, jpath = dag._fs()
+    names = {
+        s.getPath().getName()
+        for s in fs.listStatus(jpath(dag.curated_path))
+    }
+    assert {f"run_id={r}" for r in day0_runs} <= names
+    backfilled = {
+        r["file_path"]
+        for r in spark.read.parquet(dag.runs_path)
+        .filter(F.col("run_id").isin(list(day0_runs)))
+        .collect()
+    }
+    assert backfilled == {CurationDag._PREMANIFEST}
+
+
+def test_fresh_store_first_landing_crash_still_gcs(spark, tmp_path):
+    """The backfill must NOT grandfather in a manifest-era crashed
+    attempt: on a store whose ledger is empty (nothing ever
+    committed), a first landing that died between the curated write
+    and its manifest record is a genuine orphan — the drifted replay
+    still garbage-collects it."""
+    train = _train(spark).localCheckpoint(eager=True)
+    ids = sorted(r["doc_id"] for r in train.select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    want = _curated_rows(
+        _run_days(spark, str(tmp_path / "clean"), train, [])
+    )
+
+    root = str(tmp_path / "root")
+    dag = CurationDag(spark, root, _eval_toks(spark))
+    train.filter(F.col("doc_id") <= mid).write.mode("overwrite").parquet(
+        f"{root}/stage/day0"
+    )
+    state: dict = {}
+    dag._task_ingest(state)
+    dag._task_dedup(state)
+    dag._task_decontaminate(state)
+    dag._write_curated(state["gated"], state["run_id"])  # then crash
+    orphan_run = state["run_id"]
+
+    # drift: more files staged before the replay -> different run_id
+    train.filter(F.col("doc_id") > mid).write.mode("overwrite").parquet(
+        f"{root}/stage/day1"
+    )
+    dag.run_once()
+    assert _curated_rows(dag) == want and len(want) > 0
+    fs, jpath = dag._fs()
+    names = {
+        s.getPath().getName()
+        for s in fs.listStatus(jpath(dag.curated_path))
+    }
+    assert f"run_id={orphan_run}" not in names
+
+
+def test_vanished_staged_file_cannot_strand_orphan(spark, tmp_path):
+    """Overlap-supersession (r12 advice): a crashed attempt that
+    reached its manifest record but not the ledger, one of whose
+    staged files VANISHED before the replay — the narrower replay's
+    file set is no superset of the orphan's, but it overlaps, and
+    that must be enough to supersede (a subset test would leave the
+    orphan manifest-visible while the replay re-lands its surviving
+    file's docs: a double count). The crashed attempt's index append
+    legitimately persists (the shadow rule: dropped/uncommitted docs
+    may stay index-side and suppress later near-duplicates), so the
+    pins are the GC/visibility invariants — no doc appears twice,
+    committed rows survive, f2's uncommitted docs never become
+    visible — not equality with a twin that never saw f2."""
+    train = _docs(spark).filter(F.col("doc_id") % 50 != 0).localCheckpoint(
+        eager=True
+    )
+    ids = sorted(r["doc_id"] for r in train.select("doc_id").collect())
+    b1, b2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    d0 = train.filter(F.col("doc_id") <= b1)
+    f1 = train.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2))
+    f2 = train.filter(F.col("doc_id") > b2)
+    f1_ids = {r["doc_id"] for r in f1.select("doc_id").collect()}
+    f2_ids = {r["doc_id"] for r in f2.select("doc_id").collect()}
+
+    import shutil
+
+    root = str(tmp_path / "root")
+    dag = CurationDag(spark, root, _eval_toks(spark))
+    d0.write.mode("overwrite").parquet(f"{root}/stage/day0")
+    dag.run_once()
+    day0_rows = set(_curated_rows(dag))
+    # day 1 attempt over BOTH files crashes after its manifest record
+    # but before the ledger commit
+    f1.write.mode("overwrite").parquet(f"{root}/stage/day1f1")
+    f2.write.mode("overwrite").parquet(f"{root}/stage/day1f2")
+    state: dict = {}
+    dag._task_ingest(state)
+    dag._task_dedup(state)
+    dag._task_decontaminate(state)
+    dag._write_curated(state["gated"], state["run_id"])
+    dag._gc_superseded_runs(state["run_id"], state["files"])
+    dag._record_run(state["run_id"], state["files"])  # then crash
+    orphan_run = state["run_id"]
+
+    shutil.rmtree(f"{root}/stage/day1f2")  # f2 vanishes
+    dag.run_once()  # replay ingests only f1: overlap, not superset
+    rows = _curated_rows(dag)
+    got_ids = [r[0] for r in rows]
+    # no double count: the orphan's f1 copies are gone
+    assert len(got_ids) == len(set(got_ids))
+    # committed day-0 rows untouched
+    assert day0_rows <= set(rows)
+    # f2's uncommitted docs never became visible; f1's replay landed
+    assert not (set(got_ids) & f2_ids)
+    assert set(got_ids) & f1_ids
+    fs, jpath = dag._fs()
+    names = {
+        s.getPath().getName()
+        for s in fs.listStatus(jpath(dag.curated_path))
+    }
+    assert f"run_id={orphan_run}" not in names
+
+
 def test_maintain_preserves_results(spark, tmp_path):
     """Nightly maintenance (index compaction + ledger/manifest squash
     + vacuum) between daily passes must change NOTHING observable:
@@ -266,10 +423,54 @@ def test_maintain_preserves_results(spark, tmp_path):
         b.write.mode("overwrite").parquet(f"{root}/stage/day{i}")
         dag.run_once()
         before = _curated_rows(dag)
-        out = dag.maintain()
+        out = dag.maintain(only_if_over=0)  # force the full rewrite
         assert "index" in out
         assert _curated_rows(dag) == before
         lo = hi
     assert _curated_rows(dag) == want and len(want) > 0
     # the squashed ledger still gates re-ingest: a re-run is a no-op
     assert dag.run_once()["curation_ingest"] == 0
+
+
+def _data_file_snapshot(root):
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[p] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_maintain_gated_second_run_touches_nothing(spark, tmp_path):
+    """The fragmentation gate (r12 verdict #1): after a compacting
+    maintain, a second consecutive maintain must be a listing-only
+    no-op — zero data files created, deleted, or rewritten anywhere
+    under the store — and a nightly maintain between daily passes
+    must skip scopes below the gate instead of rewriting O(index)."""
+    train = _train(spark).localCheckpoint(eager=True)
+    ids = sorted(r["doc_id"] for r in train.select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    root = str(tmp_path / "root")
+    dag = _run_days(spark, root, train, [mid])
+
+    # force one full compaction, then gate: nothing exceeds it
+    dag.maintain(only_if_over=0)
+    before = _data_file_snapshot(root)
+    out = dag.maintain()  # default gate
+    assert _data_file_snapshot(root) == before
+    assert set(out["index"].values()) == {0}
+    assert out.get("ledger", 0) == 0 and out.get("runs", 0) == 0
+
+    # a fresh store at 2-appends fragmentation also sits under the
+    # default gate: the nightly maintain is a no-op there too
+    root2 = str(tmp_path / "root2")
+    dag2 = _run_days(spark, root2, train, [mid])
+    before2 = _data_file_snapshot(f"{root2}/band_index")
+    out2 = dag2.maintain()
+    assert _data_file_snapshot(f"{root2}/band_index") == before2
+    assert set(out2["index"].values()) == {0}

@@ -161,3 +161,39 @@ def test_ingest_through_nonlocal_fs_scheme(spark, stage, tmp_path):
     assert {r["metadata_date"].isoformat() for r in out.collect()} == {
         "2025-06-02"
     }
+
+
+def test_literal_strings_frame_both_branches(spark):
+    """The shared control-row source (ledger records, run manifest —
+    r12 advice: one helper, one cap): JVM-literal rows under the cap,
+    createDataFrame fallback past it, identical content either way."""
+    from samba_tv_ingest_etl_spark.sources.ledger import (
+        LITERAL_ROWS_CAP,
+        literal_strings_frame,
+    )
+
+    small = [f"/stage/day0/f{i}" for i in range(7)]
+    got = sorted(
+        r["p"] for r in literal_strings_frame(spark, small, "p").collect()
+    )
+    assert got == sorted(small)
+
+    big = [f"f{i:05d}" for i in range(LITERAL_ROWS_CAP + 200)]
+    df = literal_strings_frame(spark, big, "file_path")
+    assert df.schema.fieldNames() == ["file_path"]
+    assert sorted(r["file_path"] for r in df.collect()) == sorted(big)
+
+
+def test_ledger_record_past_literal_cap(spark, tmp_path):
+    """LoadLedger.record through the >cap fallback keeps exactly-once
+    semantics: all files recorded, re-ingest sees them all."""
+    from samba_tv_ingest_etl_spark.sources.ledger import (
+        LITERAL_ROWS_CAP,
+        LoadLedger,
+    )
+
+    ledger = LoadLedger(spark, str(tmp_path / "ledger"))
+    files = [f"/stage/f{i:05d}.parquet" for i in range(LITERAL_ROWS_CAP + 5)]
+    ledger.record("FEED", files)
+    assert ledger.seen("FEED") == set(files)
+    assert ledger.new_files("FEED", files) == []

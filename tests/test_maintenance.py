@@ -252,3 +252,89 @@ def test_vacuum_index_removes_leftovers_keeps_orphans(spark, tmp_path):
     removed = vacuum_index(spark, path)
     assert removed == ["bands__tmp__"]
     assert os.path.isdir(f"{path}/docs__old__")
+
+
+def test_compact_index_missing_component_named_error(spark, tmp_path):
+    """compact_index on an incomplete index — e.g. a pre-hierarchical
+    IVF layout with no cells/ — must raise the same named
+    rebuild-pointing error the readers raise (r12 advice), and must
+    raise BEFORE rewriting any component (no partial compaction of a
+    half-recognized layout)."""
+    import pytest
+
+    from samba_tv_ingest_etl_spark.plans.maintenance import compact_index
+
+    path = str(tmp_path / "flat_ivf")
+    spark.range(4).selectExpr(
+        "id AS vec_id", "id % 2 AS cluster", "id % 2 AS cell"
+    ).write.partitionBy("cell").parquet(f"{path}/vectors")
+    spark.range(2).selectExpr("id AS c").write.parquet(
+        f"{path}/centroids"
+    )
+    with pytest.raises(ValueError, match="no cells/ component"):
+        compact_index(spark, path, "ivf")
+    with pytest.raises(ValueError, match="no docs/ component"):
+        compact_index(spark, str(tmp_path / "nothing"), "minhash_band")
+
+
+def test_compact_index_gate_is_partition_selective(spark, tmp_path):
+    """The fragmentation gate (r12 verdict #1) at partition grain: an
+    IVF append lands only in the batch's routed cells, so after one
+    append only THOSE cell partitions exceed a gate of 1 — a gated
+    compaction must rewrite exactly them (each back to one file),
+    leave every other partition's files physically untouched, and
+    keep probe results byte-identical."""
+    from samba_tv_ingest_etl_spark.operators import similarity as S
+    from samba_tv_ingest_etl_spark.plans.maintenance import (
+        compact_index,
+        index_fragmentation,
+    )
+
+    q = _quantized(spark).select("vec_id", "q", "norm2")
+    probes = q.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(
+        q.filter(~F.col("vec_id").isin(7, 15)), path,
+        n_centroids=25, iters=2, route_width=4,
+    )
+    compact_index(spark, path, "ivf")  # baseline: 1 file per scope
+    # a 2-vector append lands in at most 2 of the ~5 cells
+    S.append_ivf_index(
+        q.filter(F.col("vec_id").isin(7, 15)), path, route_width=4
+    )
+    frag = index_fragmentation(spark, path, "ivf")["vectors"]
+    hot = {d for d, n in frag.items() if n > 1}
+    cold = {d for d, n in frag.items() if n == 1}
+    assert hot and cold, f"need both hot and cold cells, got {frag}"
+
+    key = lambda r: tuple(r)  # noqa: E731
+    want = sorted(
+        map(key, S.topk_ivf_indexed(spark, path, probes, k=10).collect())
+    )
+    import os
+
+    def snap(dirs):
+        out = {}
+        for d in dirs:
+            full = f"{path}/vectors/{d}"
+            for f in sorted(os.listdir(full)):
+                if f.startswith(("_", ".")):
+                    continue
+                st = os.stat(f"{full}/{f}")
+                out[f"{d}/{f}"] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    cold_before = snap(cold)
+    counts = compact_index(spark, path, "ivf", only_if_over=1)
+    assert counts["cells"] == 0 and counts["centroids"] == 0
+    assert counts["vectors"] > 0
+    # hot cells compacted back to one file, cold cells untouched
+    after = index_fragmentation(spark, path, "ivf")["vectors"]
+    assert {d: n for d, n in after.items() if d in hot} == {
+        d: 1 for d in hot
+    }
+    assert snap(cold) == cold_before
+    got = sorted(
+        map(key, S.topk_ivf_indexed(spark, path, probes, k=10).collect())
+    )
+    assert got == want and len(got) > 0
