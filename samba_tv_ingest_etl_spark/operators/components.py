@@ -33,7 +33,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_star"]
+__all__ = [
+    "connected_components",
+    "connected_components_star",
+    "write_components_state",
+    "read_components_state",
+    "components_increment",
+    "fold_components_state",
+]
 
 
 def connected_components(
@@ -197,3 +204,308 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star: no fixed point in {max_iter} rounds"
     )
+
+
+# ------------------------------------------------------------------
+# Connected components AT REST — union-find over persisted state.
+#
+# The wholesale operators above recompute the whole graph per call; a
+# corpus pipeline grows its near-dup graph DAILY (new docs bring new
+# pairs), and at 100 TB "re-run CC over every pair ever found" is a
+# full-graph shuffle per increment. The at-rest layout makes the
+# increment O(batch):
+#
+#   nodes/   bucket=<b>/ (node, component)   b = pmod(node, buckets)
+#   remaps/  (old_label, new_label)          append-only merge log
+#   meta/    (buckets, layout)               identity row, written LAST
+#
+# Node-keyed bucketing is the load-bearing choice: an increment must
+# LOOK UP its batch's endpoints (node -> current component), and the
+# endpoint set's bucket list prunes that read at the file listing. The
+# price is that a merge cannot relabel the absorbed component's rows in
+# place (they are spread across node-buckets); instead the merge is
+# APPENDED to remaps/ as (old_label -> new_label), and readers resolve
+# labels through the log's transitive closure (one broadcast hash join
+# — the closure is bounded by merges-since-last-fold). This is exactly
+# disjoint-set union with lazy path compression: remaps/ is the parent
+# chain, ``fold_components_state`` is the compression pass — a gated
+# maintenance rewrite in the compact_index mold, amortizing the only
+# O(state) step instead of paying it per increment.
+#
+# Replay contract (same at-least-once discipline as the MinHash/IVF
+# appends): the increment writes remaps/ FIRST, then the new-node
+# rows. A crash anywhere, replayed with the same batch, converges to
+# the committed state — already-merged labels produce an empty merge
+# set (their endpoints now resolve equal), already-appended nodes are
+# anti-joined away by the pruned lookup, and duplicate remap rows are
+# closure-neutral. Single-writer per state path, as on the dedup
+# stage.
+
+
+COMPONENTS_BUCKETS = 16
+_STATE_LAYOUT = "unionfind_v1"
+
+
+def _hfs(spark, p: str):
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path
+    return jpath(p).getFileSystem(sc._jsc.hadoopConfiguration()), jpath
+
+
+def _read_state_meta(spark, path: str) -> dict:
+    p = path.rstrip("/") + "/meta"
+    fs, jpath = _hfs(spark, p)
+    if not fs.exists(jpath(p)):
+        raise ValueError(
+            f"no components state at {path}: meta/ is missing — "
+            "bootstrap with write_components_state (a half-written "
+            "state from a crashed bootstrap has no meta row and must "
+            "be rewritten)."
+        )
+    meta = spark.read.parquet(p).collect()[0].asDict()
+    if meta.get("layout") != _STATE_LAYOUT:
+        raise ValueError(
+            f"components state at {path} has layout "
+            f"{meta.get('layout')!r}, this engine reads "
+            f"{_STATE_LAYOUT!r}: rebuild with write_components_state."
+        )
+    return meta
+
+
+def write_components_state(
+    labels: DataFrame, path: str, buckets: int = COMPONENTS_BUCKETS
+) -> None:
+    """Bootstrap the at-rest state from a (``node``, ``component``)
+    labeling (``connected_components`` output). ``buckets`` is part
+    of the state's IDENTITY (endpoint-lookup pruning computes
+    ``pmod(node, buckets)`` against the persisted value), so it lives
+    in the meta row, written LAST — a crash mid-bootstrap leaves a
+    meta-less directory every reader rejects by name."""
+    from ..sources import writer
+
+    spark = labels.sparkSession
+    p = path.rstrip("/")
+    out = labels.select(
+        "node",
+        "component",
+        F.pmod(F.col("node"), F.lit(buckets)).cast("int").alias(
+            "bucket"
+        ),
+    )
+    writer.atomic_overwrite(
+        out.repartition(F.col("bucket")).sortWithinPartitions(
+            "bucket", "node"
+        ),
+        f"{p}/nodes",
+        ["bucket"],
+    )
+    fs, jpath = _hfs(spark, p)
+    if fs.exists(jpath(f"{p}/remaps")):
+        fs.delete(jpath(f"{p}/remaps"), True)
+    writer.atomic_overwrite(
+        spark.range(1).select(
+            F.lit(int(buckets)).cast("int").alias("buckets"),
+            F.lit(_STATE_LAYOUT).alias("layout"),
+        ).coalesce(1),
+        f"{p}/meta",
+    )
+
+
+def _remap_closure(spark, path: str) -> DataFrame | None:
+    """(``label``, ``final``) for every label the merge log touches —
+    the log's transitive closure via the min-label CC above (remap
+    chains old->mid, mid->new resolve because the merge-class minimum
+    IS the merged component's minimum node id). Bounded by
+    merges-since-last-fold; ``fold_components_state`` keeps that
+    broadcastable."""
+    p = path.rstrip("/") + "/remaps"
+    fs, jpath = _hfs(spark, p)
+    if not fs.exists(jpath(p)):
+        return None
+    remaps = spark.read.parquet(p)
+    if remaps.limit(1).count() == 0:
+        return None
+    return connected_components(
+        remaps, src="old_label", dst="new_label"
+    ).select(
+        F.col("node").alias("_rm_label"),
+        F.col("component").alias("_rm_final"),
+    )
+
+
+def _apply(labels: DataFrame, closure: DataFrame | None, col: str) -> DataFrame:
+    # closure columns carry a _rm_ prefix so the join never collides
+    # with the caller's column names (col is "label" on one path)
+    if closure is None:
+        return labels
+    return (
+        labels.join(
+            F.broadcast(closure),
+            labels[col] == closure["_rm_label"],
+            "left",
+        )
+        .withColumn(col, F.coalesce("_rm_final", col))
+        .drop("_rm_label", "_rm_final")
+    )
+
+
+def read_components_state(spark, path: str) -> DataFrame:
+    """Current (``node``, ``component``) — base labels with the merge
+    log's closure applied in one broadcast hash join. The scan stays
+    whatever the consumer's plan prunes it to; the closure join adds
+    no shuffle."""
+    _read_state_meta(spark, path)
+    nodes = spark.read.parquet(path.rstrip("/") + "/nodes").select(
+        "node", "component"
+    )
+    return _apply(nodes, _remap_closure(spark, path), "component")
+
+
+def components_increment(
+    spark,
+    path: str,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> dict[str, int]:
+    """Fold a batch of new edges into the at-rest state: look up the
+    batch endpoints' current labels (nodes/ read PRUNED to the
+    endpoints' buckets — ``pmod`` bucket values are collected, at
+    most ``buckets`` of them regardless of batch size, and pushed as
+    a partition ``IN`` filter), run CC over the LABEL graph (size <=
+    |batch| edges, never the corpus), append the resulting merges to
+    remaps/ and the genuinely-new endpoints to their node-buckets.
+    Nothing corpus-sized moves: per-increment cost is
+    O(batch + rows in the endpoints' buckets). Returns
+    ``{"merges": n, "new_nodes": n}``."""
+    meta = _read_state_meta(spark, path)
+    buckets = int(meta["buckets"])
+    p = path.rstrip("/")
+    from ..sources import writer
+
+    e = (
+        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ends = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bks = sorted(
+        r[0]
+        for r in ends.select(
+            F.pmod(F.col("node"), F.lit(buckets)).cast("int").alias("bk")
+        )
+        .distinct()
+        .collect()
+    )
+    known = (
+        spark.read.parquet(f"{p}/nodes")
+        .filter(F.col("bucket").isin(bks))
+        .select("node", "component")
+    )
+    base = ends.join(known, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("label")
+    )
+    base = _apply(
+        base, _remap_closure(spark, p), "label"
+    ).localCheckpoint(eager=True)
+
+    lab = (
+        e.join(
+            base.select(F.col("node").alias("a"), F.col("label").alias("ca")),
+            "a",
+        )
+        .join(
+            base.select(F.col("node").alias("b"), F.col("label").alias("cb")),
+            "b",
+        )
+        .select("ca", "cb")
+        .filter(F.col("ca") != F.col("cb"))
+    )
+    merges = None
+    n_merges = 0
+    if lab.limit(1).count() > 0:
+        merges = (
+            connected_components(lab, src="ca", dst="cb")
+            .filter(F.col("node") != F.col("component"))
+            .select(
+                F.col("node").alias("old_label"),
+                F.col("component").alias("new_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_merges = merges.count()
+        # remaps FIRST: a crash after this append, replayed, finds the
+        # batch's labels already merged (empty label graph) and only
+        # re-appends the missing node rows — the reverse order would
+        # leave committed-looking nodes whose merges were lost
+        writer.append(merges.coalesce(1), f"{p}/remaps")
+
+    new_nodes = ends.join(known, "node", "left_anti").join(base, "node")
+    if merges is not None:
+        new_nodes = (
+            new_nodes.join(
+                F.broadcast(merges),
+                new_nodes["label"] == merges["old_label"],
+                "left",
+            )
+            .withColumn("label", F.coalesce("new_label", "label"))
+            .drop("old_label", "new_label")
+        )
+    out = new_nodes.select(
+        "node",
+        F.col("label").alias("component"),
+        F.pmod(F.col("node"), F.lit(buckets)).cast("int").alias("bucket"),
+    ).localCheckpoint(eager=True)
+    n_new = out.count()
+    if n_new:
+        writer.append(
+            out.repartition(F.col("bucket")), f"{p}/nodes", ["bucket"]
+        )
+    return {"merges": n_merges, "new_nodes": n_new}
+
+
+def fold_components_state(
+    spark, path: str, only_if_over: int = 0
+) -> int:
+    """Path compression as gated maintenance (the compact_index
+    discipline): apply the merge log's closure to every base row,
+    rewrite nodes/ through the atomic-swap writer (bucket is keyed on
+    ``node``, so folding never moves a row between partitions), and
+    clear remaps/. The ONLY O(state) step in the family — gate it on
+    log size (``only_if_over``: fold only when the log holds more
+    than this many merge rows) so nightly maintenance is a
+    listing-only no-op until the closure is worth compressing.
+    Content-neutral by construction (readers already apply the same
+    closure); a crash between the rewrite and the log delete replays
+    idempotently (re-applying a folded closure maps every label to
+    itself). Returns merge rows folded (0 = under the gate)."""
+    meta = _read_state_meta(spark, path)
+    p = path.rstrip("/")
+    closure = _remap_closure(spark, p)
+    if closure is None:
+        return 0
+    fs, jpath = _hfs(spark, p)
+    n = spark.read.parquet(f"{p}/remaps").count()
+    if n <= only_if_over:
+        return 0
+    from ..sources import writer
+
+    nodes = spark.read.parquet(f"{p}/nodes").select(
+        "node", "component", "bucket"
+    )
+    folded = _apply(nodes, closure, "component")
+    writer.atomic_overwrite(
+        folded.repartition(F.col("bucket")).sortWithinPartitions(
+            "bucket", "node"
+        ),
+        f"{p}/nodes",
+        ["bucket"],
+    )
+    fs.delete(jpath(f"{p}/remaps"), True)
+    return n

@@ -262,9 +262,12 @@ def compact_index(
             )
     counts: dict[str, int] = {}
     for sub, part_cols, sort_cols in INDEX_LAYOUTS[kind]:
-        df = spark.read.parquet(f"{p}/{sub}")
         scope_values = None
+        frag: list[str] | None = None
         if only_if_over is not None:
+            # gate BEFORE the reader: a listing-only night must not
+            # pay parquet schema inference / leaf-file enumeration
+            # for components it will not touch
             fc = _scope_file_counts(
                 spark, f"{p}/{sub}", bool(part_cols)
             )
@@ -281,10 +284,12 @@ def compact_index(
                 if not frag:
                     counts[sub] = 0
                     continue
-                scope_values = _typed_partition_values(
-                    df, part_cols[0], frag
-                )
-                df = df.filter(F.col(part_cols[0]).isin(scope_values))
+        df = spark.read.parquet(f"{p}/{sub}")
+        if frag is not None:
+            scope_values = _typed_partition_values(
+                df, part_cols[0], frag
+            )
+            df = df.filter(F.col(part_cols[0]).isin(scope_values))
         counts[sub] = df.count()
         if not part_cols:
             atomic_overwrite(df.repartition(target_files), f"{p}/{sub}")

@@ -5889,3 +5889,112 @@ def q140_ivf_hier_codebook_probe(
         k=10, nprobe=_IVF_NPROBE, probe_cells=4,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------- q141
+
+
+@query("q141_ivf_index_compacted_probe", oracle=_ivf_oracle())
+def q141_ivf_index_compacted_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The nightly-maintenance lifecycle pinned through the driver
+    hash: q134's write+append index, FRAGMENTED by four daily-shape
+    appends, then compacted through the GATED path
+    (plans/maintenance.compact_index with only_if_over — the r12
+    fragmentation gate, exercising the dynamic-partition-overwrite
+    branch on exactly the cells the gate selects) and vacuumed, then
+    probed. Shares q32's oracle VERBATIM: pytest pins pre/post
+    byte-identity on fixtures, but this match pins
+    append+compact+vacuum+probe end to end through DuckDB at the
+    driver's scale — a compactor that dropped, duplicated, or
+    re-assigned one row breaks the hash."""
+    import tempfile
+
+    from ..operators.similarity import (
+        append_ivf_index,
+        derived_cluster_count,
+        kmeans_centroids,
+        topk_ivf_indexed,
+        write_ivf_index,
+    )
+    from ..plans.maintenance import compact_index, vacuum_index
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    q = _embeddings_q(spark, sf_dir)
+    cents = kmeans_centroids(
+        q, k=derived_cluster_count(n, _IVF_KMIN, _IVF_TARGET),
+        iters=_IVF_ITERS, dim=_DIM, train_sample=_IVF_SAMPLE,
+    )
+    path = tempfile.mkdtemp(prefix="q141_ivf_compact_")
+    write_ivf_index(
+        q.filter(F.col("vec_id") % 5 == 0), path,
+        cents=cents, route_width=_ROUTE_WIDTH,
+    )
+    for day in range(1, 5):
+        append_ivf_index(
+            q.filter(F.col("vec_id") % 5 == day), path,
+            route_width=_ROUTE_WIDTH,
+        )
+    # gate below the 5 file-sets the appends left, so fragmented
+    # cells rewrite through dynamic partition overwrite and anything
+    # already tight is left untouched — the shipped nightly call
+    compact_index(spark, path, "ivf", only_if_over=2)
+    vacuum_index(spark, path)
+    out = topk_ivf_indexed(
+        spark, path, q.filter(F.col("vec_id") < 10),
+        k=10, nprobe=_IVF_NPROBE,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------- q142
+
+
+@query("q142_incremental_dedup_components", oracle=_COMPONENTS_ORACLE)
+def q142_incremental_dedup_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q48's dedup clusters maintained INCREMENTALLY — union-find at
+    rest (operators/components.py): the pair graph arrives as three
+    batches; the first bootstraps the bucketed nodes/ state, each
+    later batch folds in as O(batch) work (endpoint lookup pruned to
+    the batch's node-buckets, CC over the LABEL graph only, merges
+    appended to the remaps/ log), with a gated fold (path
+    compression, the compact_index discipline) exercised mid-stream.
+    Shares q48's recursive-CTE oracle VERBATIM — the wholesale wall
+    the incremental state must reproduce exactly, so the hash match
+    pins bootstrap + increment + fold + increment + log-resolved read
+    against the full-graph fixed point."""
+    import tempfile
+
+    from ..operators.components import (
+        components_increment,
+        connected_components,
+        fold_components_state,
+        read_components_state,
+        write_components_state,
+    )
+
+    sh = D.shingle_docs(_prefix_corpus(spark, sf_dir), ngram=_NGRAM)
+    pairs = D.jaccard_pairs(
+        sh, threshold_pct=_JACCARD_PCT, stop_shingle_df=_STOP_SHINGLE_DF
+    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    batch = F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(3))
+    path = tempfile.mkdtemp(prefix="q142_components_")
+    write_components_state(
+        connected_components(
+            pairs.filter(batch == 0), src="doc_a", dst="doc_b"
+        ),
+        path,
+    )
+    components_increment(
+        spark, path, pairs.filter(batch == 1), src="doc_a", dst="doc_b"
+    )
+    fold_components_state(spark, path)
+    components_increment(
+        spark, path, pairs.filter(batch == 2), src="doc_a", dst="doc_b"
+    )
+    return read_components_state(spark, path).select(
+        F.col("node").alias("doc_id"), "component"
+    )
