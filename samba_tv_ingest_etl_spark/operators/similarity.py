@@ -1596,7 +1596,18 @@ def topk_ivf_indexed_hier(
     the same trade ``_assign_pandas_routed`` already makes (and the
     same knob: width). q140 pins the shipped config against q32's
     oracle; ``tests/test_ivf_index.py`` pins the all-cells identity
-    plus the bounded-pull contract."""
+    plus the bounded-pull contract.
+
+    The default width is MEASURED (tools/hier_frontier.py, sf1 —
+    313 centroids / 18 cells / nprobe=2, SCALING_r13 §2): batched
+    probes agree with the flat probe EXACTLY at every width (the
+    sub-codebook pool is the union of the batch's routed cells, so a
+    diverse batch saturates it), and worst-case SOLO probes at
+    width 4 give up 0.006 absolute recall@10 vs the flat probe
+    (0.270 vs 0.276 — the 0.276 being IVF's own nprobe=2 ceiling)
+    while pulling O(4·√k) codebook rows instead of O(k); width 8
+    buys +0.002 for 2× the pull. Single-query callers at fleet
+    scale can widen to 8; batch callers lose nothing at 4."""
     cells_cb = read_ivf_cells(spark, path)
     gdf = _centroid_df(spark, cells_cb)
     width = len(cells_cb) if probe_cells is None else probe_cells

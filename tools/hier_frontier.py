@@ -79,7 +79,7 @@ def main() -> None:
     )
     n_probes = probes.count()
 
-    k_cents = S.derived_cluster_count(n)
+    k_cents = S.derived_cluster_count(n, 8, 64)  # the q32 derivation
     n_cells = S.derived_coarse_count(k_cents)
     nprobe = 2  # the shipped q32/q133/q140 probe depth
 
@@ -111,6 +111,123 @@ def main() -> None:
             "left_semi",
         ).count()
         return hits / n_ref
+
+    # ---- per-query covering width (the honest routing frontier) ----
+    # The batch sweep below pools the UNION of all queries' routed
+    # cells before per-query centroid selection, so a diverse batch
+    # saturates the pool and hides the per-query routing loss (a
+    # width-1 probe with 50 spread queries still pulls most cells).
+    # The knob's true frontier is per query: the smallest width whose
+    # cells contain the query's true nprobe nearest centroids —
+    # computed exactly here (same int64 d = norm2 - 2*q.cv + cn and
+    # (d, id) tie-break as _join_dist/_nearest_ids, in numpy).
+    import numpy as np
+
+    fine = spark.read.parquet(path + "/centroids").collect()
+    cells_cb = S.read_ivf_cells(spark, path)
+    cell_ids = np.array(sorted(cells_cb), dtype=np.int64)
+    cell_mat = np.array(
+        [cells_cb[int(g)] for g in cell_ids], dtype=np.int64
+    )
+    fine_ids = np.array([r["c"] for r in fine], dtype=np.int64)
+    order = np.argsort(fine_ids)
+    fine_ids = fine_ids[order]
+    fine_mat = np.array(
+        [fine[int(i)]["cv"] for i in order], dtype=np.int64
+    )
+    fine_cell = np.array(
+        [fine[int(i)]["cell"] for i in order], dtype=np.int64
+    )
+    qrows = probes.select("vec_id", "q", "norm2").collect()
+    covering = []
+    for r in qrows:
+        qv = np.array(r["q"], dtype=np.int64)
+        n2 = int(r["norm2"])
+
+        def dist(mat):
+            return n2 - 2 * (mat @ qv) + (mat * mat).sum(axis=1)
+
+        dc = dist(cell_mat)
+        cell_rank = {
+            int(cell_ids[i]): rank
+            for rank, i in enumerate(
+                sorted(range(len(dc)), key=lambda i: (dc[i], cell_ids[i])),
+                start=1,
+            )
+        }
+        df_ = dist(fine_mat)
+        near = sorted(
+            range(len(df_)), key=lambda i: (df_[i], fine_ids[i])
+        )[:nprobe]
+        covering.append(
+            max(cell_rank[int(fine_cell[i])] for i in near)
+        )
+    cov = np.array(covering)
+    cov_stats = {
+        "p50": int(np.percentile(cov, 50)),
+        "p90": int(np.percentile(cov, 90)),
+        "p99": int(np.percentile(cov, 99)),
+        "max": int(cov.max()),
+        "covered_frac": {
+            w: round(float((cov <= w).mean()), 3)
+            for w in [1, 2, 3, 4, 6, 8]
+        },
+    }
+    print(f"covering width per query (n={len(cov)}): {cov_stats}", flush=True)
+
+    # ---- solo-probe end recall per width (exact numpy replica) ----
+    # Coverage misses pick the next-best centroids, which often still
+    # hold the true neighbors — so translate covering width into what
+    # a SINGLE-query probe (no batch pooling) actually returns:
+    # replicate the full probe in numpy — same (d, c) centroid
+    # ordering, same floor(1e6·dot/sqrt(n_q·n_c)) scoring, same
+    # (cos desc, cand_id asc) top-k — per width, vs brute force.
+    vrows = spark.read.parquet(path + "/vectors").select(
+        "vec_id", "q", "norm2", "cluster"
+    ).collect()
+    v_ids = np.array([r["vec_id"] for r in vrows], dtype=np.int64)
+    v_mat = np.array([r["q"] for r in vrows], dtype=np.int64)
+    v_n2 = np.array([r["norm2"] for r in vrows], dtype=np.int64)
+    v_cl = np.array([r["cluster"] for r in vrows], dtype=np.int64)
+
+    def topk_ids(qid, qv, n2, mask):
+        dots = v_mat[mask] @ qv
+        cs = np.floor(
+            1e6 * dots.astype(np.float64)
+            / np.sqrt(float(n2) * v_n2[mask].astype(np.float64))
+        ).astype(np.int64)
+        ids = v_ids[mask]
+        keep = ids != qid
+        ids, cs = ids[keep], cs[keep]
+        order_ = np.lexsort((ids, -cs))[: args.k]
+        return set(ids[order_].tolist())
+
+    solo_widths = [1, 2, 4, 8, None]
+    solo = {("None(all)" if w is None else w): [] for w in solo_widths}
+    for r in qrows:
+        qid, qv, n2 = int(r["vec_id"]), np.array(r["q"], np.int64), int(r["norm2"])
+        truth = topk_ids(qid, qv, n2, np.ones(len(v_ids), bool))
+        dc = n2 - 2 * (cell_mat @ qv) + (cell_mat * cell_mat).sum(axis=1)
+        cell_order = sorted(range(len(dc)), key=lambda i: (dc[i], cell_ids[i]))
+        dfine = n2 - 2 * (fine_mat @ qv) + (fine_mat * fine_mat).sum(axis=1)
+        for w in solo_widths:
+            pool_cells = {
+                int(cell_ids[i])
+                for i in cell_order[: (len(cell_order) if w is None else w)]
+            }
+            in_pool = np.isin(fine_cell, list(pool_cells))
+            pi = np.flatnonzero(in_pool)
+            pi = sorted(pi, key=lambda i: (dfine[i], fine_ids[i]))[:nprobe]
+            probed_cl = {int(fine_ids[i]) for i in pi}
+            mask = np.isin(v_cl, list(probed_cl))
+            got = topk_ids(qid, qv, n2, mask)
+            solo["None(all)" if w is None else w].append(
+                len(got & truth) / max(1, len(truth))
+            )
+    solo_recall = {
+        k_: round(float(np.mean(v)), 3) for k_, v in solo.items()
+    }
+    print(f"solo-probe recall@{args.k} per width: {solo_recall}", flush=True)
 
     rows = []
     for width in WIDTHS:
@@ -172,6 +289,8 @@ def main() -> None:
                 "n_cells": n_cells,
                 "nprobe": nprobe,
                 "flat_codebook_rows": k_cents,
+                "covering": cov_stats,
+                "solo_recall": solo_recall,
                 "rows": rows,
             }
         )
