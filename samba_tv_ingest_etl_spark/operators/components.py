@@ -43,6 +43,9 @@ __all__ = [
 ]
 
 
+_UNSET = object()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -72,7 +75,11 @@ def connected_components(
         labels = sym.groupBy("n").agg(
             F.min("m").alias("_mn")
         ).select("n", F.least("n", "_mn").alias("component"))
-        prev_sum = None
+        # sentinel, not None: an EMPTY edge set sums to NULL every
+        # round, and None-vs-None must count as converged (it is —
+        # the fixed point of nothing is nothing), not spin to the
+        # iteration cap
+        prev_sum: object = _UNSET
         for _ in range(max_iter):
             # lazy: the sum action below materializes the checkpoint,
             # so each round runs ONE job (join+groupBy+sum) instead of
@@ -89,7 +96,7 @@ def connected_components(
             cur = labels.agg(
                 F.sum(F.col("component").cast("decimal(38,0)"))
             ).collect()[0][0]
-            if prev_sum is not None and cur == prev_sum:
+            if prev_sum is not _UNSET and cur == prev_sum:
                 return labels.select(
                     F.col("n").alias("node"), "component"
                 )
@@ -244,6 +251,11 @@ def connected_components_star(
 
 COMPONENTS_BUCKETS = 16
 _STATE_LAYOUT = "unionfind_v1"
+# explicit schemas: an EMPTY bootstrap/log writes a directory with no
+# data files, which schema inference cannot read — and pinning the
+# types here is the identity contract anyway (ids are stored as long)
+_NODES_SCHEMA = "node long, component long, bucket int"
+_REMAPS_SCHEMA = "old_label long, new_label long"
 
 
 def _hfs(spark, p: str):
@@ -286,11 +298,11 @@ def write_components_state(
     spark = labels.sparkSession
     p = path.rstrip("/")
     out = labels.select(
-        "node",
-        "component",
-        F.pmod(F.col("node"), F.lit(buckets)).cast("int").alias(
-            "bucket"
-        ),
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+        F.pmod(F.col("node").cast("long"), F.lit(buckets))
+        .cast("int")
+        .alias("bucket"),
     )
     writer.atomic_overwrite(
         out.repartition(F.col("bucket")).sortWithinPartitions(
@@ -322,7 +334,7 @@ def _remap_closure(spark, path: str) -> DataFrame | None:
     fs, jpath = _hfs(spark, p)
     if not fs.exists(jpath(p)):
         return None
-    remaps = spark.read.parquet(p)
+    remaps = spark.read.schema(_REMAPS_SCHEMA).parquet(p)
     if remaps.limit(1).count() == 0:
         return None
     return connected_components(
@@ -355,9 +367,9 @@ def read_components_state(spark, path: str) -> DataFrame:
     whatever the consumer's plan prunes it to; the closure join adds
     no shuffle."""
     _read_state_meta(spark, path)
-    nodes = spark.read.parquet(path.rstrip("/") + "/nodes").select(
-        "node", "component"
-    )
+    nodes = spark.read.schema(_NODES_SCHEMA).parquet(
+        path.rstrip("/") + "/nodes"
+    ).select("node", "component")
     return _apply(nodes, _remap_closure(spark, path), "component")
 
 
@@ -384,11 +396,16 @@ def components_increment(
     from ..sources import writer
 
     e = (
-        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        new_edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if e.limit(1).count() == 0:
+        return {"merges": 0, "new_nodes": 0}
     ends = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -404,7 +421,7 @@ def components_increment(
         .collect()
     )
     known = (
-        spark.read.parquet(f"{p}/nodes")
+        spark.read.schema(_NODES_SCHEMA).parquet(f"{p}/nodes")
         .filter(F.col("bucket").isin(bks))
         .select("node", "component")
     )
@@ -491,14 +508,16 @@ def fold_components_state(
     if closure is None:
         return 0
     fs, jpath = _hfs(spark, p)
-    n = spark.read.parquet(f"{p}/remaps").count()
+    n = spark.read.schema(_REMAPS_SCHEMA).parquet(
+        f"{p}/remaps"
+    ).count()
     if n <= only_if_over:
         return 0
     from ..sources import writer
 
-    nodes = spark.read.parquet(f"{p}/nodes").select(
-        "node", "component", "bucket"
-    )
+    nodes = spark.read.schema(_NODES_SCHEMA).parquet(
+        f"{p}/nodes"
+    ).select("node", "component", "bucket")
     folded = _apply(nodes, closure, "component")
     writer.atomic_overwrite(
         folded.repartition(F.col("bucket")).sortWithinPartitions(

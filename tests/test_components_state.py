@@ -164,3 +164,21 @@ def test_random_graphs_increment_equals_wholesale(spark, tmp_path):
             fold_components_state(spark, p)
         components_increment(spark, p, _edges(spark, pairs[cut2:]))
         assert _state(spark, p) == _wholesale(spark, pairs)
+
+
+def test_empty_bootstrap_and_empty_batch(spark, tmp_path):
+    # an empty first day (no pairs yet) must bootstrap a readable
+    # state, an empty batch must be a no-op, and a real batch must
+    # then land on the empty base — the sf0.001 parity shape
+    p = str(tmp_path / "cc")
+    empty = _edges(spark, []).filter("src IS NOT NULL")
+    write_components_state(
+        connected_components(empty), p, buckets=4
+    )
+    assert _state(spark, p) == []
+    assert components_increment(spark, p, empty) == {
+        "merges": 0,
+        "new_nodes": 0,
+    }
+    components_increment(spark, p, _edges(spark, BATCH0))
+    assert _state(spark, p) == _wholesale(spark, BATCH0)
