@@ -106,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
                     "(default: unconditional)")
     mt.add_argument("--vacuum", action="store_true",
                     help="remove __tmp__/__old__ crash leftovers")
+    mt.add_argument("--components", default=None,
+                    help="components-state root: fold the remaps/ "
+                    "merge log into nodes/ (path compression), "
+                    "gated by --only-if-over on log rows")
     mt.add_argument("--scale-layout", action="store_true")
     mt.add_argument("--manifest", action="store_true")
 
@@ -128,10 +132,26 @@ def main(argv: list[str] | None = None) -> int:
             vacuum_warehouse,
         )
 
-        if bool(args.warehouse) == bool(args.index):
-            print("maintain: exactly one of --warehouse/--index",
-                  file=sys.stderr)
+        targets = [
+            t for t in (args.warehouse, args.index, args.components)
+            if t
+        ]
+        if len(targets) != 1:
+            print(
+                "maintain: exactly one of --warehouse/--index/"
+                "--components",
+                file=sys.stderr,
+            )
             return 2
+        if args.components:
+            from .operators.components import fold_components_state
+
+            n = fold_components_state(
+                spark, args.components,
+                only_if_over=args.only_if_over or 0,
+            )
+            print(f"folded {args.components}: {n} merge rows")
+            return 0
         if args.index:
             if args.vacuum:
                 print(f"vacuumed: {vacuum_index(spark, args.index)}")

@@ -89,3 +89,39 @@ def test_maintain_index_command(tmp_path, spark, capsys):
 def test_maintain_argument_validation():
     assert main(["maintain"]) == 2
     assert main(["maintain", "--warehouse", "/tmp/x", "--index", "/tmp/y"]) == 2
+
+
+def test_maintain_components_fold(spark, tmp_path):
+    from samba_tv_ingest_etl_spark.operators.components import (
+        components_increment,
+        connected_components,
+        read_components_state,
+        write_components_state,
+    )
+
+    p = str(tmp_path / "cc")
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4)], "src long, dst long"
+    )
+    write_components_state(connected_components(edges), p, buckets=4)
+    components_increment(
+        spark,
+        p,
+        spark.createDataFrame([(2, 3)], "src long, dst long"),
+    )
+    before = sorted(
+        (r["node"], r["component"])
+        for r in read_components_state(spark, p).collect()
+    )
+    # under the gate: listing-only
+    assert main(["maintain", "--components", p,
+                 "--only-if-over", "100"]) == 0
+    assert os.path.isdir(p + "/remaps")
+    # ungated: folds the log and clears it
+    assert main(["maintain", "--components", p]) == 0
+    assert not os.path.isdir(p + "/remaps")
+    after = sorted(
+        (r["node"], r["component"])
+        for r in read_components_state(spark, p).collect()
+    )
+    assert after == before
