@@ -143,9 +143,25 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.warehouse and args.only_if_over is not None:
+            print(
+                "maintain: --only-if-over applies to --index/"
+                "--components only (compact_table has no "
+                "fragmentation gate yet) — refusing to silently "
+                "run the unconditional rewrite",
+                file=sys.stderr,
+            )
+            return 2
         if args.components:
             from .operators.components import fold_components_state
+            from .plans.maintenance import _vacuum_dir
 
+            if args.vacuum:
+                # a crashed fold goes through atomic_overwrite, so the
+                # state root can hold nodes__tmp__/__old__ leftovers
+                print(
+                    f"vacuumed: {_vacuum_dir(spark, args.components)}"
+                )
             n = fold_components_state(
                 spark, args.components,
                 only_if_over=args.only_if_over or 0,

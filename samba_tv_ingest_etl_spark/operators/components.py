@@ -297,6 +297,13 @@ def write_components_state(
 
     spark = labels.sparkSession
     p = path.rstrip("/")
+    fs, jpath = _hfs(spark, p)
+    # rebuild over an existing state: invalidate the OLD meta before
+    # touching anything — a crash mid-rebuild must leave a meta-less
+    # directory every reader rejects by name, never a reader-accepted
+    # mix of new nodes/ with a stale remaps/ log or stale buckets
+    if fs.exists(jpath(f"{p}/meta")):
+        fs.delete(jpath(f"{p}/meta"), True)
     out = labels.select(
         F.col("node").cast("long").alias("node"),
         F.col("component").cast("long").alias("component"),
@@ -311,7 +318,6 @@ def write_components_state(
         f"{p}/nodes",
         ["bucket"],
     )
-    fs, jpath = _hfs(spark, p)
     if fs.exists(jpath(f"{p}/remaps")):
         fs.delete(jpath(f"{p}/remaps"), True)
     writer.atomic_overwrite(
@@ -504,14 +510,19 @@ def fold_components_state(
     itself). Returns merge rows folded (0 = under the gate)."""
     meta = _read_state_meta(spark, path)
     p = path.rstrip("/")
-    closure = _remap_closure(spark, p)
-    if closure is None:
-        return 0
     fs, jpath = _hfs(spark, p)
+    # gate FIRST: the nightly gated pass must be one existence check
+    # plus one count — computing the closure (an iterative CC, several
+    # Spark jobs) belongs after the gate has decided to fold
+    if not fs.exists(jpath(f"{p}/remaps")):
+        return 0
     n = spark.read.schema(_REMAPS_SCHEMA).parquet(
         f"{p}/remaps"
     ).count()
     if n <= only_if_over:
+        return 0
+    closure = _remap_closure(spark, p)
+    if closure is None:
         return 0
     from ..sources import writer
 

@@ -122,6 +122,14 @@ INDEX_LAYOUTS: dict[str, list[tuple[str, list[str] | None, list[str] | None]]] =
 }
 
 
+def _jfs(spark, path: str):
+    """(FileSystem, Path-class) for ``path`` — one place for the py4j
+    plumbing this module's listing/gating paths share."""
+    sc = spark.sparkContext
+    jp = sc._jvm.org.apache.hadoop.fs.Path
+    return jp(path).getFileSystem(sc._jsc.hadoopConfiguration()), jp
+
+
 def _is_data_file(name: str) -> bool:
     return not (name.startswith("_") or name.startswith("."))
 
@@ -133,9 +141,7 @@ def _scope_file_counts(
     for a partitioned component, ``{None: n}`` for a flat one. One
     driver-side recursive listing — the same metadata the scan's file
     listing pays every probe, so reading it here costs nothing new."""
-    sc = spark.sparkContext
-    jp = sc._jvm.org.apache.hadoop.fs.Path
-    fs = jp(d).getFileSystem(sc._jsc.hadoopConfiguration())
+    fs, jp = _jfs(spark, d)
     if not fs.exists(jp(d)):
         return {}
 
@@ -152,8 +158,16 @@ def _scope_file_counts(
     out: dict[str | None, int] = {}
     for status in fs.listStatus(jp(d)):
         name = status.getPath().getName()
-        if status.isDirectory() and "=" in name:
-            out[name] = _count(status.getPath())
+        if not (status.isDirectory() and "=" in name):
+            continue
+        if name.split("=", 1)[1] == "__HIVE_DEFAULT_PARTITION__":
+            # a NULL partition value cannot be addressed by the gated
+            # path's typed IN filter (and the index writers never
+            # produce one — band/cell are pmod outputs); leave it to
+            # the ungated whole-component swap rather than abort the
+            # nightly pass on int("__HIVE_DEFAULT_PARTITION__")
+            continue
+        out[name] = _count(status.getPath())
     return out
 
 
@@ -244,9 +258,7 @@ def compact_index(
     # index — must fail with the same named rebuild-pointing error
     # the readers raise, not a raw path-not-found AnalysisException
     # after some components were already rewritten.
-    sc = spark.sparkContext
-    jp = sc._jvm.org.apache.hadoop.fs.Path
-    fs = jp(p).getFileSystem(sc._jsc.hadoopConfiguration())
+    fs, jp = _jfs(spark, p)
     for sub, _, _ in INDEX_LAYOUTS[kind]:
         if not fs.exists(jp(f"{p}/{sub}")):
             hint = (

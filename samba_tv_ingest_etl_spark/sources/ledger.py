@@ -40,6 +40,10 @@ def literal_strings_frame(spark, values: list[str], name: str):
     ``repartition(1)``, not ``coalesce(1)``, so the pickled
     partitions drain on parallel map tasks before the single-file
     shuffle."""
+    if not values:
+        # explode(array()) yields a VOID column parquet refuses even
+        # for zero rows — hand back a typed empty relation instead
+        return spark.createDataFrame([], f"{name} string")
     if len(values) <= LITERAL_ROWS_CAP:
         return spark.range(1).select(
             F.explode(F.array(*[F.lit(v) for v in values])).alias(name)

@@ -128,22 +128,26 @@ def test_meta_missing_is_named_error(spark, tmp_path):
 
 
 def test_increment_prunes_to_endpoint_buckets(spark, tmp_path):
-    # the nodes/ lookup must read ONLY the batch endpoints' buckets:
-    # with buckets=4 and a batch touching nodes {2,3,20,21} (buckets
-    # {2,3,0,1} -> all) vs {4,40} (bucket 0 only), assert via the
-    # scan's post-pruning file set
+    # the nodes/ lookup must read ONLY the batch endpoints' buckets —
+    # proven behaviorally: poison an untouched bucket's parquet file
+    # with garbage bytes; an increment whose endpoints live entirely
+    # in bucket 0 must succeed (it never opens the poisoned file),
+    # while a full-state read must fail on it (the poison is real).
+    # A regression to an unpruned O(state) lookup fails this test.
+    import os
+
     p = str(tmp_path / "cc")
-    _bootstrap(spark, p, BATCH0, buckets=4)
-    lookup = (
-        spark.read.parquet(p + "/nodes")
-        .filter(F.col("bucket").isin([0]))
-        .select("node", "component")
-    )
-    plan = lookup._jdf.queryExecution().executedPlan().toString()
-    assert "bucket" in plan  # partition filter reached the scan
-    # ground truth: the filtered scan actually reads one directory
-    rows = lookup.collect()
-    assert sorted(r["node"] for r in rows) == [4]
+    _bootstrap(spark, p, BATCH0, buckets=4)  # nodes 2,10 -> bucket 2
+    b2 = p + "/nodes/bucket=2"
+    poisoned = [f for f in os.listdir(b2) if f.endswith(".parquet")]
+    assert poisoned
+    for f in poisoned:
+        with open(os.path.join(b2, f), "wb") as fh:
+            fh.write(b"not parquet at all")
+    out = components_increment(spark, p, _edges(spark, [(4, 40)]))
+    assert out == {"merges": 1, "new_nodes": 1}
+    with pytest.raises(Exception):
+        read_components_state(spark, p).collect()
 
 
 def test_random_graphs_increment_equals_wholesale(spark, tmp_path):
