@@ -106,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
                     "(default: unconditional)")
     mt.add_argument("--vacuum", action="store_true",
                     help="remove __tmp__/__old__ crash leftovers")
+    mt.add_argument("--stats", action="store_true",
+                    help="with --index --kind: print per-scope "
+                    "data-file counts (the fragmentation the gate "
+                    "reads) and exit without rewriting")
     mt.add_argument("--components", default=None,
                     help="components-state root: fold the remaps/ "
                     "merge log into nodes/ (path compression), "
@@ -169,6 +173,23 @@ def main(argv: list[str] | None = None) -> int:
             print(f"folded {args.components}: {n} merge rows")
             return 0
         if args.index:
+            if args.stats:
+                if not args.kind:
+                    print("maintain --stats needs --kind",
+                          file=sys.stderr)
+                    return 2
+                from .plans.maintenance import index_fragmentation
+
+                frag = index_fragmentation(
+                    spark, args.index, args.kind
+                )
+                for sub, scopes in frag.items():
+                    for scope, nf in sorted(
+                        scopes.items(), key=lambda kv: str(kv[0])
+                    ):
+                        label = scope if scope is not None else "(flat)"
+                        print(f"{sub}/{label}: {nf} files")
+                return 0
             if args.vacuum:
                 print(f"vacuumed: {vacuum_index(spark, args.index)}")
             if args.kind:

@@ -125,3 +125,22 @@ def test_maintain_components_fold(spark, tmp_path):
         for r in read_components_state(spark, p).collect()
     )
     assert after == before
+
+
+def test_maintain_index_stats(spark, tmp_path, capsys):
+    from samba_tv_ingest_etl_spark.operators.similarity import (
+        quantize,
+        write_vector_band_index,
+    )
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet").limit(50)
+    q = quantize(emb)
+    p = str(tmp_path / "vidx")
+    write_vector_band_index(q, p)
+    assert main(["maintain", "--index", p, "--kind", "vector_band",
+                 "--stats"]) == 0
+    outp = capsys.readouterr().out
+    assert "docs/(flat):" in outp and "bands/band=" in outp
+    # stats is read-only: no rewrite happened
+    assert not os.path.isdir(p + "/bands__tmp__")
+    assert main(["maintain", "--index", p, "--stats"]) == 2

@@ -541,6 +541,97 @@ def run_maintain(spark, args, sizes) -> list[dict]:
     return rows
 
 
+def run_components(spark, args, sizes) -> list[dict]:
+    """Union-find-at-rest increment law (r13): ``sizes`` are BASE
+    GRAPH node counts — for each, bootstrap the at-rest components
+    state from a deterministic random graph of that size, then fold
+    in a CONSTANT ``--batch``-edge increment two ways:
+
+    - ``increment_s``: ``components_increment`` against the persisted
+      state — the claim under test is that this is O(batch), flat in
+      base-graph size (bucket-pruned endpoint lookup + CC over the
+      label graph only);
+    - ``wholesale_s``: ``connected_components`` over base+batch — the
+      rerun-everything wall it replaces, expected to grow with size.
+
+    Plus ``read_s`` (log-resolved full read — the consumer's scan) and
+    ``bootstrap_s`` (one-time). Graph shape: nodes 0..N-1, 2N edges
+    (i, xxhash64(i, salt) % N) — mixed component sizes, deterministic;
+    batch edges connect NEW nodes N..N+batch/2 to existing ones, the
+    daily-arrival shape."""
+    from pyspark.sql import functions as F
+
+    from samba_tv_ingest_etl_spark.operators import components as C
+
+    def graph(n, m_per=2):
+        e = None
+        for salt in range(m_per):
+            part = spark.range(n).select(
+                F.col("id").alias("src"),
+                F.pmod(
+                    F.xxhash64(F.col("id"), F.lit(salt)), F.lit(n)
+                ).alias("dst"),
+            )
+            e = part if e is None else e.unionByName(part)
+        return e.filter(F.col("src") != F.col("dst"))
+
+    rows = []
+    for size in sizes:
+        base = graph(size).localCheckpoint(eager=True)
+        nb = args.batch
+        batch = (
+            spark.range(size, size + nb)
+            .select(
+                F.col("id").alias("src"),
+                F.pmod(F.xxhash64(F.col("id")), F.lit(size)).alias(
+                    "dst"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        path = tempfile.mkdtemp(prefix="inc_cost_cc_")
+        t0 = time.monotonic()
+        C.write_components_state(
+            C.connected_components(base), path, buckets=64
+        )
+        t_boot = time.monotonic() - t0
+        # the increment MUTATES the state: time the first application
+        # once (the honest daily cost), then the replays best-of —
+        # a replay finds labels merged and nodes present, so its
+        # wall is the no-op floor (also worth knowing)
+        t0 = time.monotonic()
+        C.components_increment(spark, path, batch)
+        t_inc = time.monotonic() - t0
+        t_replay = _best_of(
+            lambda: C.components_increment(spark, path, batch),
+            args.runs,
+        )
+        t_read = _best_of(
+            lambda: C.read_components_state(spark, path).count(),
+            args.runs,
+        )
+        t_whole = _best_of(
+            lambda: C.connected_components(
+                base.unionByName(batch)
+            ).count(),
+            args.runs,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        rows.append(
+            {
+                "base_nodes": size,
+                "batch_edges": nb,
+                "increment_s": round(t_inc, 2),
+                "replay_noop_s": round(t_replay, 2),
+                "read_s": round(t_read, 2),
+                "wholesale_s": round(t_whole, 2),
+                "bootstrap_once_s": round(t_boot, 2),
+            }
+        )
+        print(rows[-1], flush=True)
+    return rows
+
+
 def run_decon_sparse(spark, args, sizes) -> list[dict]:
     """The sparse-eval pruning claim, measured (r11 verdict #6):
     SCALING_r11 §5 stated that the payload index's key-literal
@@ -618,7 +709,7 @@ def main() -> None:
     ap.add_argument(
         "--kind", default="minhash",
         choices=["minhash", "ivf", "ann_band", "ivf_probe", "decon",
-                 "fragmentation", "decon_sparse", "maintain"],
+                 "fragmentation", "decon_sparse", "maintain", "components"],
     )
     ap.add_argument("--sf-dir", default=".testdata/sf1")
     ap.add_argument("--batch", type=int, default=2000)
@@ -642,6 +733,7 @@ def main() -> None:
         "ann_band": run_ann_band,
         "ivf_probe": run_ivf_probe,
         "decon": run_decon,
+        "components": run_components,
         "fragmentation": run_fragmentation,
         "decon_sparse": run_decon_sparse,
         "maintain": run_maintain,
