@@ -308,9 +308,15 @@ class CurationDag:
         absent). Returns the backfilled run_ids."""
         from ..sources.ledger import LoadLedger
 
-        fs, jpath = self._fs()
-        if fs.exists(jpath(self.runs_path)):
+        mdf = self._manifest()
+        if mdf is not None and mdf.limit(1).count() > 0:
+            # rows, not directory existence: a crash INSIDE a backfill
+            # (or first _record_run) append can leave runs/ as an
+            # empty directory — skipping the backfill on that replay
+            # would let every pre-manifest partition read as
+            # unmanifested (fr None) and be GC'd as crashed
             return []
+        fs, jpath = self._fs()
         if not fs.exists(jpath(self.curated_path)):
             return []
         if not LoadLedger(self.spark, self.ledger_path).seen(_FEED):
@@ -337,11 +343,17 @@ class CurationDag:
             )
         return sorted(rids)
 
+    _RUNS_SCHEMA = "run_id string, file_path string"
+
     def _manifest(self) -> DataFrame | None:
         fs, jpath = self._fs()
         if not fs.exists(jpath(self.runs_path)):
             return None
-        return self.spark.read.parquet(self.runs_path)
+        # explicit schema: a crashed append can leave runs/ with no
+        # committed data files, which schema inference cannot read
+        return self.spark.read.schema(self._RUNS_SCHEMA).parquet(
+            self.runs_path
+        )
 
     def _gc_superseded_runs(
         self, current_run_id: str, current_files: list[str]

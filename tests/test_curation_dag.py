@@ -474,3 +474,38 @@ def test_maintain_gated_second_run_touches_nothing(spark, tmp_path):
     out2 = dag2.maintain()
     assert _data_file_snapshot(f"{root2}/band_index") == before2
     assert set(out2["index"].values()) == {0}
+
+
+def test_premanifest_backfill_survives_empty_runs_dir(
+    spark, tmp_path
+):
+    """The crash window INSIDE the backfill (or first _record_run)
+    append: runs/ exists as a directory but holds zero committed
+    rows. The replay must re-run the backfill off the ROW count, not
+    directory existence — skipping it would read every pre-manifest
+    partition as unmanifested and GC committed data."""
+    import os
+    import shutil
+
+    train = _train(spark).localCheckpoint(eager=True)
+    ids = sorted(r["doc_id"] for r in train.select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    want = _curated_rows(
+        _run_days(spark, str(tmp_path / "clean"), train, [mid])
+    )
+
+    root = str(tmp_path / "root")
+    dag = CurationDag(spark, root, _eval_toks(spark))
+    train.filter(F.col("doc_id") <= mid).write.mode("overwrite").parquet(
+        f"{root}/stage/day0"
+    )
+    dag.run_once()
+    # pre-manifest era + a crashed append's leftover: empty runs/ dir
+    shutil.rmtree(dag.runs_path)
+    os.makedirs(dag.runs_path)
+
+    train.filter(F.col("doc_id") > mid).write.mode("overwrite").parquet(
+        f"{root}/stage/day1"
+    )
+    dag.run_once()
+    assert _curated_rows(dag) == want and len(want) > 0
