@@ -579,16 +579,38 @@ def run_components(spark, args, sizes) -> list[dict]:
     for size in sizes:
         base = graph(size).localCheckpoint(eager=True)
         nb = args.batch
-        batch = (
-            spark.range(size, size + nb)
-            .select(
-                F.col("id").alias("src"),
-                F.pmod(F.xxhash64(F.col("id")), F.lit(size)).alias(
-                    "dst"
-                ),
+        if getattr(args, "bridge", False):
+            # bridge shape: every batch edge joins two EXISTING nodes
+            # — the heavy-merge path (each edge can merge two
+            # established components, so the remap log and the label
+            # graph carry real work), vs the arrival shape where each
+            # edge attaches one NEW node
+            batch = (
+                spark.range(nb)
+                .select(
+                    F.pmod(
+                        F.xxhash64(F.col("id"), F.lit(101)),
+                        F.lit(size),
+                    ).alias("src"),
+                    F.pmod(
+                        F.xxhash64(F.col("id"), F.lit(202)),
+                        F.lit(size),
+                    ).alias("dst"),
+                )
+                .filter(F.col("src") != F.col("dst"))
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+        else:
+            batch = (
+                spark.range(size, size + nb)
+                .select(
+                    F.col("id").alias("src"),
+                    F.pmod(F.xxhash64(F.col("id")), F.lit(size)).alias(
+                        "dst"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
         path = tempfile.mkdtemp(prefix="inc_cost_cc_")
         t0 = time.monotonic()
         C.write_components_state(
@@ -717,6 +739,10 @@ def main() -> None:
         "--index-sizes", default="6000,12000,24000,48000"
     )
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--bridge", action="store_true",
+                    help="components kind: batch edges bridge "
+                    "EXISTING nodes (heavy-merge path) instead of "
+                    "attaching new ones")
     args = ap.parse_args()
     sizes = [int(s) for s in args.index_sizes.split(",")]
 
