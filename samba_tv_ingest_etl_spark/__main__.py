@@ -156,10 +156,33 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.stats and args.vacuum:
+            print("maintain: --stats is read-only; drop --vacuum or "
+                  "run it separately", file=sys.stderr)
+            return 2
+        if args.warehouse and args.stats:
+            print("maintain: --stats applies to --index/--components "
+                  "targets", file=sys.stderr)
+            return 2
         if args.components:
             from .operators.components import fold_components_state
             from .plans.maintenance import _vacuum_dir
 
+            if args.stats:
+                from .operators.components import _REMAPS_SCHEMA, _hfs
+
+                fs, jpath = _hfs(spark, args.components)
+                rp = args.components.rstrip("/") + "/remaps"
+                n = 0
+                if fs.exists(jpath(rp)):
+                    n = (
+                        spark.read.schema(_REMAPS_SCHEMA)
+                        .parquet(rp)
+                        .count()
+                    )
+                print(f"remaps/: {n} merge rows (the fold gate's "
+                      "input)")
+                return 0
             if args.vacuum:
                 # a crashed fold goes through atomic_overwrite, so the
                 # state root can hold nodes__tmp__/__old__ leftovers
@@ -183,9 +206,23 @@ def main(argv: list[str] | None = None) -> int:
                 frag = index_fragmentation(
                     spark, args.index, args.kind
                 )
+                if all(not scopes for scopes in frag.values()):
+                    print(
+                        f"maintain: no {args.kind} index at "
+                        f"{args.index} (every component is absent)",
+                        file=sys.stderr,
+                    )
+                    return 2
+
+                def _scope_key(kv):
+                    name = str(kv[0])
+                    tail = name.split("=", 1)[-1]
+                    return (0, int(tail), "") if tail.isdigit() \
+                        else (1, 0, name)
+
                 for sub, scopes in frag.items():
                     for scope, nf in sorted(
-                        scopes.items(), key=lambda kv: str(kv[0])
+                        scopes.items(), key=_scope_key
                     ):
                         label = scope if scope is not None else "(flat)"
                         print(f"{sub}/{label}: {nf} files")

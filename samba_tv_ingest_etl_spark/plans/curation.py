@@ -218,6 +218,13 @@ class CurationDag:
         from ..sources.ledger import LoadLedger
 
         if state.get("gated") is None:
+            # even a no-op pass heals the empty-manifest crash window
+            # (a crash inside the first manifest append, with the
+            # staged files since vanished): the backfill is row-gated
+            # and idempotent, so this is one limit(1) read when
+            # healthy. "" can never equal a real run_id directory, so
+            # every committed partition is eligible for backfill.
+            self._backfill_manifest("")
             return 0
         self._write_curated(state["gated"], state["run_id"])
         self._gc_superseded_runs(state["run_id"], state["files"])
@@ -304,8 +311,10 @@ class CurationDag:
         that held BOTH committed runs and a crashed attempt gets the
         attempt backfilled too — indistinguishable without per-run
         file records, and exactly as visible as pre-manifest code
-        left it. Idempotent by construction (runs only when runs/ is
-        absent). Returns the backfilled run_ids."""
+        left it. Idempotent by construction (runs only while the
+        manifest holds ZERO rows — directory existence is not the
+        gate, because a crash inside an append can leave runs/ as an
+        empty directory). Returns the backfilled run_ids."""
         from ..sources.ledger import LoadLedger
 
         mdf = self._manifest()
@@ -524,6 +533,20 @@ class CurationDag:
         mdf = self._manifest()
         df = self.spark.read.parquet(self.curated_path)
         if mdf is not None:
+            if mdf.limit(1).count() == 0:
+                # runs/ exists but holds zero rows: only a crash
+                # inside the very first manifest append leaves this
+                # state (any committed landing wrote its rows first,
+                # and the pre-manifest backfill wrote sentinels).
+                # Raise rather than semi-join everything away — a
+                # consumer in this window must see a named error, not
+                # an empty pool that reads as "no data"
+                raise RuntimeError(
+                    f"curation manifest at {self.runs_path} exists "
+                    "but holds no rows while curated data is present "
+                    "— a crashed first manifest append; replay the "
+                    "curation pass (run_once) to heal before reading."
+                )
             df = df.join(
                 F.broadcast(mdf.select("run_id").distinct()),
                 "run_id",

@@ -137,10 +137,25 @@ def test_maintain_index_stats(spark, tmp_path, capsys):
     q = quantize(emb)
     p = str(tmp_path / "vidx")
     write_vector_band_index(q, p)
+
+    def _snapshot():
+        out = []
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                fp = os.path.join(root, f)
+                out.append((fp, os.path.getmtime(fp), os.path.getsize(fp)))
+        return sorted(out)
+
+    before = _snapshot()
     assert main(["maintain", "--index", p, "--kind", "vector_band",
                  "--stats"]) == 0
     outp = capsys.readouterr().out
     assert "docs/(flat):" in outp and "bands/band=" in outp
-    # stats is read-only: no rewrite happened
-    assert not os.path.isdir(p + "/bands__tmp__")
+    # stats is read-only: byte-level no-op (a fall-through into the
+    # compactor would rewrite files and change mtimes/paths)
+    assert _snapshot() == before
     assert main(["maintain", "--index", p, "--stats"]) == 2
+    assert main(["maintain", "--index", p + "_nope", "--kind",
+                 "vector_band", "--stats"]) == 2
+    assert main(["maintain", "--index", p, "--kind", "vector_band",
+                 "--stats", "--vacuum"]) == 2

@@ -509,3 +509,26 @@ def test_premanifest_backfill_survives_empty_runs_dir(
     )
     dag.run_once()
     assert _curated_rows(dag) == want and len(want) > 0
+
+
+def test_curated_raises_in_empty_manifest_window(spark, tmp_path):
+    """runs/ present with zero rows + curated data on disk is only
+    ever the crashed-first-manifest-append window: curated() must
+    raise a named error, not silently semi-join every committed
+    partition away (an empty pool that reads as 'no data')."""
+    import os
+    import shutil
+
+    import pytest
+
+    train = _train(spark)
+    dag = _run_days(spark, str(tmp_path / "root"), train, [])
+    assert len(_curated_rows(dag)) > 0
+    shutil.rmtree(dag.runs_path)
+    os.makedirs(dag.runs_path)
+    with pytest.raises(RuntimeError, match="holds no rows"):
+        dag.curated().collect()
+    # the replay heals it (nothing newly staged: backfill re-runs off
+    # the row gate, re-recording the committed partition)
+    dag.run_once()
+    assert len(_curated_rows(dag)) > 0

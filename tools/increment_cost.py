@@ -557,8 +557,9 @@ def run_components(spark, args, sizes) -> list[dict]:
     Plus ``read_s`` (log-resolved full read — the consumer's scan) and
     ``bootstrap_s`` (one-time). Graph shape: nodes 0..N-1, 2N edges
     (i, xxhash64(i, salt) % N) — mixed component sizes, deterministic;
-    batch edges connect NEW nodes N..N+batch/2 to existing ones, the
-    daily-arrival shape."""
+    batch edges attach one NEW node each (ids N..N+batch-1) to an
+    existing one — the daily-arrival shape; --bridge swaps in
+    cross-component merge edges instead."""
     from pyspark.sql import functions as F
 
     from samba_tv_ingest_etl_spark.operators import components as C
@@ -600,6 +601,7 @@ def run_components(spark, args, sizes) -> list[dict]:
                 .filter(F.col("src") != F.col("dst"))
                 .localCheckpoint(eager=True)
             )
+            nb = batch.count()  # self-loops filtered: report the real edge count
         else:
             batch = (
                 spark.range(size, size + nb)
