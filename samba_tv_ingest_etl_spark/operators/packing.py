@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..relations import local_df
+
 __all__ = ["global_cumsum", "global_cumsum_multi", "pack_sequences"]
 
 
@@ -94,9 +96,17 @@ def global_cumsum_multi(
         acc = [a + int(t or 0) for a, t in zip(acc, ts)]
     if not offsets:
         return local.drop("_pid")
-    off = spark.createDataFrame(
+    # _pid's type follows the caller's bucket_of (int partition id,
+    # long/int dense bucket, or a string prefix) — declare it from the
+    # frame so the offset join never coerces
+    pid_type = local.schema["_pid"].dataType.simpleString()
+    off = local_df(
+        spark,
         offsets,
-        ["_pid"] + [f"_off{i}" for i in range(len(values))],
+        ", ".join(
+            [f"_pid {pid_type}"]
+            + [f"_off{i} long" for i in range(len(values))]
+        ),
     )
     out = local.join(F.broadcast(off), "_pid")
     for i, (_, out_col) in enumerate(values):

@@ -36,6 +36,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..relations import local_df
+
 QUANT = 1000  # milliunit quantization of float32 embeddings
 
 
@@ -249,7 +251,8 @@ def cosine_pairs_blocked(
             F.col("rows.norm2").alias("ns"),
         )
     )
-    pair_idx = spark.createDataFrame(
+    pair_idx = local_df(
+        spark,
         [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
         "block_a int, block_b int",
     )
@@ -692,7 +695,7 @@ def _centroid_df(spark, cents: dict[int, list[int]]) -> DataFrame:
         (int(c), [int(v) for v in vec], int(sum(v * v for v in vec)))
         for c, vec in sorted(cents.items())
     ]
-    return spark.createDataFrame(rows, "c long, cv array<long>, cn long")
+    return local_df(spark, rows, "c long, cv array<long>, cn long")
 
 
 def _join_dist() -> Column:
@@ -1255,8 +1258,8 @@ def write_ivf_index(
     # the codebook, so both levels are derivable and deterministic.
     coarse, cell_of = coarse_route(cents)
     cdf = _centroid_df(spark, cents)
-    cmap = spark.createDataFrame(
-        sorted(cell_of.items()), "c long, cell long"
+    cmap = local_df(
+        spark, sorted(cell_of.items()), "c long, cell long"
     )
     writer.atomic_overwrite(
         cdf.join(F.broadcast(cmap), "c").repartition("cell"),
@@ -1302,8 +1305,8 @@ def _with_cell(
     and blow up Janino at derived k."""
     _, cell_of = coarse_route(cents)
     spark = assigned.sparkSession
-    m = spark.createDataFrame(
-        sorted(cell_of.items()), "cluster long, cell long"
+    m = local_df(
+        spark, sorted(cell_of.items()), "cluster long, cell long"
     )
     return assigned.join(F.broadcast(m), "cluster")
 
@@ -1420,8 +1423,10 @@ def _prune_to_clusters(
     pruned = vectors.filter(F.col("cell").isin(cells))
     if len(clusters) <= isin_cap:
         return pruned.filter(F.col("cluster").isin(clusters))
-    cdf = vectors.sparkSession.createDataFrame(
-        [(int(c),) for c in sorted(set(clusters))], "cluster long"
+    cdf = local_df(
+        vectors.sparkSession,
+        [(int(c),) for c in sorted(set(clusters))],
+        "cluster long",
     )
     return pruned.join(F.broadcast(cdf), "cluster", "left_semi")
 
@@ -1529,9 +1534,7 @@ def _read_sub_codebook(
     if len(cell_ids) <= ISIN_LITERAL_CAP:
         sub = cdf.filter(F.col("cell").isin(cell_ids))
     else:
-        gdf = spark.createDataFrame(
-            [(g,) for g in cell_ids], "cell long"
-        )
+        gdf = local_df(spark, [(g,) for g in cell_ids], "cell long")
         sub = cdf.join(F.broadcast(gdf), "cell", "left_semi")
     n = sub.count()
     if n > MAX_CODEBOOK_ROWS:
@@ -1660,8 +1663,8 @@ def append_ivf_index_hier(
         new_q, cents_sub, (cells_cb, cell_of_sub), route_width,
         keep=["q", "norm2"],
     )
-    m = spark.createDataFrame(
-        sorted(cell_of_sub.items()), "cluster long, cell long"
+    m = local_df(
+        spark, sorted(cell_of_sub.items()), "cluster long, cell long"
     )
     writer.append(
         assigned.join(F.broadcast(m), "cluster").repartition("cell"),
@@ -2594,7 +2597,8 @@ def semdedup_drops(
             .collect()
         )
         if big:
-            gdf = spark.createDataFrame(
+            gdf = local_df(
+                spark,
                 [
                     (r["cluster"], -(-r["_m"] // max_cluster_rows))
                     for r in big

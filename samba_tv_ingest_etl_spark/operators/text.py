@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..relations import local_df
+
 # Mersenne prime 2^31-1: products a*r stay far below 2^63.
 HASH_P = 2_147_483_647
 
@@ -194,7 +196,9 @@ def vocab_ranks(
         return part_rank.select(
             token_col, F.col("_local_rank").cast("long").alias("rank")
         )
-    off_df = spark.createDataFrame(offsets, ["_pid", "_off"])
+    # _pid is spark_partition_id() (int): declare it int so the
+    # broadcast join key needs no cast on the big side
+    off_df = local_df(spark, offsets, "_pid int, _off long")
     return (
         part_rank.join(F.broadcast(off_df), "_pid")
         .select(
