@@ -778,28 +778,35 @@ def write_band_index(
         num_perm,
         hash_mode="sha2",
     ).localCheckpoint(eager=True)
-    writer.atomic_overwrite(
-        signed.select("doc_id", "set_size", "shingles", "sig"),
-        path.rstrip("/") + "/docs",
-    )
-    writer.atomic_overwrite(
-        _banded(signed, num_perm, bands),
-        path.rstrip("/") + "/bands",
-        partition_by=["band"],
-    )
-    # identity row, written LAST (complete index => meta present):
+    # identity row committed LAST (complete index => meta present):
     # num_perm/bands are part of what the index IS — an append at a
     # different width would mix slice layouts in one bands/ directory
     # (the r11-advice failure class on the vector index, same cure).
     # JVM-born row (range+lit, not createDataFrame): a Python-local
-    # relation costs ~4-5 s per write action (measured, r12).
-    writer.atomic_overwrite(
-        index_shingled.sparkSession.range(1).select(
-            F.lit(int(num_perm)).cast("int").alias("num_perm"),
-            F.lit(int(bands)).cast("int").alias("bands"),
-        ).coalesce(1),
-        path.rstrip("/") + "/meta",
-    )
+    # relation costs ~4-5 s per write action (measured, r12). The
+    # three directories are independent jobs reading the checkpointed
+    # signed frame — staged concurrently (guide §2.6), committed in
+    # order so every crash state matches the sequential writer's.
+    writer.atomic_overwrite_all([
+        (
+            signed.select("doc_id", "set_size", "shingles", "sig"),
+            path.rstrip("/") + "/docs",
+            None,
+        ),
+        (
+            _banded(signed, num_perm, bands),
+            path.rstrip("/") + "/bands",
+            ["band"],
+        ),
+        (
+            index_shingled.sparkSession.range(1).select(
+                F.lit(int(num_perm)).cast("int").alias("num_perm"),
+                F.lit(int(bands)).cast("int").alias("bands"),
+            ).coalesce(1),
+            path.rstrip("/") + "/meta",
+            None,
+        ),
+    ])
 
 
 def append_band_index(

@@ -1261,25 +1261,33 @@ def write_ivf_index(
     cmap = local_df(
         spark, sorted(cell_of.items()), "c long, cell long"
     )
-    writer.atomic_overwrite(
-        cdf.join(F.broadcast(cmap), "c").repartition("cell"),
-        path.rstrip("/") + "/centroids",
-        partition_by=["cell"],
-    )
-    # no coalesce(1): coalescing a Python-local relation drains every
-    # pickled partition through one Python-runner task (~4-5 s,
-    # measured r12); repartition(1) shuffles it down to one file with
-    # the map side running on warmed parallel workers instead
-    writer.atomic_overwrite(
-        _centroid_df(spark, coarse).repartition(1),
-        path.rstrip("/") + "/cells",
-    )
-    writer.atomic_overwrite(
-        _with_cell(_assign_with(corpus_q, cents, route_width), cents)
-        .repartition("cell"),
-        path.rstrip("/") + "/vectors",
-        partition_by=["cell"],
-    )
+    # no coalesce(1) on cells/: coalescing a Python-local relation
+    # drains every pickled partition through one Python-runner task
+    # (~4-5 s, measured r12); repartition(1) shuffles it down to one
+    # file with the map side running on warmed parallel workers.
+    # The three directories are independent Spark jobs — staged
+    # concurrently (guide §2.6), committed in order with vectors/
+    # LAST: every reader needs vectors/, so a crash anywhere in the
+    # build leaves an index that fails loudly, never a silently
+    # partial one (the sequential writer's discipline, kept).
+    writer.atomic_overwrite_all([
+        (
+            cdf.join(F.broadcast(cmap), "c").repartition("cell"),
+            path.rstrip("/") + "/centroids",
+            ["cell"],
+        ),
+        (
+            _centroid_df(spark, coarse).repartition(1),
+            path.rstrip("/") + "/cells",
+            None,
+        ),
+        (
+            _with_cell(_assign_with(corpus_q, cents, route_width), cents)
+            .repartition("cell"),
+            path.rstrip("/") + "/vectors",
+            ["cell"],
+        ),
+    ])
     return cents
 
 
@@ -1981,13 +1989,20 @@ def _write_band_meta(
     from ..sources import writer
 
     writer.atomic_overwrite(
-        spark.range(1).select(
-            F.lit(int(planes)).cast("int").alias("planes"),
-            F.lit(int(bands)).cast("int").alias("bands"),
-            F.lit(bool(band_payload)).alias("band_payload"),
-        ).coalesce(1),
+        _band_meta_df(spark, planes, bands, band_payload),
         path.rstrip("/") + "/meta",
     )
+
+
+def _band_meta_df(
+    spark, planes: int, bands: int, band_payload: bool
+) -> DataFrame:
+    """The one-row identity frame ``_write_band_meta`` persists."""
+    return spark.range(1).select(
+        F.lit(int(planes)).cast("int").alias("planes"),
+        F.lit(int(bands)).cast("int").alias("bands"),
+        F.lit(bool(band_payload)).alias("band_payload"),
+    ).coalesce(1)
 
 
 def _read_band_meta(spark, path: str) -> dict | None:
@@ -2078,20 +2093,32 @@ def write_vector_band_index(
     signed = lsh_buckets(
         corpus_q.select("vec_id", "q", "norm2"), planes, dim
     ).localCheckpoint(eager=True)
-    writer.atomic_overwrite(
-        signed.select("vec_id", "q", "norm2", "bucket"),
-        path.rstrip("/") + "/docs",
-    )
-    writer.atomic_overwrite(
-        _vector_bands(signed, planes, bands, band_payload)
-        .repartition("band")
-        .sortWithinPartitions("band", "key"),
-        path.rstrip("/") + "/bands",
-        partition_by=["band"],
-    )
-    _write_band_meta(
-        corpus_q.sparkSession, path, planes, bands, band_payload
-    )
+    # docs/ and bands/ both read the checkpointed signed frame and
+    # are independent jobs — staged concurrently (guide §2.6),
+    # committed in order with meta LAST so a complete index always
+    # carries its identity row (the sequential writer's discipline:
+    # a crash anywhere leaves meta absent => incomplete).
+    writer.atomic_overwrite_all([
+        (
+            signed.select("vec_id", "q", "norm2", "bucket"),
+            path.rstrip("/") + "/docs",
+            None,
+        ),
+        (
+            _vector_bands(signed, planes, bands, band_payload)
+            .repartition("band")
+            .sortWithinPartitions("band", "key"),
+            path.rstrip("/") + "/bands",
+            ["band"],
+        ),
+        (
+            _band_meta_df(
+                corpus_q.sparkSession, planes, bands, band_payload
+            ),
+            path.rstrip("/") + "/meta",
+            None,
+        ),
+    ])
 
 
 def _vector_bands(

@@ -36,9 +36,60 @@ def atomic_overwrite(
     ``df`` reads from ``path`` itself (the classic self-overwrite
     footgun): the tmp write is a complete action before anything is
     removed."""
+    _stage_overwrite(df, path, partition_by)
+    _commit_overwrite(df.sparkSession, path)
+
+
+def atomic_overwrite_all(
+    writes: list[tuple[DataFrame, str, list[str] | None]],
+) -> None:
+    """Several independent ``atomic_overwrite``s whose Spark jobs run
+    CONCURRENTLY from driver threads (optimization guide §2.6: actions
+    are only sequential because the driver calls them sequentially —
+    submitting independent jobs together lets one job's task tail
+    back-fill with the next job's tasks), then the directory swaps
+    commit SERIALLY in list order once every staging job has finished.
+
+    Crash discipline is strictly no looser than calling
+    ``atomic_overwrite`` in the same order: a crash during staging has
+    committed NOTHING (all data still under ``__tmp__`` siblings); a
+    crash during the commit loop leaves exactly a prefix of the list
+    visible — the same states the sequential writer exposes. Callers
+    therefore keep their "commit-marker last" ordering (an index's
+    meta / vectors directory last in the list).
+
+    Paths must be distinct (each staging job owns its own ``__tmp__``
+    sibling). 2-3 jobs in flight is the §2.6 sweet spot; staging jobs
+    beyond ``_STAGE_POOL`` queue behind the pool."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(writes) == 1:
+        df, path, pby = writes[0]
+        atomic_overwrite(df, path, pby)
+        return
+    with ThreadPoolExecutor(
+        max_workers=min(len(writes), _STAGE_POOL)
+    ) as pool:
+        futs = [
+            pool.submit(_stage_overwrite, df, path, pby)
+            for df, path, pby in writes
+        ]
+        for f in futs:
+            f.result()
+    for df, path, _ in writes:
+        _commit_overwrite(df.sparkSession, path)
+
+
+_STAGE_POOL = 3
+
+
+def _stage_overwrite(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """The Spark-job half of ``atomic_overwrite``: write ``df`` to
+    ``path``'s ``__tmp__`` sibling. No visible state changes."""
     spark = df.sparkSession
     tmp = path.rstrip("/") + "__tmp__"
-    old = path.rstrip("/") + "__old__"
     fs, jtmp = _fs(spark, tmp)
     if fs.exists(jtmp):
         fs.delete(jtmp, True)
@@ -46,6 +97,14 @@ def atomic_overwrite(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
+
+
+def _commit_overwrite(spark: SparkSession, path: str) -> None:
+    """The metadata half of ``atomic_overwrite``: swap the staged
+    ``__tmp__`` directory into place (two renames, zero Spark jobs)."""
+    tmp = path.rstrip("/") + "__tmp__"
+    old = path.rstrip("/") + "__old__"
+    fs, jtmp = _fs(spark, tmp)
     _, jpath = _fs(spark, path)
     jold = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(old)
     if fs.exists(jold):
