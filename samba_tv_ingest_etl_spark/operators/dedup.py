@@ -848,15 +848,21 @@ def append_band_index(
                 "(docs/) or rebuild, never mix slice layouts."
             )
     signed_new = signed_new.localCheckpoint(eager=True)
-    writer.append(
-        signed_new.select("doc_id", "set_size", "shingles", "sig"),
-        path.rstrip("/") + "/docs",
-    )
-    writer.append(
-        _banded(signed_new, num_perm, bands),
-        path.rstrip("/") + "/bands",
-        partition_by=["band"],
-    )
+    # concurrent jobs (guide §2.6): the duplicate-append contract
+    # above already tolerates a crash leaving either directory
+    # appended without the other — replays re-append both.
+    writer.append_all([
+        (
+            signed_new.select("doc_id", "set_size", "shingles", "sig"),
+            path.rstrip("/") + "/docs",
+            None,
+        ),
+        (
+            _banded(signed_new, num_perm, bands),
+            path.rstrip("/") + "/bands",
+            ["band"],
+        ),
+    ])
 
 
 def read_band_index(

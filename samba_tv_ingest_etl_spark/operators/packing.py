@@ -66,6 +66,14 @@ def global_cumsum_multi(
     if bucket_of is not None:
         local = df.withColumn("_pid", bucket_of)
     else:
+        # a range exchange SAMPLES its child to pick boundaries, then
+        # reads it again for the real shuffle — with an expensive
+        # upstream (q131's whole excise chain) that is one full extra
+        # evaluation. Every caller's input is doc-grain/bounded (the
+        # plan-audit contract for this operator), so one lineage cut
+        # here is cheap and the sampler reads materialized blocks
+        # (guide §5; measured in OPTIMIZATION_r13.md).
+        df = df.localCheckpoint(eager=True)
         srt = df.repartitionByRange(*order_by)
         local = srt.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy(F.col("_pid")).orderBy(*order_by)

@@ -1376,27 +1376,28 @@ def read_ivf_index(
     codebook is a bounded collect by construction (one row per
     centroid; k ∝ corpus/target with a 64-dim int64 vector each —
     the same driver-size class as the broadcast it feeds), and the
-    bound is ENFORCED: past ``MAX_CODEBOOK_ROWS`` the read raises
-    (counted BEFORE collecting — the guard must not itself pull the
-    oversized codebook) and names the hierarchical-codebook
-    successor. The cell partition column comes back as its
-    partition-inferred type, so it is cast to the long the probe
-    filters expect."""
+    bound is ENFORCED: past ``MAX_CODEBOOK_ROWS`` the read raises.
+    The guard is a single ``limit(MAX+1).collect()`` — the driver
+    pull stays bounded whatever the on-disk size, without the
+    separate count job (a full extra scan per probe) the guard used
+    to pay; the error names the hierarchical-codebook successor.
+    The cell partition column comes back as its partition-inferred
+    type, so it is cast to the long the probe filters expect."""
     p = path.rstrip("/")
     cdf = spark.read.parquet(p + "/centroids")
-    n_cents = cdf.count()
-    if n_cents > MAX_CODEBOOK_ROWS:
+    rows = cdf.limit(MAX_CODEBOOK_ROWS + 1).collect()
+    if len(rows) > MAX_CODEBOOK_ROWS:
         raise ValueError(
-            f"IVF codebook at {p} has {n_cents:,} centroids, over "
-            f"MAX_CODEBOOK_ROWS={MAX_CODEBOOK_ROWS:,} (~0.5 GiB of "
-            "driver memory): use the hierarchical consumers "
-            "(topk_ivf_indexed_hier / append_ivf_index_hier), which "
-            "read the persisted cells/ level plus only the probed "
-            "cells' sub-codebooks — or retrain with a larger "
-            "per-cluster target."
+            f"IVF codebook at {p} has over "
+            f"MAX_CODEBOOK_ROWS={MAX_CODEBOOK_ROWS:,} centroids "
+            "(~0.5 GiB of driver memory): use the hierarchical "
+            "consumers (topk_ivf_indexed_hier / "
+            "append_ivf_index_hier), which read the persisted "
+            "cells/ level plus only the probed cells' sub-codebooks "
+            "— or retrain with a larger per-cluster target."
         )
     cents = {
-        int(r["c"]): [int(v) for v in r["cv"]] for r in cdf.collect()
+        int(r["c"]): [int(v) for v in r["cv"]] for r in rows
     }
     vectors = spark.read.parquet(p + "/vectors").withColumn(
         "cell", F.col("cell").cast("long")
@@ -1544,15 +1545,16 @@ def _read_sub_codebook(
     else:
         gdf = local_df(spark, [(g,) for g in cell_ids], "cell long")
         sub = cdf.join(F.broadcast(gdf), "cell", "left_semi")
-    n = sub.count()
-    if n > MAX_CODEBOOK_ROWS:
+    # single bounded pull (limit caps the driver transfer; the old
+    # count-then-collect guard paid a full extra scan per probe)
+    rows = sub.limit(MAX_CODEBOOK_ROWS + 1).collect()
+    if len(rows) > MAX_CODEBOOK_ROWS:
         raise ValueError(
-            f"probed sub-codebook at {p} has {n:,} centroids across "
-            f"{len(cell_ids)} cells, over MAX_CODEBOOK_ROWS="
-            f"{MAX_CODEBOOK_ROWS:,}: narrow the probe width or "
+            f"probed sub-codebook at {p} has over MAX_CODEBOOK_ROWS="
+            f"{MAX_CODEBOOK_ROWS:,} centroids across "
+            f"{len(cell_ids)} cells: narrow the probe width or "
             "retrain with a larger per-cluster target."
         )
-    rows = sub.collect()
     return (
         {int(r["c"]): [int(v) for v in r["cv"]] for r in rows},
         {int(r["c"]): int(r["cell"]) for r in rows},
@@ -2189,17 +2191,23 @@ def append_vector_band_index(
     signed = lsh_buckets(
         new_q.select("vec_id", "q", "norm2"), planes, dim
     ).localCheckpoint(eager=True)
-    writer.append(
-        signed.select("vec_id", "q", "norm2", "bucket"),
-        path.rstrip("/") + "/docs",
-    )
-    writer.append(
-        _vector_bands(signed, planes, bands, band_payload)
-        .repartition("band")
-        .sortWithinPartitions("band", "key"),
-        path.rstrip("/") + "/bands",
-        partition_by=["band"],
-    )
+    # concurrent jobs (guide §2.6): the duplicate-append contract
+    # above already tolerates a crash leaving either directory
+    # appended without the other — replays re-append both.
+    writer.append_all([
+        (
+            signed.select("vec_id", "q", "norm2", "bucket"),
+            path.rstrip("/") + "/docs",
+            None,
+        ),
+        (
+            _vector_bands(signed, planes, bands, band_payload)
+            .repartition("band")
+            .sortWithinPartitions("band", "key"),
+            path.rstrip("/") + "/bands",
+            ["band"],
+        ),
+    ])
 
 
 def read_vector_band_index(

@@ -29,6 +29,33 @@ def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> N
     w.parquet(path)
 
 
+def append_all(
+    appends: list[tuple[DataFrame, str, list[str] | None]],
+) -> None:
+    """Several independent ``append``s whose Spark jobs run
+    CONCURRENTLY from driver threads (guide §2.6 overlap). ONLY for
+    callers whose recovery already tolerates a crash leaving ANY
+    subset of the appends applied — the band-index contract: replays
+    re-append all parts and duplicates are result-neutral downstream
+    (``append_band_index`` documents docs/-without-bands/ explicitly;
+    concurrency adds the mirror-image states, nothing new in kind)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(appends) == 1:
+        df, path, pby = appends[0]
+        append(df, path, pby)
+        return
+    with ThreadPoolExecutor(
+        max_workers=min(len(appends), _STAGE_POOL)
+    ) as pool:
+        futs = [
+            pool.submit(append, df, path, pby)
+            for df, path, pby in appends
+        ]
+        for f in futs:
+            f.result()
+
+
 def atomic_overwrite(
     df: DataFrame, path: str, partition_by: list[str] | None = None
 ) -> None:
