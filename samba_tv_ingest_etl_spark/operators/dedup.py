@@ -182,8 +182,17 @@ def overlap_pairs(
         F.col("set_size").alias("size_b"),
         "shingle",
     )
+    # the candidate self-join: force sort-merge. Neither side ever
+    # "fits" at scale (both are the full exploded corpus), so the
+    # stats-driven broadcast the planner picks on a fixture-sized
+    # corpus is the wrong shape twice over: the build is a serial
+    # single-thread hash-relation job over every exploded row, and at
+    # fleet size it is an executor OOM. With SMJ the two sides are
+    # canonically identical projections of the same checkpointed
+    # frame, so exchange reuse ships ONE shuffle write read twice
+    # (guide §3: pick the strategy deliberately).
     pairs = (
-        a.join(b, "shingle")
+        a.join(b.hint("merge"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("common"))
@@ -518,8 +527,13 @@ def minhash_lsh_pairs(
     else:
         a = banded.select(F.col("doc_id").alias("doc_a"), "band", "slice")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "slice")
+    # band-bucket self-join: force sort-merge (same rationale as
+    # overlap_pairs' candidate join — both sides are the banded
+    # corpus, so the fixture-scale stats-driven broadcast is a serial
+    # single-thread build here and an OOM at fleet size; the uncapped
+    # sides are canonically identical projections, one shuffle)
     cand = (
-        a.join(b, ["band", "slice"])
+        a.join(b.hint("merge"), ["band", "slice"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -1137,8 +1151,10 @@ def simhash_pairs(
         "key",
     )
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # banded self-join: sort-merge, not stats-driven broadcast (see
+    # overlap_pairs — both sides are the banded corpus)
     return (
-        a.join(b, ["band", "key"])
+        a.join(b.hint("merge"), ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "fp_a", "fp_b")
         .distinct()

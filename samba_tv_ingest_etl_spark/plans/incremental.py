@@ -87,9 +87,13 @@ def update_panel_windows(wh: Warehouse, geo_weights: DataFrame) -> int:
         geo_weights.filter(F.col("metadata_date") > F.lit(wm))
     )
     target = wh.read("panel_windows") if wh.exists("panel_windows") else None
+    # the count and the append otherwise each evaluate the full merge
+    # chain (source scan + anti-join); the delta is batch-bounded by
+    # the watermark contract, so materialize once and let both read
+    # blocks (also freezes created_at across the two consumers)
     delta = merge_insert_only(src, target, ["panel_monday"]).withColumn(
         "created_at", F.current_timestamp()
-    )
+    ).localCheckpoint(eager=True)
     n = delta.count()
     if n:
         wh.append(delta, "panel_windows")
@@ -109,9 +113,11 @@ def update_raw_events(wh: Warehouse, acr: DataFrame, stb: DataFrame) -> int:
         if wh.exists("raw_viewing_events")
         else None
     )
+    # batch-bounded delta: one evaluation for count + append (see
+    # update_panel_windows)
     delta = merge_insert_only(new, target, RAW_EVENTS_KEY).withColumn(
         "created_at", F.current_timestamp()
-    )
+    ).localCheckpoint(eager=True)
     n = delta.count()
     if n:
         wh.append(delta, "raw_viewing_events")
@@ -144,9 +150,11 @@ def update_weighted_events(wh: Warehouse, geo_weights: DataFrame) -> int:
     target = (
         wh.read("weighted_events") if wh.exists("weighted_events") else None
     )
+    # batch-bounded delta: one evaluation for count + append (see
+    # update_panel_windows)
     delta = merge_insert_only(src, target, RAW_EVENTS_KEY).withColumn(
         "created_at", F.current_timestamp()
-    )
+    ).localCheckpoint(eager=True)
     n = delta.count()
     if n:
         wh.append(delta, "weighted_events")
@@ -193,9 +201,14 @@ def update_viewing_sessions(wh: Warehouse) -> int:
     )
     try:
         affected_events = semi_join_keys(weighted, keys, AFFECTED_KEYS)
+        # recomputed sessions are read by BOTH the n_new count and the
+        # table write (union side) on every branch below; the
+        # re-sessionize of affected groups is the expensive half of
+        # this task, and its output is affected-batch-bounded —
+        # materialize once (and freeze created_at across consumers)
         new_sessions = build_viewing_sessions(affected_events).withColumn(
             "created_at", F.current_timestamp()
-        )
+        ).localCheckpoint(eager=True)
         if not wh.exists("viewing_sessions"):
             n_new = new_sessions.count()
             wh.write(new_sessions, "viewing_sessions")
