@@ -186,11 +186,18 @@ def connected_components_star(
         nxt = _norm(_small_star(_large_star(cur))).localCheckpoint(
             eager=True
         )
-        # convergence = edge set unchanged (exact: two anti-joins over
-        # checkpointed sets; O(log n) rounds keep this affordable)
+        # convergence = edge set unchanged. Exact, and ONE job per
+        # round instead of two exceptAll actions (each of which
+        # shuffled BOTH checkpointed sets): both sides are distinct
+        # by _norm, so a symmetric-difference row is exactly a
+        # (u, v) group of size 1 in the tagged union.
         changed = (
-            nxt.exceptAll(cur).limit(1).count()
-            + cur.exceptAll(nxt).limit(1).count()
+            nxt.unionByName(cur)
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") != 2)
+            .limit(1)
+            .count()
         )
         cur = nxt
         if changed == 0:
