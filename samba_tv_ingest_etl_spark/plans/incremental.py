@@ -87,13 +87,19 @@ def update_panel_windows(wh: Warehouse, geo_weights: DataFrame) -> int:
         geo_weights.filter(F.col("metadata_date") > F.lit(wm))
     )
     target = wh.read("panel_windows") if wh.exists("panel_windows") else None
-    # the count and the append otherwise each evaluate the full merge
-    # chain (source scan + anti-join); the delta is batch-bounded by
-    # the watermark contract, so materialize once and let both read
-    # blocks (also freezes created_at across the two consumers)
+    # INCREMENTAL runs: the count and the append otherwise each
+    # evaluate the full merge chain (source scan + anti-join); the
+    # delta is batch-bounded by the watermark contract, so
+    # materialize once and let both read blocks (also freezes
+    # created_at across the two consumers). BOOTSTRAP runs (no
+    # target) are exempt: the "delta" is the entire history, whose
+    # materialization at fleet scale costs more than re-running the
+    # plain scan+transform chain (no anti-join on this path) twice.
     delta = merge_insert_only(src, target, ["panel_monday"]).withColumn(
         "created_at", F.current_timestamp()
-    ).localCheckpoint(eager=True)
+    )
+    if target is not None:
+        delta = delta.localCheckpoint(eager=True)
     n = delta.count()
     if n:
         wh.append(delta, "panel_windows")
@@ -113,11 +119,13 @@ def update_raw_events(wh: Warehouse, acr: DataFrame, stb: DataFrame) -> int:
         if wh.exists("raw_viewing_events")
         else None
     )
-    # batch-bounded delta: one evaluation for count + append (see
-    # update_panel_windows)
+    # batch-bounded delta: one evaluation for count + append;
+    # bootstrap exempt (see update_panel_windows)
     delta = merge_insert_only(new, target, RAW_EVENTS_KEY).withColumn(
         "created_at", F.current_timestamp()
-    ).localCheckpoint(eager=True)
+    )
+    if target is not None:
+        delta = delta.localCheckpoint(eager=True)
     n = delta.count()
     if n:
         wh.append(delta, "raw_viewing_events")
@@ -150,11 +158,13 @@ def update_weighted_events(wh: Warehouse, geo_weights: DataFrame) -> int:
     target = (
         wh.read("weighted_events") if wh.exists("weighted_events") else None
     )
-    # batch-bounded delta: one evaluation for count + append (see
-    # update_panel_windows)
+    # batch-bounded delta: one evaluation for count + append;
+    # bootstrap exempt (see update_panel_windows)
     delta = merge_insert_only(src, target, RAW_EVENTS_KEY).withColumn(
         "created_at", F.current_timestamp()
-    ).localCheckpoint(eager=True)
+    )
+    if target is not None:
+        delta = delta.localCheckpoint(eager=True)
     n = delta.count()
     if n:
         wh.append(delta, "weighted_events")
@@ -201,18 +211,34 @@ def update_viewing_sessions(wh: Warehouse) -> int:
     )
     try:
         affected_events = semi_join_keys(weighted, keys, AFFECTED_KEYS)
-        # recomputed sessions are read by BOTH the n_new count and the
-        # table write (union side) on every branch below; the
-        # re-sessionize of affected groups is the expensive half of
-        # this task, and its output is affected-batch-bounded —
-        # materialize once (and freeze created_at across consumers)
         new_sessions = build_viewing_sessions(affected_events).withColumn(
             "created_at", F.current_timestamp()
-        ).localCheckpoint(eager=True)
+        )
         if not wh.exists("viewing_sessions"):
-            n_new = new_sessions.count()
-            wh.write(new_sessions, "viewing_sessions")
-            return n_new
+            # bootstrap: the count is only the RETURN value, never a
+            # decision, so take it from the write job itself
+            # (Observation) — one evaluation of the full-history
+            # sessionize, and nothing history-sized is materialized
+            # on executor disks the way a localCheckpoint would
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            wh.write(
+                new_sessions.observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                ),
+                "viewing_sessions",
+            )
+            return int(obs.get["n"])
+        # INCREMENTAL branches: the recomputed sessions are read by
+        # BOTH the n_new count and the table write (union side); the
+        # re-sessionize of affected groups is the expensive half of
+        # this task, and its output is affected-batch-bounded —
+        # materialize once (and freeze created_at across consumers).
+        # The bootstrap branch above stays double-eval: there the
+        # "affected" set is the entire history, whose materialization
+        # at fleet scale costs more than the second evaluation.
+        new_sessions = new_sessions.localCheckpoint(eager=True)
         if wh.partitioning("viewing_sessions") == ["panel_monday"]:
             return _update_sessions_partitioned(
                 wh, keys, affected_events, new_sessions
