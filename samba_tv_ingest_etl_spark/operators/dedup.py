@@ -801,14 +801,21 @@ def write_band_index(
     # three directories are independent jobs reading the checkpointed
     # signed frame — staged concurrently (guide §2.6), committed in
     # order so every crash state matches the sequential writer's.
+    # writer.sized: file count follows data size, not task count —
+    # an unsized bootstrap landed 32 tiny files per directory (one
+    # per shuffle partition), tripping the maintenance fragmentation
+    # gate on a FRESH index and paying per-file commit/listing cost
+    # on every write and probe (guide §6).
     writer.atomic_overwrite_all([
         (
-            signed.select("doc_id", "set_size", "shingles", "sig"),
+            writer.sized(
+                signed.select("doc_id", "set_size", "shingles", "sig")
+            ),
             path.rstrip("/") + "/docs",
             None,
         ),
         (
-            _banded(signed, num_perm, bands),
+            writer.sized(_banded(signed, num_perm, bands)),
             path.rstrip("/") + "/bands",
             ["band"],
         ),
@@ -867,12 +874,14 @@ def append_band_index(
     # appended without the other — replays re-append both.
     writer.append_all([
         (
-            signed_new.select("doc_id", "set_size", "shingles", "sig"),
+            writer.sized(
+                signed_new.select("doc_id", "set_size", "shingles", "sig")
+            ),
             path.rstrip("/") + "/docs",
             None,
         ),
         (
-            _banded(signed_new, num_perm, bands),
+            writer.sized(_banded(signed_new, num_perm, bands)),
             path.rstrip("/") + "/bands",
             ["band"],
         ),

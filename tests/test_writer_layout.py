@@ -87,3 +87,56 @@ def test_files_per_partition_split(spark, tmp_path):
     assert (
         spark.read.parquet(out).count() == _events(spark).count()
     )
+
+
+def test_sized_write_follows_data_size_not_task_count(spark, tmp_path):
+    """``sized``: a small checkpointed frame coalesces to ONE output
+    file regardless of its upstream partition count (guide §6 — the
+    small-file problem is a write-time decision); the row content is
+    untouched, and an unknown-stats frame passes through unchanged."""
+    from samba_tv_ingest_etl_spark.sources.writer import sized
+
+    df = (
+        spark.range(0, 10_000, 1, 32)
+        .select(F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    out = str(tmp_path / "sized")
+    sized(df).write.parquet(out)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 1, files
+    assert spark.read.parquet(out).count() == 10_000
+
+    # unknown-stats sentinel (driver-local relation defaults to
+    # Long.MaxValue): sized() must be a harmless pass-through, not a
+    # py4j long-overflow crash
+    local = spark.createDataFrame([(1, "a")], ["id", "v"])
+    assert sized(local.localCheckpoint(eager=True)).count() == 1
+
+
+def test_band_index_bootstrap_lands_compact(spark, tmp_path):
+    """A fresh MinHash band index bootstraps BELOW the maintenance
+    fragmentation gate: one data file per directory/hive partition,
+    not one per shuffle partition — so the first nightly ``maintain``
+    no longer full-rewrites a just-built index."""
+    from samba_tv_ingest_etl_spark.operators import dedup as D
+    from samba_tv_ingest_etl_spark.plans.maintenance import (
+        index_fragmentation,
+    )
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{i}_"), (F.col("id") % (i + 7)))
+                for i in range(12)
+            ],
+        ).alias("text"),
+    )
+    path = str(tmp_path / "bidx")
+    D.write_band_index(D.shingle_docs(docs), path)
+    frag = index_fragmentation(spark, path, "minhash_band")
+    for comp, scopes in frag.items():
+        for scope, n in scopes.items():
+            assert n == 1, (comp, scope, n)
