@@ -1383,9 +1383,21 @@ def contaminated_span_intervals(
     (leak-density-bounded) reach the island merge. Matching is exact
     string equality on the gram, so there is no hash round-trip to
     verify."""
+    # NO .filter(size(toks) >= k) here: ngram_occurrences already
+    # returns [] for short docs (explode drops them — same rows out),
+    # and the filter is an anti-optimization — Catalyst pushes a
+    # predicate on a DERIVED column below the corpus-widening
+    # exchange, re-inlining the full tokenize into the scan-stage
+    # filter, where it is evaluated a second time (and serially, the
+    # scan being single-split at fixture scale) — the guide §4.4
+    # duplicated-evaluation trap in JVM-expression form. Plan-proven
+    # (plans/r13/q127 before/after: the scan Filter loses its
+    # split(lower(text)) term); fixture walls move within the host
+    # noise (q127 pooled-median -9%, q131 a wash over 6 interleaved
+    # A/B rounds) — the removed duplicate is the scale argument, not
+    # a fixture headline.
     ev = (
-        eval_toks.filter(F.size("toks") >= k)
-        .select(
+        eval_toks.select(
             F.explode(
                 ngram_occurrences(F.col("toks"), k)
             ).alias("gram")
