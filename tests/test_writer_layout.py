@@ -113,6 +113,18 @@ def test_sized_write_follows_data_size_not_task_count(spark, tmp_path):
     local = spark.createDataFrame([(1, "a")], ["id", "v"])
     assert sized(local.localCheckpoint(eager=True)).count() == 1
 
+    # scale-adaptive branch: with a target far below the frame's
+    # estimate, the write keeps ceil(est/target) > 1 files (never
+    # collapses a fleet-size index into one task)
+    out2 = str(tmp_path / "sized_multi")
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    sized(df, target_est_bytes=est // 4).write.parquet(out2)
+    files2 = [f for f in os.listdir(out2) if f.endswith(".parquet")]
+    assert 1 < len(files2) <= 32, files2
+    assert spark.read.parquet(out2).count() == 10_000
+
 
 def test_band_index_bootstrap_lands_compact(spark, tmp_path):
     """A fresh MinHash band index bootstraps BELOW the maintenance
