@@ -22,59 +22,6 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), jpath
 
 
-# Per-output-file target in the OPTIMIZER'S size-estimate domain
-# (Catalyst row-size x row-count, uncompressed). Parquet files land
-# smaller than this by the encoding/compression ratio; the target
-# only needs the right decade — the point is ceil(bytes/target)
-# files, not exact file sizes.
-TARGET_FILE_EST_BYTES = 128 * 1024 * 1024
-
-
-def sized(
-    df: DataFrame, target_est_bytes: int = TARGET_FILE_EST_BYTES
-) -> DataFrame:
-    """Right-size output files at write time (optimization guide §6:
-    "the small-file problem is a write-time decision"): coalesce the
-    frame to ceil(estimated bytes / target) partitions so the file
-    count follows DATA SIZE, not the upstream task count. Without
-    this, every index/table write emits one tiny file per shuffle
-    partition — a batch-sized band-index append landed 32 files per
-    directory (~13 KB each) at bench scale, paying per-file
-    open/commit overhead on write and per-file listing/footer/GET
-    cost on every subsequent probe (the exact amplification
-    SCALING_r12 §1 measured and compaction exists to undo).
-
-    ``coalesce``, never ``repartition``: no shuffle, no sort — the
-    write tasks just read more upstream partitions each. That also
-    means this is ONLY for frames whose compute is already
-    materialized (``localCheckpoint``) or trivial: coalescing a lazy
-    plan would narrow the parallelism of the computation itself, not
-    just the write. Every call site here writes a checkpoint-backed
-    frame (or a cheap projection/explode of one).
-
-    Scale-adaptive by construction: the estimate comes from
-    Catalyst's statistics (propagated through projections/explodes
-    of checkpointed frames — zero extra jobs, no plan-to-RDD
-    conversion), so a 4 MB fixture index coalesces to one file while
-    a fleet-size index keeps ceil(size/128 MB) write tasks. When the
-    estimate is unavailable or absurd (unknown stats default to
-    huge), ``coalesce(n >= current partitions)`` is a no-op and the
-    write keeps its current shape — never worse than before."""
-    try:
-        est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        return df
-    n = max(1, -(-est // max(target_est_bytes, 1)))
-    if n >= 2**31:
-        # unknown-stats sentinel (defaultSizeInBytes = Long.MaxValue,
-        # e.g. a driver-local relation): coalesce(n) would be a no-op
-        # anyway and the long overflows py4j's int dispatch — skip.
-        return df
-    return df.coalesce(n)
-
-
 def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     w = df.write.mode("append")
     if partition_by:
@@ -252,7 +199,7 @@ def overwrite_partitions(
         # written-partition probe below can re-read files the commit
         # replaces. Blocks are RDD-owned -> freed by the
         # ContextCleaner, no CacheManager leak.
-        df = sized(df.localCheckpoint(eager=True))
+        df = df.localCheckpoint(eager=True)
         col = partition_by[0]
         written = {r[0] for r in df.select(col).distinct().collect()}
     conf_key = "spark.sql.sources.partitionOverwriteMode"
