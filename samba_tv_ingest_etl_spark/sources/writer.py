@@ -13,6 +13,8 @@ write-new-then-swap discipline of SURVEY §4.2-4.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -22,6 +24,73 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), jpath
 
 
+<<<<<<< Updated upstream
+=======
+# Per-output-file target in the OPTIMIZER'S size-estimate domain,
+# parameterised (scale-dependent settings stay conf/env, local
+# default keeps the driver's bench comparable). Calibration, measured
+# on the band-index docs frame: Catalyst's LogicalRDD row-size guess
+# treats array columns as near-constant, so the estimate UNDERSTATES
+# array-heavy frames ~6-20x (sf1: est 2.7 MB vs 15.7 MB parquet /
+# ~60 MB in memory). 4 MB-estimate therefore lands ~25-90 MB parquet
+# files — one file at fixture scale, ~7 write tasks at sf10, and at
+# fleet scale file sizes in the lower half of the guide §6 128 MB-1 GB
+# band (raise via env once a deployment has measured its own
+# estimate->bytes ratio; nightly compaction already consolidates
+# long-lived indexes).
+TARGET_FILE_EST_BYTES = int(
+    os.environ.get("SPARK_GRAFT_WRITE_TARGET_EST_BYTES", 4 * 1024 * 1024)
+)
+
+
+def sized(
+    df: DataFrame, target_est_bytes: int = TARGET_FILE_EST_BYTES
+) -> DataFrame:
+    """Right-size output files at write time (optimization guide §6:
+    "the small-file problem is a write-time decision"): coalesce the
+    frame to ceil(estimated bytes / target) partitions so the file
+    count follows DATA SIZE, not the upstream task count. Without
+    this, every index/table write emits one tiny file per shuffle
+    partition — a batch-sized band-index append landed 32 files per
+    directory (~13 KB each) at bench scale, paying per-file
+    open/commit overhead on write and per-file listing/footer/GET
+    cost on every subsequent probe (the exact amplification
+    SCALING_r12 §1 measured and compaction exists to undo).
+
+    ``coalesce``, never ``repartition``: no shuffle, no sort — the
+    write tasks just read more upstream partitions each. That also
+    means this is ONLY for frames whose compute is already
+    materialized (``localCheckpoint``) or trivial: coalescing a lazy
+    plan would narrow the parallelism of the computation itself, not
+    just the write. Every call site here writes a checkpoint-backed
+    frame (or a cheap projection/explode of one).
+
+    Scale-adaptive by construction: the estimate comes from
+    Catalyst's statistics (propagated through projections/explodes
+    of checkpointed frames — zero extra jobs, no plan-to-RDD
+    conversion), so a fixture index coalesces to one file while a
+    fleet-size index keeps ceil(estimate/target) write tasks (target
+    calibration and the array-underestimate caveat: see
+    ``TARGET_FILE_EST_BYTES`` above). When the estimate is
+    unavailable or absurd (unknown stats default to huge),
+    ``coalesce(n >= current partitions)`` is a no-op and the write
+    keeps its current shape — never worse than before."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return df
+    n = max(1, -(-est // max(target_est_bytes, 1)))
+    if n >= 2**31:
+        # unknown-stats sentinel (defaultSizeInBytes = Long.MaxValue,
+        # e.g. a driver-local relation): coalesce(n) would be a no-op
+        # anyway and the long overflows py4j's int dispatch — skip.
+        return df
+    return df.coalesce(n)
+
+
+>>>>>>> Stashed changes
 def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     w = df.write.mode("append")
     if partition_by:
