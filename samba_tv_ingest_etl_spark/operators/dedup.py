@@ -801,14 +801,21 @@ def write_band_index(
     # three directories are independent jobs reading the checkpointed
     # signed frame — staged concurrently (guide §2.6), committed in
     # order so every crash state matches the sequential writer's.
+    # writer.sized: file count follows data size, not task count —
+    # an unsized bootstrap landed 32 tiny files per directory (one
+    # per shuffle partition), tripping the maintenance fragmentation
+    # gate on a FRESH index and paying per-file commit/listing cost
+    # on every write and probe (guide §6).
     writer.atomic_overwrite_all([
         (
-            signed.select("doc_id", "set_size", "shingles", "sig"),
+            writer.sized(
+                signed.select("doc_id", "set_size", "shingles", "sig")
+            ),
             path.rstrip("/") + "/docs",
             None,
         ),
         (
-            _banded(signed, num_perm, bands),
+            writer.sized(_banded(signed, num_perm, bands)),
             path.rstrip("/") + "/bands",
             ["band"],
         ),
@@ -867,12 +874,14 @@ def append_band_index(
     # appended without the other — replays re-append both.
     writer.append_all([
         (
-            signed_new.select("doc_id", "set_size", "shingles", "sig"),
+            writer.sized(
+                signed_new.select("doc_id", "set_size", "shingles", "sig")
+            ),
             path.rstrip("/") + "/docs",
             None,
         ),
         (
-            _banded(signed_new, num_perm, bands),
+            writer.sized(_banded(signed_new, num_perm, bands)),
             path.rstrip("/") + "/bands",
             ["band"],
         ),
@@ -1374,9 +1383,21 @@ def contaminated_span_intervals(
     (leak-density-bounded) reach the island merge. Matching is exact
     string equality on the gram, so there is no hash round-trip to
     verify."""
+    # NO .filter(size(toks) >= k) here: ngram_occurrences already
+    # returns [] for short docs (explode drops them — same rows out),
+    # and the filter is an anti-optimization — Catalyst pushes a
+    # predicate on a DERIVED column below the corpus-widening
+    # exchange, re-inlining the full tokenize into the scan-stage
+    # filter, where it is evaluated a second time (and serially, the
+    # scan being single-split at fixture scale) — the guide §4.4
+    # duplicated-evaluation trap in JVM-expression form. Plan-proven
+    # (plans/r13/q127 before/after: the scan Filter loses its
+    # split(lower(text)) term); fixture walls move within the host
+    # noise (q127 pooled-median -9%, q131 a wash over 6 interleaved
+    # A/B rounds) — the removed duplicate is the scale argument, not
+    # a fixture headline.
     ev = (
-        eval_toks.filter(F.size("toks") >= k)
-        .select(
+        eval_toks.select(
             F.explode(
                 ngram_occurrences(F.col("toks"), k)
             ).alias("gram")

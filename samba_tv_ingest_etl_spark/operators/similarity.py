@@ -2102,7 +2102,14 @@ def write_vector_band_index(
     # a crash anywhere leaves meta absent => incomplete).
     writer.atomic_overwrite_all([
         (
-            signed.select("vec_id", "q", "norm2", "bucket"),
+            # writer.sized: docs/ otherwise lands one tiny file per
+            # shuffle partition (32 at bench for a ~400 KB payload) —
+            # file count should follow data size (guide §6). bands/
+            # already gets this from repartition("band") + AQE
+            # coalescing.
+            writer.sized(
+                signed.select("vec_id", "q", "norm2", "bucket")
+            ),
             path.rstrip("/") + "/docs",
             None,
         ),
@@ -2196,7 +2203,11 @@ def append_vector_band_index(
     # appended without the other — replays re-append both.
     writer.append_all([
         (
-            signed.select("vec_id", "q", "norm2", "bucket"),
+            # sized: a batch append is batch-bounded — one file per
+            # append instead of one per shuffle partition (guide §6)
+            writer.sized(
+                signed.select("vec_id", "q", "norm2", "bucket")
+            ),
             path.rstrip("/") + "/docs",
             None,
         ),

@@ -13,8 +13,6 @@ write-new-then-swap discipline of SURVEY §4.2-4.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -24,23 +22,12 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), jpath
 
 
-<<<<<<< Updated upstream
-=======
-# Per-output-file target in the OPTIMIZER'S size-estimate domain,
-# parameterised (scale-dependent settings stay conf/env, local
-# default keeps the driver's bench comparable). Calibration, measured
-# on the band-index docs frame: Catalyst's LogicalRDD row-size guess
-# treats array columns as near-constant, so the estimate UNDERSTATES
-# array-heavy frames ~6-20x (sf1: est 2.7 MB vs 15.7 MB parquet /
-# ~60 MB in memory). 4 MB-estimate therefore lands ~25-90 MB parquet
-# files — one file at fixture scale, ~7 write tasks at sf10, and at
-# fleet scale file sizes in the lower half of the guide §6 128 MB-1 GB
-# band (raise via env once a deployment has measured its own
-# estimate->bytes ratio; nightly compaction already consolidates
-# long-lived indexes).
-TARGET_FILE_EST_BYTES = int(
-    os.environ.get("SPARK_GRAFT_WRITE_TARGET_EST_BYTES", 4 * 1024 * 1024)
-)
+# Per-output-file target in the OPTIMIZER'S size-estimate domain
+# (Catalyst row-size x row-count, uncompressed). Parquet files land
+# smaller than this by the encoding/compression ratio; the target
+# only needs the right decade — the point is ceil(bytes/target)
+# files, not exact file sizes.
+TARGET_FILE_EST_BYTES = 128 * 1024 * 1024
 
 
 def sized(
@@ -68,13 +55,11 @@ def sized(
     Scale-adaptive by construction: the estimate comes from
     Catalyst's statistics (propagated through projections/explodes
     of checkpointed frames — zero extra jobs, no plan-to-RDD
-    conversion), so a fixture index coalesces to one file while a
-    fleet-size index keeps ceil(estimate/target) write tasks (target
-    calibration and the array-underestimate caveat: see
-    ``TARGET_FILE_EST_BYTES`` above). When the estimate is
-    unavailable or absurd (unknown stats default to huge),
-    ``coalesce(n >= current partitions)`` is a no-op and the write
-    keeps its current shape — never worse than before."""
+    conversion), so a 4 MB fixture index coalesces to one file while
+    a fleet-size index keeps ceil(size/128 MB) write tasks. When the
+    estimate is unavailable or absurd (unknown stats default to
+    huge), ``coalesce(n >= current partitions)`` is a no-op and the
+    write keeps its current shape — never worse than before."""
     try:
         est = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -90,7 +75,6 @@ def sized(
     return df.coalesce(n)
 
 
->>>>>>> Stashed changes
 def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     w = df.write.mode("append")
     if partition_by:
@@ -268,7 +252,7 @@ def overwrite_partitions(
         # written-partition probe below can re-read files the commit
         # replaces. Blocks are RDD-owned -> freed by the
         # ContextCleaner, no CacheManager leak.
-        df = df.localCheckpoint(eager=True)
+        df = sized(df.localCheckpoint(eager=True))
         col = partition_by[0]
         written = {r[0] for r in df.select(col).distinct().collect()}
     conf_key = "spark.sql.sources.partitionOverwriteMode"
