@@ -110,6 +110,36 @@ def host_speed_canary(spark, runs: int = 3) -> float:
     return best
 
 
+def host_io_canary(runs: int = 3, mb: int = 64) -> float:
+    """Fixed fdatasync write microbench: min-of-N seconds to write
+    `mb` MB (1 MB buffers) to a fresh /tmp file and fdatasync it.
+    Companion to the CPU canary — the r13 measurement finding: two
+    same-code idle runs at near-equal CPU canary (1.508 vs 1.459)
+    totaled 54.6 vs 60.5 s, the divergence concentrated in the
+    index-writing lifecycle queries (q129 1.68x, q136 1.40x...); the
+    CPU-bound canary is blind to host I/O-window drift, which on this
+    box swings disk-heavy queries 1.3-1.7x between adjacent idle runs.
+    Round-over-round comparisons of lifecycle queries must be
+    qualified by BOTH canaries (tools/compare_bench.py does)."""
+    import tempfile
+    import time as _t
+
+    buf = os.urandom(1 << 20)
+    best = float("inf")
+    for _ in range(runs):
+        fd, path = tempfile.mkstemp(prefix="io_canary_", dir="/tmp")
+        try:
+            t0 = _t.perf_counter()
+            for _ in range(mb):
+                os.write(fd, buf)
+            os.fdatasync(fd)
+            best = min(best, _t.perf_counter() - t0)
+        finally:
+            os.close(fd)
+            os.unlink(path)
+    return best
+
+
 def sample_query(
     spark, fn, sf_dir: str, runs: int = 3, max_samples: int = 12
 ) -> tuple[float, float, bool]:
@@ -182,6 +212,7 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
     canary = round(host_speed_canary(spark), 3)
+    io_canary = round(host_io_canary(), 3)
 
     # Per query: warm + spread-disciplined best-of sampling
     # (``sample_query`` — shared with tools/scale_check.py so every
@@ -222,6 +253,9 @@ def main() -> None:
         # across artifacts to separate box-speed drift from engine
         # regressions — loadavg cannot see host-level throttling
         "canary_sec": canary,
+        # fdatasync write reference (host_io_canary): the I/O-side
+        # qualifier the CPU canary cannot provide (r13 finding)
+        "io_canary_sec": io_canary,
         "spread": spreads,
         "noisy": sorted(noisy),
     }
@@ -238,7 +272,7 @@ def main() -> None:
         k: out[k]
         for k in (
             "metric", "value", "unit", "queries", "sf", "contended",
-            "canary_sec", "noisy",
+            "canary_sec", "io_canary_sec", "noisy",
         )
     }
     line = json.dumps(compact, separators=(",", ":"))
