@@ -4911,9 +4911,17 @@ def q128_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = corpus.join(
         D.exact_dedup(corpus).select("doc_id"), "doc_id", "left_semi"
     )
+    # The span kernel + the excision transform consume the token
+    # table THREE times (gram explode, candidate join-back, final
+    # span application); without a cut each pass re-runs the sha2
+    # dedup aggregation + semi-join + tokenize. r13's R1 measured a
+    # token-table checkpoint as a LOSS for q115/q127, whose upstream
+    # is a plain scan+tokenize — here the upstream includes the
+    # corpus-wide dedup, which costs strictly more than re-reading
+    # the materialized arrays. Interleaved A/B at sf0.1: 0.77-0.83.
     t = survivors.select(
         "doc_id", X.tokens(F.col("text")).alias("toks")
-    )
+    ).localCheckpoint(eager=True)
     out = D.excise_spans(t, k=_SPAN_K)
     return out.filter(
         (F.col("n_kept") * 2 >= F.col("n_tokens"))
@@ -5096,7 +5104,14 @@ def q131_full_curation_pipeline(
     surv = train.join(
         D.exact_dedup(train).select("doc_id"), "doc_id", "left_semi"
     )
-    t = surv.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    # same cut as q128: the decon gram explode and the final span
+    # application each re-run union+plants-join+dedup+tokenize
+    # without it (q115/q127 keep the lazy shape — their upstream is
+    # a bare scan+tokenize, where r13's R1 measured the checkpoint
+    # as a loss). Interleaved A/B at sf0.1: 0.91-0.97.
+    t = surv.select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=True)
     out = D.excise_contaminated_spans(t, ev, k=_SPAN_K)
     score = linear_score_over(
         F.col("toks_clean"), derived_weights(_CLS_D), _CLS_INTERCEPT
